@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.5): first_value, temporal gap
+  * sessionization (gaps-and-islands, reconcile_and_label_db.py:290-338),
+  * batch labeling (:341-412), run-length encoding (frames.py:214-251),
+  * and time-bucket resampling (snow_month_filter.py:55-68).
+  *
+  * All are single-shuffle plans: one hash-partition by the window key, then
+  * sorted in-partition evaluation — the pattern that scales linearly with
+  * executor count (the per-key state never leaves its partition).
+  */
+object Windows {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // W1: FIRST_VALUE over partition (build_frame_db.py:173-187), with a
+    // pinned ORDER BY for determinism (§7.5 risk 5)
+    QueryDef.sql(
+      "q_window_first_value",
+      """SELECT o_orderkey,
+        |  FIRST_VALUE(o_orderpriority) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_prio,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          first(col("o_orderpriority")).over(w).as("first_prio"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    },
+
+    // W2: temporal-gap sessionization (gaps-and-islands). 30-minute gap in
+    // microseconds — epochs compared as exact integers on both engines.
+    QueryDef.sql(
+      "q_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_num
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_num
+        |ORDER BY user_id, session_num""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+        .withColumn("session_num",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_num").cast("long").as("session_num"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_num"))
+    },
+
+    // W3: batch index within group + historical/forward labeling
+    // (reconcile_and_label_db.py:341-412): batches of 50 acquisitions per
+    // key; the last (partial or full) batch is "forward", earlier ones
+    // "historical_{k:02d}".
+    QueryDef.sql(
+      "q_batch_label",
+      """WITH numbered AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 50) AS BIGINT) AS batch_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+        |  FROM events)
+        |SELECT user_id, batch_id,
+        |  CASE WHEN batch_id = CAST(FLOOR((n_total - 1) / 50) AS BIGINT)
+        |       THEN 'forward' ELSE PRINTF('historical_%02d', batch_id + 1) END AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM numbered GROUP BY user_id, batch_id, n_total
+        |ORDER BY user_id, batch_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("batch_id", floor((row_number().over(w) - 1) / 50).cast("long"))
+        .withColumn("n_total", count(lit(1)).over(wAll).cast("long"))
+        .groupBy(col("user_id"), col("batch_id"), col("n_total"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("batch_id"),
+          when(col("batch_id") === floor((col("n_total") - 1) / 50).cast("long"), "forward")
+            .otherwise(format_string("historical_%02d", col("batch_id") + 1)).as("label"),
+          col("n"))
+        .orderBy(col("user_id"), col("batch_id"))
+    },
+
+    // W4+A13: run-length encoding of a sequence + run-length histogram
+    // (frames.py:238-258 land/water runs → here: consecutive same
+    // event_type runs per user)
+    QueryDef.sql(
+      "q_runlength_histogram",
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS boundary
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM marked),
+        |lens AS (
+        |  SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM runs GROUP BY user_id, run_id)
+        |SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        |FROM lens GROUP BY run_len ORDER BY run_len""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("boundary",
+          when(not(col("event_type") <=> lag(col("event_type"), 1).over(w)), 1)
+            .otherwise(0))
+        .withColumn("run_id",
+          sum(col("boundary")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("run_len"))
+        .agg(count(lit(1)).as("n_runs"))
+        .orderBy(col("run_len"))
+    },
+
+    // A14: time-bucket resample — daily counts then weekly min/max/sum
+    // (snow_month_filter.py:55-68 daily→weekly cascade)
+    QueryDef.sql(
+      "q_resample_weekly",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(value*10000) AS BIGINT)) AS BIGINT) AS val_q4
+        |  FROM events GROUP BY event_type, DATE_TRUNC('day', ts))
+        |SELECT event_type, CAST(DATE_TRUNC('week', day) AS DATE) AS week,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(n) AS BIGINT) AS min_daily, CAST(MAX(n) AS BIGINT) AS max_daily,
+        |  CAST(SUM(val_q4) AS BIGINT) AS val_q4
+        |FROM daily GROUP BY event_type, DATE_TRUNC('week', day)
+        |ORDER BY event_type, week""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000).cast("long")).as("val_q4"))
+      daily.groupBy(col("event_type"),
+          date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(sum(col("n")).cast("long").as("n_events"),
+          min(col("n")).cast("long").as("min_daily"),
+          max(col("n")).cast("long").as("max_daily"),
+          sum(col("val_q4")).cast("long").as("val_q4"))
+        .orderBy(col("event_type"), col("week"))
+    }
+  )
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate:
+run graft.Verify output vs DuckDB oracle on the same sf dir.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(dev tool only — the shipped Scala library does not depend on this)
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def df_key(rows, cols):
+    # sort columns by name, then rows lexicographically (driver-style)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [tuple(sorted(cols))] + data
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        a, b = df_key(exp_rows, exp_cols), df_key(got_rows, got_cols)
+        if a == b:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(exp_rows)} vs {len(got_rows)}")
+            if a[0] != b[0]:
+                print(f"  cols oracle={a[0]}\n  cols spark ={b[0]}")
+            else:
+                diffs = [(x, y) for x, y in zip(a[1:], b[1:]) if x != y]
+                for x, y in diffs[:3]:
+                    print(f"  oracle: {x}\n  spark : {y}")
+                if len(a) != len(b):
+                    print(f"  row-count mismatch {len(a)-1} vs {len(b)-1}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
