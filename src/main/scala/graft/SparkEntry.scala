@@ -14,7 +14,9 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     operators.Relational.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      pipeline.TextPipeline.queries ++
+      pipeline.Embeddings.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The canonical 3-way dim join + aggregation (README.md:146-151 shape). */

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Elements are floor-quantized to integers (`floor(x·10^6)`) so dot
+  * products and norms are exact 64-bit integer arithmetic — identical in
+  * Spark and DuckDB, immune to accumulation order. Cosine is then a
+  * deterministic double computed from identical integer inputs.
+  *
+  * Two paths, as a 100 TB engine needs:
+  *   - brute-force top-k (the correctness baseline): probe-set × corpus,
+  *     zip-join on position, integer dot product, row_number top-k;
+  *   - LSH random-hyperplane bucketing (the scale path): 8 fixed
+  *     pseudo-random hyperplanes → 8-bit bucket per vector; at scale the
+  *     bucket is the shuffle key and candidate generation is a bucket-local
+  *     join instead of a full cross product.
+  */
+object Embeddings {
+
+  /** (vec_id, i, qe): quantized element rows, i 0-based. */
+  private def qelems(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("vec_id"), col("i"),
+        floor(col("e").cast("double") * 1000000).cast("long").as("qe"))
+
+  private val qelemsSql: String =
+    """qe AS (
+      |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i,
+      |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qe
+      |  FROM embeddings)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k: probe vectors (vec_id < 8) vs whole corpus
+    QueryDef.sql(
+      "q_ann_bruteforce",
+      s"""WITH $qelemsSql,
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand_id, CAST(SUM(q.qe*c.qe) AS BIGINT) AS dot_q
+         |  FROM qe q JOIN qe c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8
+         |  GROUP BY q.vec_id, c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cand_id, dot_q,
+         |    CAST(FLOOR(dot_q / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) AS BIGINT) AS cos_q6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY CAST(FLOOR(dot_q / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) AS BIGINT) DESC,
+         |               cand_id) AS rk
+         |  FROM dots JOIN norms n1 ON n1.vec_id = qid
+         |            JOIN norms n2 ON n2.vec_id = cand_id)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, cand_id, dot_q, cos_q6
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qe = qelems(s, d)
+      val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
+      val probe = qe.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("i"), col("qe").as("pqe"))
+      val dots = probe.join(qe.withColumnRenamed("vec_id", "cand_id"),
+          Seq("i"))
+        .filter(col("qid") =!= col("cand_id"))
+        .groupBy(col("qid"), col("cand_id"))
+        .agg(sum(col("pqe") * col("qe")).as("dot_q"))
+      val withCos = dots
+        .join(broadcast(norms.select(col("vec_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
+        .join(norms.select(col("vec_id").as("cand_id"), col("n2").as("cn2")), Seq("cand_id"))
+        .withColumn("cos_q6",
+          floor(col("dot_q") / sqrt(col("qn2").cast("double") * col("cn2")) * 1000000)
+            .cast("long"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_q6").desc, col("cand_id"))
+      withCos.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("cand_id"), col("dot_q"), col("cos_q6"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // LSH bucketing: 8 fixed pseudo-random hyperplanes → per-vector bucket,
+    // plus bucket occupancy (the ANN candidate-generation structure)
+    QueryDef.sql(
+      "q_ann_lsh_buckets",
+      s"""WITH $qelemsSql,
+         |proj AS (
+         |  SELECT vec_id, p,
+         |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
+         |  FROM qe, UNNEST(RANGE(0, 8)) AS u(p)
+         |  GROUP BY vec_id, p),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(MIN(vec_id) AS BIGINT) AS min_vec, CAST(MAX(vec_id) AS BIGINT) AS max_vec
+         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val qe = qelems(s, d)
+      val proj = qe
+        .select(col("vec_id"), col("i"), col("qe"),
+          explode(sequence(lit(0), lit(7))).as("p"))
+        .withColumn("r",
+          (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("qe") * col("r")).as("s"))
+      proj.groupBy(col("vec_id"))
+        .agg(sum(when(col("s") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).cast("long").as("min_vec"),
+          max(col("vec_id")).cast("long").as("max_vec"))
+        .orderBy(col("bucket"))
+    },
+
+    // Embedding stats: per-label centroid norms and counts (grouped vector agg)
+    QueryDef.sql(
+      "q_embed_label_stats",
+      s"""WITH $qelemsSql,
+         |labeled AS (
+         |  SELECT e.label, q.i, CAST(SUM(q.qe) AS BIGINT) AS sum_qe,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM qe q JOIN embeddings e ON e.vec_id = q.vec_id
+         |  GROUP BY e.label, q.i)
+         |SELECT label, CAST(SUM(sum_qe*sum_qe) AS BIGINT) AS centroid_norm2_scaled,
+         |  CAST(MAX(n) AS BIGINT) AS n_vectors
+         |FROM labeled GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val qe = qelems(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      qe.join(broadcast(emb), Seq("vec_id"))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("qe")).as("sum_qe"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(sum(col("sum_qe") * col("sum_qe")).as("centroid_norm2_scaled"),
+          max(col("n")).as("n_vectors"))
+        .orderBy(col("label"))
+    }
+  )
+}

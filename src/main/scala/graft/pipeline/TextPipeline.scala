@@ -1,0 +1,346 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), language ID, quality scoring, token counting, and
+  * document fingerprinting over the `documents` table.
+  *
+  * Everything is pure Column arithmetic (whole-stage codegen, zero UDFs) and
+  * integer-exact, so the identical algorithm runs as the DuckDB oracle.
+  * Char-5-gram hash H(g) = Σ cp(g_k)·131^(5-k), reduced mod P=2^31−1; the
+  * MinHash family is h_i(x) = (a_i·x + b_i) mod P with a_i < 2^20 so products
+  * stay far from signed-64 overflow (DuckDB errors on overflow, Spark wraps —
+  * we must never reach it on either engine).
+  *
+  * Scale posture: shingling explodes ~200 rows/doc, then immediately
+  * aggregates per doc (partial map-side combine). The pair-generating joins
+  * (LSH bucket join, rare-gram candidate join) bound their blowup by
+  * construction: LSH pairs only within equal 16-value band signatures;
+  * Jaccard candidates only through grams with document-frequency ≤ 20
+  * (standard candidate pruning — a gram seen by half the corpus would
+  * otherwise contribute O(n²) pairs at 100 TB).
+  */
+object TextPipeline {
+
+  val P = 2147483647L // 2^31 - 1
+  /** fixed MinHash coefficient family (single source for Spark + oracle SQL) */
+  val minhashA: Seq[Long] = (0 until 16).map(i => 104729L * (i + 1) + 12345L)
+  val minhashB: Seq[Long] = (0 until 16).map(i => 7919L * (i + 1) + 271L)
+
+  /** Normalized text: first 200 chars, lowercased. */
+  private def normText(c: Column): Column = lower(substring(c, 1, 200))
+  private val normSql = "LOWER(SUBSTR(text, 1, 200))"
+
+  /** Spark: (doc_id, g, hm) — one row per char-5-gram position, hm = H(g) mod P. */
+  private def grams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
+    docs
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 4)).as("i"))
+      .select(col("doc_id"), substring(col("t"), col("i"), lit(5)).as("g"))
+      .withColumn("hm",
+        (ascii(substring(col("g"), 1, 1)) * lit(294499921L) +
+          ascii(substring(col("g"), 2, 1)) * lit(2248091L) +
+          ascii(substring(col("g"), 3, 1)) * lit(17161L) +
+          ascii(substring(col("g"), 4, 1)) * lit(131L) +
+          ascii(substring(col("g"), 5, 1))) % lit(P))
+  }
+
+  /** Oracle CTE producing the same (doc_id, g, hm). */
+  private val gramsSql: String =
+    s"""grams AS (
+       |  SELECT doc_id, g,
+       |    (CAST(ASCII(SUBSTR(g,1,1)) AS BIGINT)*294499921
+       |     + CAST(ASCII(SUBSTR(g,2,1)) AS BIGINT)*2248091
+       |     + CAST(ASCII(SUBSTR(g,3,1)) AS BIGINT)*17161
+       |     + CAST(ASCII(SUBSTR(g,4,1)) AS BIGINT)*131
+       |     + CAST(ASCII(SUBSTR(g,5,1)) AS BIGINT)) % $P AS hm
+       |  FROM (
+       |    SELECT doc_id, SUBSTR(t, CAST(i AS INTEGER), 5) AS g
+       |    FROM (SELECT doc_id, $normSql AS t FROM documents WHERE LENGTH($normSql) >= 5) d,
+       |         UNNEST(RANGE(1, LENGTH(t) - 3)) AS u(i)) x)""".stripMargin
+
+  /** Spark: MinHash signature (doc_id, h0..h15). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until 16).map { i =>
+      min((col("hm") * minhashA(i) + minhashB(i)) % P).as(s"h$i")
+    }
+    grams(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSigSql: String = {
+    val cols = (0 until 16)
+      .map(i => s"CAST(MIN((hm*${minhashA(i)}+${minhashB(i)}) % $P) AS BIGINT) AS h$i")
+      .mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $cols
+       |  FROM grams GROUP BY doc_id)""".stripMargin
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on full text + normalized-prefix keys
+    QueryDef.sql(
+      "q_dedup_exact",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_text,
+        |  CAST(COUNT(DISTINCT LOWER(SUBSTR(text,1,40))) AS BIGINT) AS n_unique_prefix40,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_text"),
+        countDistinct(lower(substring(col("text"), 1, 40))).as("n_unique_prefix40"),
+        countDistinct(col("lang")).as("n_langs"))
+    },
+
+    // MinHash signatures (the per-doc sketch; LSH pairing is q_dedup_lsh_pairs)
+    QueryDef.sql(
+      "q_dedup_minhash",
+      s"""WITH $gramsSql,
+         |$minhashSigSql
+         |SELECT * FROM sig ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      minhashSignatures(s, d).orderBy(col("doc_id")).limit(500)
+    },
+
+    // MinHash-LSH candidate pairs: 4 bands × 4 rows; a pair is a candidate
+    // iff some band's 4 minhashes all agree (bucket join, no O(n²) scan)
+    QueryDef.sql(
+      "q_dedup_lsh_pairs",
+      s"""WITH $gramsSql,
+         |$minhashSigSql,
+         |bands AS (
+         |  SELECT doc_id, b, CASE b
+         |      WHEN 0 THEN PRINTF('%d_%d_%d_%d', h0,h1,h2,h3)
+         |      WHEN 1 THEN PRINTF('%d_%d_%d_%d', h4,h5,h6,h7)
+         |      WHEN 2 THEN PRINTF('%d_%d_%d_%d', h8,h9,h10,h11)
+         |      ELSE       PRINTF('%d_%d_%d_%d', h12,h13,h14,h15) END AS sig_key
+         |  FROM sig, UNNEST(RANGE(0, 4)) AS u(b))
+         |SELECT a.doc_id AS doc1, c.doc_id AS doc2,
+         |  CAST(COUNT(DISTINCT a.b) AS BIGINT) AS n_bands
+         |FROM bands a JOIN bands c
+         |  ON a.b = c.b AND a.sig_key = c.sig_key AND a.doc_id < c.doc_id
+         |GROUP BY a.doc_id, c.doc_id
+         |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
+      val sig = minhashSignatures(s, d)
+      val bandKey = (lo: Int) => concat_ws("_",
+        col(s"h$lo"), col(s"h${lo + 1}"), col(s"h${lo + 2}"), col(s"h${lo + 3}"))
+      val bands = sig.select(col("doc_id"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("b"), bandKey(b * 4).as("sig_key"))
+          }: _*)).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.sig_key").as("sig_key"))
+      val a = bands.as("a")
+      val c = bands.as("c")
+      a.join(c, col("a.b") === col("c.b") && col("a.sig_key") === col("c.sig_key") &&
+          col("a.doc_id") < col("c.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("c.doc_id").as("doc2"))
+        .agg(countDistinct(col("a.b")).as("n_bands"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // SimHash: 16-bit sign-aggregated sketch of the gram hashes
+    QueryDef.sql(
+      "q_dedup_simhash", {
+        val bitSums = (0 until 16)
+          .map(j => s"CAST(SUM(CASE WHEN (hm >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+          .mkString(",\n    ")
+        val bits = (0 until 16)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $gramsSql,
+           |bitsum AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM grams GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |FROM bitsum ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val bitAggs = (0 until 16).map { j =>
+        sum(when(shiftright(col("hm"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+      }
+      val simhash = (0 until 16)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      grams(s, d).groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // n-gram Jaccard near-dup: candidates through rare grams (df ≤ 20),
+    // exact Jaccard over each doc's distinct rare-gram set, top-100 pairs
+    QueryDef.sql(
+      "q_dedup_ngram_jaccard",
+      s"""WITH $gramsSql,
+         |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         |rare AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) <= 20),
+         |rdg AS (SELECT dg.doc_id, dg.g FROM dg JOIN rare USING (g)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rdg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, shared,
+         |  CAST(FLOOR(shared * 1000000.0 / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
+         |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+         |           JOIN sizes s2 ON s2.doc_id = doc2
+         |ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
+      val dg = grams(s, d).select(col("doc_id"), col("g")).distinct()
+      val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("g"))
+      val rdg = dg.join(rare, Seq("g"))
+      val sizes = rdg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = rdg.as("a")
+        .join(rdg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("shared"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("shared"),
+          floor(col("shared") * lit(1000000.0) / (col("n1") + col("n2") - col("shared")))
+            .cast("long").as("jaccard_q6"))
+        .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
+        .limit(100)
+    },
+
+    // Token counting: word tokens + BPE-ish ≤4-char piece count
+    QueryDef.sql(
+      "q_text_tokens",
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]{1,4}')) AS BIGINT) AS n_pieces,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]{1,4}"), lit(0)))
+          .cast("long").as("n_pieces"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword ratio, alpha ratio, length prior
+    QueryDef.sql(
+      "q_text_quality",
+      """WITH tok AS (
+        |  SELECT doc_id, LOWER(text) AS t,
+        |    REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        |  CAST(LEN(LIST_FILTER(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |       OR x = 'to' OR x = 'and')) AS BIGINT) AS n_stop,
+        |  CAST(LENGTH(REGEXP_REPLACE(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(FLOOR(
+        |    (CAST(LEN(LIST_FILTER(toks, x -> x = 'the' OR x = 'a' OR x = 'of'
+        |          OR x = 'to' OR x = 'and')) AS DOUBLE)
+        |       / GREATEST(LEN(toks), 1) * 0.4
+        |     + (1.0 - CAST(LENGTH(REGEXP_REPLACE(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / GREATEST(LENGTH(t), 1)) * 0.4
+        |     + LEAST(LEN(toks), 100) / 100.0 * 0.2) * 1000000) AS BIGINT) AS score_q6
+        |FROM tok ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val isStop = (x: Column) =>
+        x === "the" || x === "a" || x === "of" || x === "to" || x === "and"
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), lower(col("text")).as("t"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      base.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), isStop)).cast("long").as("n_stop"),
+        length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("long").as("n_punct"),
+        floor((
+          size(filter(col("toks"), isStop)).cast("double")
+            / greatest(size(col("toks")), lit(1)) * 0.4
+            + (lit(1.0) - length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("double")
+              / greatest(length(col("t")), lit(1))) * 0.4
+            + least(size(col("toks")), lit(100)) / 100.0 * 0.2) * 1000000)
+          .cast("long").as("score_q6"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID: marker-word occurrence scoring with a fixed priority argmax
+    QueryDef.sql(
+      "q_text_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' the ', ''))) / 5
+        |       + (LENGTH(p) - LENGTH(REPLACE(p, ' and ', ''))) / 5 AS BIGINT) AS s_en,
+        |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' der ', ''))) / 5
+        |       + (LENGTH(p) - LENGTH(REPLACE(p, ' und ', ''))) / 5 AS BIGINT) AS s_de,
+        |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' le ', ''))) / 4
+        |       + (LENGTH(p) - LENGTH(REPLACE(p, ' et ', ''))) / 4 AS BIGINT) AS s_fr,
+        |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' el ', ''))) / 4
+        |       + (LENGTH(p) - LENGTH(REPLACE(p, ' y ', ''))) / 3 AS BIGINT) AS s_es
+        |  FROM (SELECT doc_id, lang, ' ' || LOWER(text) || ' ' AS p FROM documents) x)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+        |       WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def occ(p: Column, kw: String): Column =
+        ((length(p) - length(expr(s"replace(p, '$kw', '')"))) / kw.length).cast("long")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(lit(" "), lower(col("text")), lit(" ")).as("p"))
+      base.select(col("doc_id"), col("lang"),
+          (occ(col("p"), " the ") + occ(col("p"), " and ")).as("s_en"),
+          (occ(col("p"), " der ") + occ(col("p"), " und ")).as("s_de"),
+          (occ(col("p"), " le ") + occ(col("p"), " et ")).as("s_fr"),
+          (occ(col("p"), " el ") + occ(col("p"), " y ")).as("s_es"))
+        .withColumn("pred_lang",
+          when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "unknown")
+            .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprint: rolling-hash sketch of the gram stream
+    QueryDef.sql(
+      "q_text_fingerprint",
+      s"""WITH $gramsSql
+         |SELECT doc_id,
+         |  CAST(MIN(hm) AS BIGINT) AS fp_min,
+         |  CAST(MAX(hm) AS BIGINT) AS fp_max,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS fp_ndistinct,
+         |  CAST(SUM(hm) % $P AS BIGINT) AS fp_sum
+         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      grams(s, d).groupBy(col("doc_id")).agg(
+          min(col("hm")).as("fp_min"),
+          max(col("hm")).as("fp_max"),
+          countDistinct(col("g")).as("fp_ndistinct"),
+          (sum(col("hm")) % P).as("fp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal plumbing: opaque-binary column with typed metadata extraction
+    // (binary built from text here; real decode is the stubbed module,
+    // pipeline/Multimodal.scala)
+    QueryDef.sql(
+      "q_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  HEX(ENCODE(SUBSTR(text, 1, 4))) AS magic,
+        |  CAST(ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS first_cp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("magic"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_cp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
