@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.Relational.queries ++
       operators.Windows.queries ++
+      operators.Geo.queries ++
       pipeline.TextPipeline.queries ++
       pipeline.Embeddings.queries
 

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.domain.{FrameSolver, ReferenceDates}
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.functions._
+
+/** Geospatial + domain-algorithm query surface.
+  *
+  * The pure-arithmetic parts (UTM zone/EPSG, bbox containment join) carry
+  * DuckDB oracles. The JTS topology pipeline and the sequential domain
+  * algorithms (DP frame solver, reference-date sweep) are not
+  * SQL-expressible → rows-only driver checks, with correctness pinned by
+  * ScalaTest specs instead.
+  */
+object Geo {
+
+  /** deterministic synthetic lon/lat from an integer key (pure math on both
+    * engines; 0.25 offset keeps points off cell edges) */
+  private def synthLon(k: org.apache.spark.sql.Column) =
+    ((k * 91) % 360 - 180 + lit(0.25)).cast("double")
+  private def synthLat(k: org.apache.spark.sql.Column) =
+    ((k * 47) % 180 - 90 + lit(0.25)).cast("double")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // UTM zone + EPSG assignment incl. Norway/Svalbard exceptions
+    // (build_frame_db.py:193-259 semantics, as oracle-able arithmetic)
+    QueryDef.sql(
+      "q_utm_zone_epsg",
+      """WITH pts AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey*91) % 360 - 180 + 0.25 AS DOUBLE) AS lon,
+        |    CAST((s_suppkey*47) % 180 - 90 + 0.25 AS DOUBLE) AS lat
+        |  FROM supplier),
+        |zoned AS (
+        |  SELECT s_suppkey, lon, lat,
+        |    CASE
+        |      WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+        |      WHEN lat >= 72 AND lat < 84 AND lon >= 0 AND lon < 9 THEN 31
+        |      WHEN lat >= 72 AND lat < 84 AND lon >= 9 AND lon < 21 THEN 33
+        |      WHEN lat >= 72 AND lat < 84 AND lon >= 21 AND lon < 33 THEN 35
+        |      WHEN lat >= 72 AND lat < 84 AND lon >= 33 AND lon < 42 THEN 37
+        |      ELSE GREATEST(1, LEAST(60, CAST(FLOOR((lon+180)/6)+1 AS INTEGER)))
+        |    END AS zone
+        |  FROM pts)
+        |SELECT s_suppkey, CAST(zone AS BIGINT) AS zone,
+        |  CAST(CASE WHEN lat >= 84 THEN 3413
+        |            WHEN lat <= -60 THEN 3031
+        |            WHEN lat >= 0 THEN 32600 + zone
+        |            ELSE 32700 + zone END AS BIGINT) AS epsg
+        |FROM zoned ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val pts = Tables.supplier(s, d).select(col("s_suppkey"),
+        synthLon(col("s_suppkey")).as("lon"), synthLat(col("s_suppkey")).as("lat"))
+      pts.select(col("s_suppkey"),
+          GeoFunctions.utmZone(col("lon"), col("lat")).cast("long").as("zone"),
+          GeoFunctions.utmEpsg(col("lon"), col("lat")).cast("long").as("epsg"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // Two-stage spatial join: bbox containment as plain column predicates
+    // (the query_frame_db.py:85-121 "R-tree probe then refine" plan — for
+    // axis-aligned boxes the prefilter IS exact, so it oracles cleanly;
+    // parquet min/max stats make the same predicate a data-skipping scan
+    // at 100 TB)
+    QueryDef.sql(
+      "q_bbox_spatial_join",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey*37) % 360 - 180 + 0.5 AS DOUBLE) AS x,
+        |    CAST((c_custkey*73) % 160 - 80 + 0.5 AS DOUBLE) AS y
+        |  FROM customer),
+        |boxes AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey*29) % 300 - 170 AS DOUBLE) AS xmin,
+        |    CAST((n_nationkey*53) % 120 - 70 AS DOUBLE) AS ymin
+        |  FROM nation)
+        |SELECT n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM boxes JOIN pts
+        |  ON pts.x >= boxes.xmin AND pts.x < boxes.xmin + 60
+        | AND pts.y >= boxes.ymin AND pts.y < boxes.ymin + 40
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        ((col("c_custkey") * 37) % 360 - 180 + lit(0.5)).cast("double").as("x"),
+        ((col("c_custkey") * 73) % 160 - 80 + lit(0.5)).cast("double").as("y"))
+      val boxes = Tables.nation(s, d).select(col("n_nationkey"),
+        ((col("n_nationkey") * 29) % 300 - 170).cast("double").as("xmin"),
+        ((col("n_nationkey") * 53) % 120 - 70).cast("double").as("ymin"))
+      broadcast(boxes).join(pts,
+          col("x") >= col("xmin") && col("x") < col("xmin") + 60 &&
+            col("y") >= col("ymin") && col("y") < col("ymin") + 40)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_points"), sum(col("c_custkey")).as("sum_keys"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // JTS topology pipeline: WKT squares per customer point → per-nation
+    // geometry union (custom Aggregator), area, envelope, simplify.
+    // Rows-only (no SpatiaLite in the oracle); exactness covered by
+    // GeoFunctionsSpec.
+    QueryDef.rowsOnly("q_geo_union_pipeline") { (s, d) =>
+      val pts = Tables.customer(s, d).filter(col("c_custkey") <= 2000)
+        .select(col("c_custkey"), col("c_nationkey"),
+          ((col("c_custkey") * 37) % 340 - 170).cast("double").as("x"),
+          ((col("c_custkey") * 73) % 140 - 70).cast("double").as("y"))
+      val sq = pts.withColumn("wkt", format_string(
+        "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+        col("x"), col("y"), col("x") + 2, col("y"), col("x") + 2, col("y") + 2,
+        col("x"), col("y") + 2, col("x"), col("y")))
+      sq.groupBy(col("c_nationkey"))
+        .agg(GeoFunctions.stUnionAgg(col("wkt")).as("geom"),
+          count(lit(1)).as("n_squares"))
+        .select(col("c_nationkey"), col("n_squares"),
+          GeoFunctions.stArea(col("geom")).as("union_area"),
+          GeoFunctions.stEnvelope(col("geom")).as("bbox"),
+          length(GeoFunctions.stSimplify(col("geom"), lit(0.5))).as("simplified_len"))
+        .select(col("c_nationkey"), col("n_squares"), col("union_area"),
+          col("bbox._1").as("xmin"), col("bbox._2").as("ymin"),
+          col("bbox._3").as("xmax"), col("bbox._4").as("ymax"),
+          col("simplified_len"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // DP frame solver over per-user event tracks (frames.py:124-211
+    // semantics; flatMapGroups, key-local)
+    QueryDef.rowsOnly("q_frame_dp")((s, d) => FrameSolver.frameQuery(s, d)),
+
+    // Reference-date sweep (reference_dates.py:105-157 semantics)
+    QueryDef.rowsOnly("q_reference_dates")((s, d) => ReferenceDates.referenceQuery(s, d))
+  )
+}
