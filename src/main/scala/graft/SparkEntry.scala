@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Windows.queries ++
       operators.Geo.queries ++
+      domain.ConsistentBursts.queries ++
       pipeline.TextPipeline.queries ++
       pipeline.Embeddings.queries
 

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming surface (SURVEY.md §2.10). The reference is incremental batch
+  * (per-date CSV drops, forward/historical labeling); we surface the same
+  * semantics on Structured Streaming:
+  *   - `sessionWindows`: session_window aggregation, identical code path
+  *     batch vs stream (gap-split grouping = W2 as a native operator);
+  *   - `runStream`: file-source → availableNow trigger — exactly the
+  *     reference's "process what's in the drop directory then stop" model
+  *     (parse_bursts.py:1096-1189 skip-if-exists incremental semantics);
+  *   - `labelAcquisitions`: flatMapGroupsWithState port of the stateful
+  *     per-frame sweep (D5/W5) for continuous pipelines.
+  */
+object Sessions {
+
+  /** Gap-based session aggregation; works on both batch and streaming
+    * DataFrames (the streaming path needs a watermark first). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** File-source incremental run: read whatever parquet is in `inDir`,
+    * process with `f`, write to `outDir`, stop (Trigger.AvailableNow). */
+  def runStream(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, checkpoint: String,
+      f: DataFrame => DataFrame, watermarkDelay: String = "1 hour"): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val q = f(in.withWatermark("ts", watermarkDelay))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  final case class Acq(key: Long, ts: Timestamp)
+  final case class BatchState(count: Long, batchId: Int)
+  final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)
+
+  /** Stateful per-key batch labeling (reconcile_and_label_db.py:341-412
+    * semantics, streaming form): every `batchSize` acquisitions of a key
+    * start a new batch; the open batch is "forward", closed ones
+    * "historical_NN". */
+  def labelAcquisitions(ds: Dataset[Acq], batchSize: Int = 50): Dataset[Labeled] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[BatchState, Labeled](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[BatchState]) =>
+          var st = state.getOption.getOrElse(BatchState(0L, 0))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+            val batch = (st.count / batchSize).toInt
+            st = BatchState(st.count + 1, batch)
+            Labeled(key, a.ts, batch, f"historical_${batch + 1}%02d")
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

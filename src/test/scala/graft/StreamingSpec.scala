@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.Sessions
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("availableNow stream sessionization matches batch result") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    // stage a small event drop
+    Tables.events(spark, sf()).filter($"user_id" < 10)
+      .select($"user_id", $"ts", $"value")
+      .coalesce(1).write.parquet(inDir)
+
+    Sessions.runStream(spark, inDir, outDir, cp,
+      df => Sessions.sessionWindows(df, "30 minutes"),
+      watermarkDelay = "0 seconds")
+
+    val streamed = spark.read.parquet(outDir)
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+
+    val batch = Sessions.sessionWindows(
+        spark.read.parquet(inDir), "30 minutes")
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+
+    // append mode holds sessions not yet past the watermark (= max event
+    // time): streamed must be a subset of batch and must contain every
+    // session that ended safely before the final watermark
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    val maxTs = spark.read.parquet(inDir).agg(max($"ts")).as[java.sql.Timestamp].head()
+    val safe = batch.filter { case (_, start, _) =>
+      start.getTime < maxTs.getTime - 3600L * 1000 }
+    assert(safe.subsetOf(streamed))
+  }
+
+  test("flatMapGroupsWithState batch labeling assigns sequential batches") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val acqs = (0 until 120).map(i =>
+      Sessions.Acq(1L, new java.sql.Timestamp(base.getTime + i * 60000L)))
+    val out = Sessions.labelAcquisitions(acqs.toDS(), batchSize = 50)
+      .collect().sortBy(_.ts.getTime)
+    assert(out.length == 120)
+    assert(out.take(50).forall(_.batchId == 0))
+    assert(out.slice(50, 100).forall(_.batchId == 1))
+    assert(out.drop(100).forall(_.batchId == 2))
+    assert(out.last.label == "historical_03")
+  }
+}
