@@ -57,7 +57,8 @@ object Embeddings {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, cand_id, dot_q, cos_q6
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val qe = qelems(s, d)
+      // qe feeds norms, the probe side, and the corpus side — one compute
+      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
       val probe = qe.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("i"), col("qe").as("pqe"))

@@ -136,6 +136,10 @@ object TextPipeline {
             struct(lit(b).as("b"), bandKey(b * 4).as("sig_key"))
           }: _*)).as("band"))
         .select(col("doc_id"), col("band.b").as("b"), col("band.sig_key").as("sig_key"))
+        // materialize once: the self-join would otherwise recompute the
+        // whole shingle→minhash pipeline for each side (verified: no
+        // exchange reuse even under AQE)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.as("a")
       val c = bands.as("c")
       a.join(c, col("a.b") === col("c.b") && col("a.sig_key") === col("c.sig_key") &&
@@ -191,10 +195,16 @@ object TextPipeline {
          |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
          |           JOIN sizes s2 ON s2.doc_id = doc2
          |ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
-      val dg = grams(s, d).select(col("doc_id"), col("g")).distinct()
-      val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("g"))
-      val rdg = dg.join(rare, Seq("g"))
+      // document frequency via a window over g: one shuffle, no join-back
+      // (a groupBy+join would recompute the shingle pipeline per side)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      // rdg feeds the candidate self-join AND both size lookups — persist
+      // so the shingle pipeline runs once, not 4× (at 100 TB this is a
+      // mandatory materialization, not an optimization)
+      val rdg = grams(s, d).select(col("doc_id"), col("g")).distinct()
+        .withColumn("df", count(lit(1)).over(wg))
+        .filter(col("df") <= 20).drop("df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = rdg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = rdg.as("a")
         .join(rdg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
