@@ -89,7 +89,11 @@ object GeoFunctions {
     val n = A / math.sqrt(1 - E2 * sinLat * sinLat)
     val t = tanLat * tanLat
     val c = EP2 * cosLat * cosLat
-    val a0 = (lon - lon0) * cosLat
+    // wrap Δλ to [-π, π]: a zone-60 frame's western half sits at lon ≈ -180
+    var dLon = lon - lon0
+    while (dLon > math.Pi) dLon -= 2 * math.Pi
+    while (dLon < -math.Pi) dLon += 2 * math.Pi
+    val a0 = dLon * cosLat
     val e4 = E2 * E2; val e6 = e4 * E2
     val m = A * ((1 - E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
       - (3 * E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * lat)
@@ -149,6 +153,28 @@ object GeoFunctions {
     (c.getX, c.getY)
   }
 
+  /** Dateline-aware centroid (build_frame_db.py:262-307 weighted-centroid
+    * rule): for a wrap-encoded geometry, take the centroid in the +360
+    * shifted frame and wrap the longitude back — a naive centroid of the
+    * split halves averages to ~0°. */
+  val stCentroidDateline = udf { (a: String) =>
+    val g = parseWkt(a)
+    if (g.getEnvelopeInternal.getWidth <= 180) {
+      val c = g.getCentroid
+      (c.getX, c.getY)
+    } else {
+      val shifted = g.copy()
+      shifted.apply(new org.locationtech.jts.geom.CoordinateFilter {
+        override def filter(c: org.locationtech.jts.geom.Coordinate): Unit =
+          if (c.x < 0) c.x += 360
+      })
+      shifted.geometryChanged()
+      val c = (if (shifted.isValid) shifted else shifted.buffer(0)).getCentroid
+      val lon = if (c.getX >= 180) c.getX - 360 else c.getX
+      (lon, c.getY)
+    }
+  }
+
   /** Envelope as (xmin, ymin, xmax, ymax). */
   val stEnvelope = udf { (a: String) =>
     val e = parseWkt(a).getEnvelopeInternal
@@ -188,10 +214,14 @@ object GeoFunctions {
       val fixed = if (shifted.isValid) shifted else shifted.buffer(0)
       val west = gf.toGeometry(new org.locationtech.jts.geom.Envelope(0, 180, -90, 90))
       val east = gf.toGeometry(new org.locationtech.jts.geom.Envelope(180, 360, -90, 90))
+      import org.locationtech.jts.operation.overlayng.OverlayNGRobust
+      import org.locationtech.jts.operation.overlay.OverlayOp
+      def robustIntersection(a: Geometry, b: Geometry): Geometry =
+        OverlayNGRobust.overlay(a, b, OverlayOp.INTERSECTION)
       // copy before mutating: intersection results may alias Coordinate
       // objects of the source geometry (and of each other)
-      val partW = fixed.intersection(west).copy()
-      val partE = fixed.intersection(east).copy()
+      val partW = robustIntersection(fixed, west).copy()
+      val partE = robustIntersection(fixed, east).copy()
       partE.apply(new org.locationtech.jts.geom.CoordinateFilter {
         // >= : the seam vertices at exactly 180 belong to the eastern part's
         // -180 edge, else the ring re-wraps the full globe
@@ -200,7 +230,7 @@ object GeoFunctions {
       })
       partE.geometryChanged()
       val parts = Seq(partW, partE).filter(!_.isEmpty)
-      gf.buildGeometry(parts.asJava).union()
+      org.locationtech.jts.operation.overlayng.OverlayNGRobust.union(parts.asJava)
     }
   }
 

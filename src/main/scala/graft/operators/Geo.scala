@@ -127,6 +127,36 @@ object Geo {
     QueryDef.rowsOnly("q_frame_dp")((s, d) => FrameSolver.frameQuery(s, d)),
 
     // Reference-date sweep (reference_dates.py:105-157 semantics)
-    QueryDef.rowsOnly("q_reference_dates")((s, d) => ReferenceDates.referenceQuery(s, d))
+    QueryDef.rowsOnly("q_reference_dates")((s, d) => ReferenceDates.referenceQuery(s, d)),
+
+    // Full §3.1 catalog build on a synthesized ESA-style burst grid:
+    // jpl-id → triplet dissolve (geometry union agg) → land flag → DP frame
+    // optimization → frame assembly → EPSG → snapped UTM bbox
+    QueryDef.rowsOnly("q_catalog_build") { (s, d) =>
+      val n = Tables.supplier(s, d).count().toInt.min(400)
+      val grid = s.range(0, n.toLong * 3).toDF("i").select(
+        (col("i") + 1).cast("int").as("OGC_FID"),
+        (col("i") / 3 + 1).cast("long").as("burst_id"),
+        ((col("i") / 3) / 27 + 1).cast("int").as("relative_orbit_number"),
+        concat(lit("IW"), (col("i") % 3 + 1)).as("subswath_name"),
+        lit("ASCENDING").as("orbit_pass"),
+        format_string("POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8),
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
+          (col("i") / 3) % 27 * lit(0.8),
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
+          (col("i") / 3) % 27 * lit(0.8) + 0.8,
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8) + 0.8,
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8)).as("geom"))
+      val r = graft.domain.CatalogBuild.build(
+        grid, "POLYGON ((0 5, 40 5, 40 15, 0 15, 0 5))")
+      r.frames.select(col("fid"), col("epsg"), col("is_land"),
+          col("relative_orbit_number"), col("n_bursts"),
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .orderBy(col("fid"))
+    }
   )
 }
