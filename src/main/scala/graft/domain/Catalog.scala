@@ -48,7 +48,9 @@ object Catalog {
     frames
       .filter(col("bb_xmin") <= qxmax && col("bb_xmax") >= qxmin &&
         col("bb_ymin") <= qymax && col("bb_ymax") >= qymin) // coarse: data-skips
-      .filter(GeoFunctions.stIntersects(col("geom"), lit(queryWkt))) // exact
+      // exact refine via the native expression: the literal query geometry
+      // is parsed+prepared once per executor (plans/SpatialExpressions)
+      .filter(graft.plans.SpatialExpressions.stIntersectsNative(col("geom"), queryWkt))
   }
 
   /** bbox → WKT polygon (utils.py:27-29). */
