@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.Geo.queries ++
       domain.ConsistentBursts.queries ++
+      domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++
       pipeline.Embeddings.queries
 

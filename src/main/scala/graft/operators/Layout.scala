@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB posture (SURVEY.md §7.5 risk 7:
+  * "partition bursts by year(sensing_time), bucket by burst_id_jpl").
+  *
+  *   - `writePartitioned`: hive-style partition directories → partition
+  *     pruning turns time/key predicates into directory listing, no data
+  *     read at all for pruned partitions;
+  *   - `saltedAggregate`: two-stage aggregation for skewed keys — stage 1
+  *     aggregates (key, salt) so the hot key's rows spread over `salts`
+  *     reducers, stage 2 merges the tiny per-salt partials. AQE handles
+  *     join skew; aggregation skew still needs this.
+  */
+object Layout {
+
+  /** Write with partition columns (e.g. year/month of the event time). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Salted two-stage aggregation: SUM/COUNT-style mergeable aggregates
+    * only. `aggs` maps output column name → (stage1 agg of input col,
+    * stage2 merge). */
+  def saltedSumCount(df: DataFrame, key: Column, salts: Int,
+      sumCols: Seq[String]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val stage1 = salted.groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"),
+        sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+    stage1.groupBy(col("key"))
+      .agg(sum(col("__cnt")).as("n"),
+        sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+  }
+}
