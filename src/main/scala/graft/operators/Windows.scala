@@ -137,6 +137,63 @@ object Windows {
         .orderBy(col("run_len"))
     },
 
+    // D7 (reconcile_and_label_db.py:290-412): full processing-mode labeling
+    // — 2-hour gaps restart batch numbering (the reference's 2-year gaps,
+    // scaled to the synthetic table's span), then batches of 40 within each
+    // island; last batch of the LAST island is "forward"
+    QueryDef.sql(
+      "q_processing_modes",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 7200000000
+        |         THEN 1 ELSE 0 END AS restart
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(restart) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM flagged),
+        |numbered AS (
+        |  SELECT user_id, grp,
+        |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) - 1) / 40) AS BIGINT) AS batch_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_in_grp,
+        |    CAST(MAX(grp) OVER (PARTITION BY user_id) AS BIGINT) AS max_grp
+        |  FROM islands)
+        |SELECT user_id, CAST(grp AS BIGINT) AS grp, batch_id,
+        |  CASE WHEN grp = max_grp AND batch_id = CAST(FLOOR((n_in_grp - 1) / 40) AS BIGINT)
+        |       THEN 'forward' ELSE PRINTF('historical_%02d', batch_id + 1) END AS mode,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM numbered GROUP BY user_id, grp, batch_id, n_in_grp, max_grp
+        |ORDER BY user_id, grp, batch_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val islands = Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("restart",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 7200L * 1000000L, 1).otherwise(0))
+        .withColumn("grp",
+          sum(col("restart")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val wg = Window.partitionBy(col("user_id"), col("grp"))
+        .orderBy(col("ts"), col("event_id"))
+      islands
+        .withColumn("batch_id", floor((row_number().over(wg) - 1) / 40).cast("long"))
+        .withColumn("n_in_grp",
+          count(lit(1)).over(Window.partitionBy(col("user_id"), col("grp"))).cast("long"))
+        .withColumn("max_grp",
+          max(col("grp")).over(Window.partitionBy(col("user_id"))).cast("long"))
+        .groupBy(col("user_id"), col("grp").cast("long").as("grp"), col("batch_id"),
+          col("n_in_grp"), col("max_grp"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("grp"), col("batch_id"),
+          when(col("grp") === col("max_grp") &&
+              col("batch_id") === floor((col("n_in_grp") - 1) / 40).cast("long"),
+            "forward")
+            .otherwise(format_string("historical_%02d", col("batch_id") + 1)).as("mode"),
+          col("n"))
+        .orderBy(col("user_id"), col("grp"), col("batch_id"))
+    },
+
     // A14: time-bucket resample — daily counts then weekly min/max/sum
     // (snow_month_filter.py:55-68 daily→weekly cascade)
     QueryDef.sql(
