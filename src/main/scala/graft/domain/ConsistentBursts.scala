@@ -103,10 +103,48 @@ object ConsistentBursts {
         .orderBy(col("user_id"))
     },
 
-    // consistent-burst option-0 selection over a synthetic frame/burst/date
-    // grid (frame := user_id, burst := event_type, date := event date).
-    // Sequential per-key search → rows-only; semantics pinned by
-    // ConsistentBurstsSpec.
+    // consistent-burst option-0 (D4) — the sequential flatMapGroups
+    // algorithm verified against a full SQL reimplementation of the same
+    // contract (candidate sets = distinct per-date burst sets; kept dates
+    // by subset-coverage; rank by cells, dates, lexicographic tiebreak)
+    QueryDef.sql(
+      "q_consistent_option0",
+      """WITH tuples AS (
+        |  SELECT DISTINCT user_id AS frame_id, event_type AS burst_id,
+        |    CAST(ts AS DATE) AS date
+        |  FROM events),
+        |by_date AS (
+        |  SELECT frame_id, date, LIST_SORT(LIST(DISTINCT burst_id)) AS bset
+        |  FROM tuples GROUP BY frame_id, date),
+        |cands AS (SELECT DISTINCT frame_id, bset FROM by_date),
+        |kept AS (
+        |  SELECT c.frame_id, c.bset, CAST(COUNT(*) AS BIGINT) AS n_dates
+        |  FROM cands c JOIN by_date d
+        |    ON d.frame_id = c.frame_id AND LIST_HAS_ALL(d.bset, c.bset)
+        |  GROUP BY c.frame_id, c.bset),
+        |ranked AS (
+        |  SELECT frame_id, bset, n_dates,
+        |    CAST(LEN(bset) * n_dates AS BIGINT) AS total_cells,
+        |    ROW_NUMBER() OVER (PARTITION BY frame_id
+        |      ORDER BY LEN(bset) * n_dates DESC, n_dates DESC,
+        |               ARRAY_TO_STRING(bset, ',')) AS rn
+        |  FROM kept)
+        |SELECT frame_id, total_cells, ARRAY_TO_STRING(bset, ',') AS burst_ids,
+        |  n_dates
+        |FROM ranked WHERE rn = 1 ORDER BY frame_id""".stripMargin) { (s, d) =>
+      val tuples = Tables.events(s, d).select(
+        col("user_id").as("frame_id"), col("event_type").as("burst_id"),
+        col("ts").cast("date").as("date"))
+      missingDataOptions(tuples)
+        .filter(col("option_num") === 0)
+        .select(col("frame_id"), col("total_num_bursts").as("total_cells"),
+          array_join(col("burst_id_list"), ",").as("burst_ids"),
+          size(col("date_list")).cast("long").as("n_dates"))
+        .orderBy(col("frame_id"))
+    },
+
+    // option-0 selection joined with earliest sensing times (full D4 output
+    // shape; rows-only — the time attachment is covered by DomainSpec)
     QueryDef.rowsOnly("q_consistent_selection") { (s, d) =>
       val bursts = Tables.events(s, d).select(
         col("user_id").as("frame_id"),

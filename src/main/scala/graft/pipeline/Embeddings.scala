@@ -115,6 +115,55 @@ object Embeddings {
         .orderBy(col("bucket"))
     },
 
+    // IVF index path: a fixed 8-vector codebook (vec_id < 8), every vector
+    // assigned to its max-dot centroid; per-cluster occupancy plus the
+    // top-3 members nearest each centroid — the coarse-quantizer structure
+    // that bounds an ANN probe to one cluster's members at scale
+    QueryDef.sql(
+      "q_ann_ivf",
+      s"""WITH $qelemsSql,
+         |cent AS (SELECT vec_id AS cid, i, qe FROM qe WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT v.vec_id, c.cid, CAST(SUM(v.qe*c.qe) AS BIGINT) AS dot
+         |  FROM qe v JOIN cent c ON v.i = c.i
+         |  GROUP BY v.vec_id, c.cid),
+         |assigned AS (
+         |  SELECT vec_id, cid, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM dots),
+         |members AS (SELECT vec_id, cid AS cluster, dot FROM assigned WHERE rn = 1),
+         |occ AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM members GROUP BY cluster),
+         |ranked AS (
+         |  SELECT cluster, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dot DESC, vec_id) AS rk
+         |  FROM members WHERE vec_id >= 8)
+         |SELECT r.cluster, CAST(r.rk AS BIGINT) AS rk, r.vec_id, r.dot,
+         |  o.n_members
+         |FROM ranked r JOIN occ o ON o.cluster = r.cluster
+         |WHERE r.rk <= 3 ORDER BY r.cluster, r.rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cent = qe.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("i"), col("qe").as("cqe"))
+      val dots = qe.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("qe") * col("cqe")).as("dot"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
+      val members = dots.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("dot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val occ = members.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      val wRank = Window.partitionBy(col("cluster")).orderBy(col("dot").desc, col("vec_id"))
+      members.filter(col("vec_id") >= 8)
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 3)
+        .join(broadcast(occ), Seq("cluster"))
+        .select(col("cluster"), col("rk"), col("vec_id"), col("dot"), col("n_members"))
+        .orderBy(col("cluster"), col("rk"))
+    },
+
     // Embedding stats: per-label centroid norms and counts (grouped vector agg)
     QueryDef.sql(
       "q_embed_label_stats",
