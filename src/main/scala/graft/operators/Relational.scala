@@ -148,9 +148,11 @@ object Relational {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name, YEAR(o.o_orderdate)
         |ORDER BY n.n_name, order_year""".stripMargin) { (s, d) =>
+      // customer scales with SF (not broadcastable at 100 TB) — shuffle
+      // join it and let AQE pick; nation is fixed-size → broadcast
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
         .agg(sum(q4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_q4"),
@@ -394,8 +396,11 @@ object Relational {
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // from_json with a declared schema beats per-row get_json_object
+      // path evaluation (single parse, typed extraction)
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))

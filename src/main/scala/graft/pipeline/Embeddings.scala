@@ -60,15 +60,19 @@ object Embeddings {
       // qe feeds norms, the probe side, and the corpus side — one compute
       val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
+      // the probe set is FIXED (8 vectors × 64 dims) → broadcast it; joining
+      // on `i` (64 distinct keys) with a shuffle would serialize on 64
+      // reducers. The corpus side streams map-side.
       val probe = qe.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("i"), col("qe").as("pqe"))
-      val dots = probe.join(qe.withColumnRenamed("vec_id", "cand_id"),
-          Seq("i"))
+      val dots = qe.withColumnRenamed("vec_id", "cand_id")
+        .join(broadcast(probe), Seq("i"))
         .filter(col("qid") =!= col("cand_id"))
         .groupBy(col("qid"), col("cand_id"))
         .agg(sum(col("pqe") * col("qe")).as("dot_q"))
       val withCos = dots
-        .join(broadcast(norms.select(col("vec_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
+        .join(broadcast(norms.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
         .join(norms.select(col("vec_id").as("cand_id"), col("n2").as("cn2")), Seq("cand_id"))
         .withColumn("cos_q6",
           floor(col("dot_q") / sqrt(col("qn2").cast("double") * col("cn2")) * 1000000)
@@ -176,9 +180,10 @@ object Embeddings {
          |SELECT label, CAST(SUM(sum_qe*sum_qe) AS BIGINT) AS centroid_norm2_scaled,
          |  CAST(MAX(n) AS BIGINT) AS n_vectors
          |FROM labeled GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      // embeddings scale with SF — no broadcast hint; AQE localizes when small
       val qe = qelems(s, d)
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      qe.join(broadcast(emb), Seq("vec_id"))
+      qe.join(emb, Seq("vec_id"))
         .groupBy(col("label"), col("i"))
         .agg(sum(col("qe")).as("sum_qe"), count(lit(1)).as("n"))
         .groupBy(col("label"))
