@@ -56,4 +56,29 @@ object Catalog {
   /** bbox → WKT polygon (utils.py:27-29). */
   def bboxWkt(xmin: Double, ymin: Double, xmax: Double, ymax: Double): String =
     s"POLYGON (($xmin $ymin, $xmax $ymin, $xmax $ymax, $xmin $ymax, $xmin $ymin))"
+
+  /** `opera-db historical fetch-bursts` (query_historical_bursts.py:20-124,
+    * 188-209): expand the requested frames' burst ids from the zipped
+    * frame-to-burst JSON document, then semi-join the ~50M-row historical
+    * fact table on burst_id_jpl within the time range. The id list is a
+    * broadcast semi-join, never an IN-list string (P4 at scale). */
+  def fetchBursts(spark: org.apache.spark.sql.SparkSession, bursts: DataFrame,
+      frameToBurstJsonZip: String, frameIds: Seq[Long],
+      start: String, end: String): DataFrame = {
+    import spark.implicits._
+    val doc = graft.sources.Io.readJsonZip(frameToBurstJsonZip)
+    val parsed = spark.read.json(Seq(doc).toDS())
+    val wanted = frameIds.map(_.toString)
+    // data.<fid>.burst_ids columns → one distinct id table
+    val idDfs = wanted.flatMap { fid =>
+      try Some(parsed.select(explode(col(s"data.$fid.burst_ids")).as("burst_id_jpl")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    require(idDfs.nonEmpty, s"no requested frame present in $frameToBurstJsonZip")
+    val ids = idDfs.reduce(_ unionByName _).distinct()
+    bursts
+      .filter(col("sensing_time") >= lit(start).cast("timestamp") &&
+        col("sensing_time") <= lit(end).cast("timestamp"))
+      .join(broadcast(ids), Seq("burst_id_jpl"), "left_semi")
+  }
 }

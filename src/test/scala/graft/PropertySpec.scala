@@ -1,0 +1,109 @@
+package graft
+
+import graft.domain.FrameSolver
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5: DP solver + gaps-and-islands invariants,
+  * fixed seed via explicit ScalaCheck params). */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = ScTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(1234L))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = ScTest.check(params, prop)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("DP solve: chain covers [0,n), sizes within bounds, overlap 1") {
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      minF <- Gen.choose(3, 6)
+      spread <- Gen.choose(1, 6)
+      target <- Gen.choose(minF, minF + spread)
+    } yield (n, minF, minF + spread, target.toDouble)
+    check("dp-chain", Prop.forAll(gen) { case (n, minF, maxF, target) =>
+      val slices = FrameSolver.solve(n, target, minF, maxF)
+      val chainOk = slices.head._1 == 0 && slices.last._2 == n &&
+        slices.sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => s2 == e1 - 1
+          case _ => true
+        }
+      // underlying cuts (j = next start; n for last) honor [minF, maxF] —
+      // when n is representable as a sum of steps in [minF-1, maxF-1];
+      // otherwise the documented fallback is a single undersized slice
+      val feasible = (1 to n).exists(k =>
+        k.toLong * (minF - 1) <= n && n <= k.toLong * (maxF - 1))
+      val js = slices.drop(1).map(_._1) :+ n
+      val sizesOk =
+        if (feasible)
+          slices.map(_._1).zip(js).forall { case (i, j) =>
+            val m = j - i + 1; m >= minF && m <= maxF
+          }
+        else slices == Seq((0, n))
+      chainOk && sizesOk
+    })
+  }
+
+  test("smoothing: monotone water→land, no short water runs survive") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      bits <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield bits.toArray
+    check("smoothing", Prop.forAll(gen) { ind =>
+      val out = FrameSolver.smoothIndicator(ind, minF = 5)
+      val monotone = ind.zip(out).forall { case (b, a) => !b || a }
+      var runs = List.empty[(Boolean, Int)]
+      out.foreach { v =>
+        runs = runs match {
+          case (b, c) :: t if b == v => (b, c + 1) :: t
+          case t => (v, 1) :: t
+        }
+      }
+      val noShortWater = runs.filter(!_._1).forall(_._2 >= 5)
+      monotone && noShortWater
+    })
+  }
+
+  test("landOptimizedSlices: slices sorted, cover the whole track") {
+    val gen = for {
+      n <- Gen.choose(1, 100)
+      bits <- Gen.listOfN(n, Gen.prob(0.6))
+    } yield bits.toArray
+    check("slices-cover", Prop.forAll(gen) { ind =>
+      val slices = FrameSolver.landOptimizedSlices(ind)
+      slices.nonEmpty &&
+        slices.head.start == 0 &&
+        slices.map(_.end).max == ind.length &&
+        slices.sliding(2).forall {
+          case Seq(a, b) => a.start <= b.start
+          case _ => true
+        } &&
+        // every index is inside at least one slice
+        (0 until ind.length).forall(i => slices.exists(s => s.start <= i && i < s.end))
+    })
+  }
+
+  test("gaps-and-islands sessionization matches brute force") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      gaps <- Gen.listOfN(n, Gen.choose(1L, 4000L))
+    } yield gaps
+    val gapThreshold = 1800L
+    check("sessions", Prop.forAll(gen) { gaps =>
+      val times = gaps.scanLeft(0L)(_ + _).tail
+      // brute force: count boundaries where delta > threshold
+      val bruteSessions = 1 + times.sliding(2).count {
+        case Seq(a, b) => b - a > gapThreshold
+        case _ => false
+      }
+      // islands formulation (same as q_sessionize): cumulative new-session flags
+      val flags = times.zip(0L +: times.dropRight(1)).zipWithIndex.map {
+        case ((t, prev), i) => if (i == 0 || t - prev > gapThreshold) 1 else 0
+      }
+      flags.sum == bruteSessions
+    })
+  }
+}
