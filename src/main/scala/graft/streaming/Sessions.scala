@@ -46,6 +46,12 @@ object Sessions {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup for incremental ingest (the streaming analogue
+    * of the batch hash-groupBy dedup): drops re-deliveries of the same key
+    * arriving within the watermark window, with bounded state. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keyCols)
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

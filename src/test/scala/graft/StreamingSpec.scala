@@ -40,6 +40,23 @@ class StreamingSpec extends SparkSpec {
     assert(safe.subsetOf(streamed))
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    // duplicate every event id (simulated re-delivery)
+    val ev = Tables.events(spark, sf()).filter($"user_id" < 10)
+      .select($"event_id", $"ts", $"user_id")
+    ev.unionAll(ev).coalesce(1).write.parquet(inDir)
+
+    Sessions.runStream(spark, inDir, outDir, cp,
+      df => Sessions.dedupStream(df, Seq("event_id")),
+      watermarkDelay = "1 hour")
+
+    val got = spark.read.parquet(outDir).count()
+    assert(got == ev.count())
+    assert(spark.read.parquet(outDir).select($"event_id").distinct().count() == got)
+  }
+
   test("flatMapGroupsWithState batch labeling assigns sequential batches") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val acqs = (0 until 120).map(i =>
