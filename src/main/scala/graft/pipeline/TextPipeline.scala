@@ -100,6 +100,23 @@ object TextPipeline {
         countDistinct(col("lang")).as("n_langs"))
     },
 
+    // the actual dedup operator output: one kept doc per normalized-prefix
+    // group (deterministic min id), with the group's duplicate count
+    QueryDef.sql(
+      "q_dedup_keep",
+      """SELECT LOWER(SUBSTR(text, 1, 40)) AS norm_key,
+        |  CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM documents
+        |GROUP BY LOWER(SUBSTR(text, 1, 40))
+        |ORDER BY norm_key""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(lower(substring(col("text"), 1, 40)).as("norm_key"))
+        .agg(min(col("doc_id")).cast("long").as("kept_doc_id"),
+          count(lit(1)).as("group_size"))
+        .orderBy(col("norm_key"))
+    },
+
     // MinHash signatures (the per-doc sketch; LSH pairing is q_dedup_lsh_pairs)
     QueryDef.sql(
       "q_dedup_minhash",
