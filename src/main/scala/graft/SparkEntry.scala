@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.Relational.queries ++
       operators.Windows.queries ++
+      operators.Ingest.queries ++
       operators.Geo.queries ++
       domain.ConsistentBursts.queries ++
       domain.Blackout.queries ++
