@@ -119,6 +119,73 @@ object Embeddings {
         .orderBy(col("bucket"))
     },
 
+    // embedding-cosine near-duplicate detection: LSH buckets generate the
+    // candidate pairs (bucket-equality join — never the O(n²) cross
+    // product), exact integer-quantized cosine verifies; pairs above the
+    // threshold are the near-dups
+    QueryDef.sql(
+      "q_dedup_embedding",
+      s"""WITH $qelemsSql,
+         |proj AS (
+         |  SELECT vec_id, p,
+         |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
+         |  FROM qe, UNNEST(RANGE(0, 8)) AS u(p)
+         |  GROUP BY vec_id, p),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |dots AS (
+         |  SELECT c.v1, c.v2, CAST(SUM(q1.qe*q2.qe) AS BIGINT) AS dot
+         |  FROM cand c JOIN qe q1 ON q1.vec_id = c.v1
+         |              JOIN qe q2 ON q2.vec_id = c.v2 AND q2.i = q1.i
+         |  GROUP BY c.v1, c.v2)
+         |SELECT v1, v2,
+         |  CAST(FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) AS BIGINT) AS cos_q6
+         |FROM dots JOIN norms n1 ON n1.vec_id = v1
+         |          JOIN norms n2 ON n2.vec_id = v2
+         |WHERE FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) >= 150000
+         |ORDER BY cos_q6 DESC, v1, v2 LIMIT 200""".stripMargin) { (s, d) =>
+      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val proj = qe
+        .select(col("vec_id"), col("i"), col("qe"),
+          explode(sequence(lit(0), lit(7))).as("p"))
+        .withColumn("r",
+          (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("qe") * col("r")).as("s"))
+      val buckets = proj.groupBy(col("vec_id"))
+        .agg(sum(when(col("s") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
+          .cast("long").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
+      val dots = cand
+        .join(qe.select(col("vec_id").as("v1"), col("i"), col("qe").as("qe1")), Seq("v1"))
+        .join(qe.select(col("vec_id").as("v2"), col("i"), col("qe").as("qe2")),
+          Seq("v2", "i"))
+        .groupBy(col("v1"), col("v2"))
+        .agg(sum(col("qe1") * col("qe2")).as("dot"))
+      dots
+        .join(norms.select(col("vec_id").as("v1"), col("n2").as("n21")), Seq("v1"))
+        .join(norms.select(col("vec_id").as("v2"), col("n2").as("n22")), Seq("v2"))
+        .withColumn("cos_q6",
+          floor(col("dot") / sqrt(col("n21").cast("double") * col("n22")) * 1000000)
+            .cast("long"))
+        .filter(col("cos_q6") >= 150000)
+        .select(col("v1"), col("v2"), col("cos_q6"))
+        .orderBy(col("cos_q6").desc, col("v1"), col("v2"))
+        .limit(200)
+    },
+
     // IVF index path: a fixed 8-vector codebook (vec_id < 8), every vector
     // assigned to its max-dot centroid; per-cluster occupancy plus the
     // top-3 members nearest each centroid — the coarse-quantizer structure
