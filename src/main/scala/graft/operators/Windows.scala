@@ -194,6 +194,81 @@ object Windows {
         .orderBy(col("user_id"), col("grp"), col("batch_id"))
     },
 
+    // U2: row-wise array set algebra (reconcile_and_label_db.py:136-142 —
+    // burst-id/date set intersection/difference/union per frame)
+    QueryDef.sql(
+      "q_array_setops",
+      """WITH t AS (
+        |  SELECT n_nationkey,
+        |    RANGE(n_nationkey % 5, n_nationkey % 5 + 6) AS a,
+        |    RANGE(n_nationkey % 3, n_nationkey % 3 + 4) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(a, b)), ','), '') AS inter,
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))), ','), '') AS a_minus_b,
+        |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), ','), '') AS uni,
+        |  CAST(LEN(LIST_INTERSECT(a, b)) AS BIGINT) AS n_common
+        |FROM t ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val t = Tables.nation(s, d).select(col("n_nationkey"),
+        sequence(pmod(col("n_nationkey"), lit(5)).cast("long"),
+          pmod(col("n_nationkey"), lit(5)).cast("long") + 5).as("a"),
+        sequence(pmod(col("n_nationkey"), lit(3)).cast("long"),
+          pmod(col("n_nationkey"), lit(3)).cast("long") + 3).as("b"))
+      t.select(col("n_nationkey"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter"),
+          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("a_minus_b"),
+          array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ",").as("uni"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("n_common"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // A14+A15 on the weather-grid shape (snow_month_filter.py:55-111):
+    // (time, lat, lon, snow) → spatial mean per time → daily max →
+    // weekly sum, all from a deterministic synthetic 0.25° grid
+    QueryDef.sql(
+      "q_weather_resample",
+      """WITH grid AS (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (t.t * 6) HOUR AS time,
+        |    40.0 + y.y * 0.25 AS lat, -120.0 + x.x * 0.25 AS lon,
+        |    CASE WHEN (t.t + x.x * 3 + y.y * 7) % 11 < 4 THEN 1 ELSE 0 END AS snow
+        |  FROM (SELECT UNNEST(RANGE(0, 120)) AS t) t,
+        |       (SELECT UNNEST(RANGE(0, 4)) AS x) x,
+        |       (SELECT UNNEST(RANGE(0, 4)) AS y) y),
+        |spatial AS (
+        |  SELECT time,
+        |    CAST(FLOOR(CAST(SUM(snow) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS frac_q6
+        |  FROM grid GROUP BY time),
+        |daily AS (
+        |  SELECT CAST(DATE_TRUNC('day', time) AS DATE) AS day,
+        |    CAST(MAX(frac_q6) AS BIGINT) AS max_frac_q6
+        |  FROM spatial GROUP BY DATE_TRUNC('day', time))
+        |SELECT CAST(DATE_TRUNC('week', day) AS DATE) AS week,
+        |  CAST(SUM(max_frac_q6) AS BIGINT) AS sum_daily_max_q6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY DATE_TRUNC('week', day)
+        |ORDER BY week""".stripMargin) { (s, d) =>
+      val grid = s.range(0, 120).toDF("t")
+        .crossJoin(s.range(0, 4).toDF("x"))
+        .crossJoin(s.range(0, 4).toDF("y"))
+        .select(
+          (lit("2024-01-01 00:00:00").cast("timestamp") +
+            make_dt_interval(lit(0), col("t") * 6)).as("time"),
+          (lit(40.0) + col("y") * 0.25).as("lat"),
+          (lit(-120.0) + col("x") * 0.25).as("lon"),
+          when((col("t") + col("x") * 3 + col("y") * 7) % 11 < 4, 1).otherwise(0)
+            .as("snow"))
+      val spatial = grid.groupBy(col("time"))
+        .agg(floor(sum(col("snow")).cast("double") / count(lit(1)) * 1000000)
+          .cast("long").as("frac_q6"))
+      val daily = spatial
+        .groupBy(date_trunc("day", col("time")).cast("date").as("day"))
+        .agg(max(col("frac_q6")).cast("long").as("max_frac_q6"))
+      daily.groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(sum(col("max_frac_q6")).cast("long").as("sum_daily_max_q6"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("week"))
+    },
+
     // A14: time-bucket resample — daily counts then weekly min/max/sum
     // (snow_month_filter.py:55-68 daily→weekly cascade)
     QueryDef.sql(
