@@ -20,6 +20,18 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed external table (the "bucket bursts by burst_id_jpl" layout,
+    * SURVEY.md §7.5 risk 7): co-located joins on the bucket key need no
+    * exchange at all — the join becomes map-side at any scale. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Salted two-stage aggregation: SUM/COUNT-style mergeable aggregates
     * only. `aggs` maps output column name → (stage1 agg of input col,
     * stage2 merge). */

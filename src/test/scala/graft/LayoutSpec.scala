@@ -23,6 +23,34 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() == want && want > 0)
   }
 
+  test("bucketed tables join without any exchange") {
+    val tmp = Files.createTempDirectory("graft-bucket").toString
+    val orders = Tables.orders(spark, sf())
+    val lineitem = Tables.lineitem(spark, sf())
+    Layout.writeBucketed(orders, "b_orders", s"$tmp/o", "o_orderkey", 8)
+    Layout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", s"$tmp/l", "o_orderkey", 8)
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"), Seq("o_orderkey"))
+        .groupBy($"o_orderstatus").count()
+      val plan = j.queryExecution.executedPlan.toString
+      // bucketed-by-join-key tables: no shuffle before the join
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles:\n$plan")
+      // and the result matches the plain join
+      val want = orders.join(
+          lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+        .groupBy($"o_orderstatus").count()
+        .as[(String, Long)].collect().toMap
+      val got = j.as[(String, Long)].collect().toMap
+      assert(got == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("salted aggregation matches direct aggregation on skewed keys") {
     // heavy skew: 90% of rows share key 0
     val df = spark.range(0, 10000)
