@@ -114,6 +114,77 @@ object Blackout {
         .orderBy(col("key"), col("wy"))
     },
 
+    // the COMPLETE snow-analysis pipeline in one verified plan
+    // (snow_month_filter → summarize_blackouts → _yearly_windows):
+    // seasons per water year → median freeze/thaw day-of-year over the
+    // years (exact interpolated median on tiny groups) → month/day
+    // template → per-year windows with calendar wrap
+    QueryDef.sql(
+      "q_blackout_pipeline",
+      s"""WITH $syntheticDailySql,
+         |wyd AS (
+         |  SELECT key, day, bad,
+         |    CAST(YEAR(day) - CASE WHEN MONTH(day) < 10 THEN 1 ELSE 0 END AS INTEGER) AS wy
+         |  FROM daily),
+         |marked AS (
+         |  SELECT key, wy, day, bad,
+         |    CASE WHEN bad IS DISTINCT FROM LAG(bad)
+         |           OVER (PARTITION BY key, wy ORDER BY day)
+         |         THEN 1 ELSE 0 END AS boundary
+         |  FROM wyd),
+         |runs AS (
+         |  SELECT key, wy, day, bad,
+         |    SUM(boundary) OVER (PARTITION BY key, wy ORDER BY day
+         |                        ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM marked),
+         |bad_runs AS (
+         |  SELECT key, wy, run_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+         |    MIN(day) AS run_start, MAX(day) AS run_end
+         |  FROM runs WHERE bad GROUP BY key, wy, run_id),
+         |per_year AS (
+         |  SELECT key, wy, CAST(SUM(run_len) AS BIGINT) AS n_bad,
+         |    MIN(CASE WHEN run_len >= 5 THEN run_start END) AS freeze_start,
+         |    MAX(run_end) AS thaw_end
+         |  FROM bad_runs GROUP BY key, wy),
+         |seasons AS (
+         |  SELECT key, wy, freeze_start, thaw_end FROM per_year
+         |  WHERE n_bad >= 30 AND freeze_start IS NOT NULL),
+         |tmpl AS (
+         |  SELECT key,
+         |    CAST(FLOOR(MEDIAN(DAYOFYEAR(freeze_start))) AS INTEGER) AS s_doy,
+         |    CAST(FLOOR(MEDIAN(DAYOFYEAR(thaw_end))) AS INTEGER) AS e_doy
+         |  FROM seasons GROUP BY key),
+         |md AS (
+         |  SELECT key,
+         |    CAST(MONTH(DATE '2001-01-01' + (s_doy - 1)) AS INTEGER) AS s_month,
+         |    CAST(DAYOFMONTH(DATE '2001-01-01' + (s_doy - 1)) AS INTEGER) AS s_day,
+         |    CAST(MONTH(DATE '2001-01-01' + (e_doy - 1)) AS INTEGER) AS e_month,
+         |    CAST(DAYOFMONTH(DATE '2001-01-01' + (e_doy - 1)) AS INTEGER) AS e_day
+         |  FROM tmpl),
+         |yrs AS (SELECT CAST(UNNEST(RANGE(2020, 2023)) AS INTEGER) AS yr)
+         |SELECT key, yr,
+         |  MAKE_TIMESTAMP(yr, s_month, s_day, 0, 0, 0) AS window_start,
+         |  MAKE_TIMESTAMP(
+         |    yr + CASE WHEN e_month < s_month
+         |               OR (e_month = s_month AND e_day < s_day) THEN 1 ELSE 0 END,
+         |    e_month, e_day, 23, 59, 59) AS window_end
+         |FROM md, yrs ORDER BY key, yr""".stripMargin) { (s, d) =>
+      val seasons = findSeasons(syntheticDaily(s), pivotMonth = 10,
+        minTotal = 30, minRun = 5)
+      val tmpl = seasons.groupBy(col("key"))
+        .agg(
+          floor(expr("percentile(dayofyear(freeze_start), 0.5d)")).cast("int").as("s_doy"),
+          floor(expr("percentile(dayofyear(thaw_end), 0.5d)")).cast("int").as("e_doy"))
+      val base = lit("2001-01-01").cast("date")
+      val md = tmpl.select(col("key"),
+        month(date_add(base, col("s_doy") - 1)).cast("int").as("s_month"),
+        dayofmonth(date_add(base, col("s_doy") - 1)).cast("int").as("s_day"),
+        month(date_add(base, col("e_doy") - 1)).cast("int").as("e_month"),
+        dayofmonth(date_add(base, col("e_doy") - 1)).cast("int").as("e_day"))
+      yearlyWindows(md, 2020 to 2022)
+        .orderBy(col("key"), col("yr"))
+    },
+
     QueryDef.sql(
       "q_blackout_yearly_windows",
       """WITH tmpl AS (
