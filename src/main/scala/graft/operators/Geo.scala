@@ -95,6 +95,43 @@ object Geo {
         .orderBy(col("n_nationkey"))
     },
 
+    // JTS union aggregator, ORACLE-VERIFIED numerically: grid-snapped unit
+    // squares make the union's area equal the count of distinct occupied
+    // cells and its envelope the cell min/max — quantities plain SQL can
+    // compute. A drift in the JTS union/area/envelope path breaks the hash.
+    QueryDef.sql(
+      "q_geo_union_area",
+      """WITH cells AS (
+        |  SELECT DISTINCT c_nationkey,
+        |    CAST((c_custkey*37) % 300 - 150 AS BIGINT) AS x,
+        |    CAST((c_custkey*73) % 140 - 70 AS BIGINT) AS y
+        |  FROM customer WHERE c_custkey <= 2000)
+        |SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS union_area,
+        |  CAST(MIN(x) AS BIGINT) AS xmin, CAST(MIN(y) AS BIGINT) AS ymin,
+        |  CAST(MAX(x) + 1 AS BIGINT) AS xmax, CAST(MAX(y) + 1 AS BIGINT) AS ymax
+        |FROM cells GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val pts = Tables.customer(s, d).filter(col("c_custkey") <= 2000)
+        .select(col("c_nationkey"),
+          ((col("c_custkey") * 37) % 300 - 150).cast("long").as("x"),
+          ((col("c_custkey") * 73) % 140 - 70).cast("long").as("y"))
+      val sq = pts.withColumn("wkt", format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        col("x"), col("y"), col("x") + 1, col("y"), col("x") + 1, col("y") + 1,
+        col("x"), col("y") + 1, col("x"), col("y")))
+      sq.groupBy(col("c_nationkey"))
+        .agg(GeoFunctions.stUnionAgg(col("wkt")).as("geom"))
+        .select(col("c_nationkey"),
+          floor(GeoFunctions.stArea(col("geom")) + 0.5).cast("long").as("union_area"),
+          GeoFunctions.stEnvelope(col("geom")).as("e"))
+        .select(col("c_nationkey"), col("union_area"),
+          floor(col("e._1") + 0.5).cast("long").as("xmin"),
+          floor(col("e._2") + 0.5).cast("long").as("ymin"),
+          floor(col("e._3") + 0.5).cast("long").as("xmax"),
+          floor(col("e._4") + 0.5).cast("long").as("ymax"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // JTS topology pipeline: WKT squares per customer point → per-nation
     // geometry union (custom Aggregator), area, envelope, simplify.
     // Rows-only (no SpatiaLite in the oracle); exactness covered by
