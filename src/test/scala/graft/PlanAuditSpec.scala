@@ -15,6 +15,12 @@ class PlanAuditSpec extends SparkSpec {
   private def countOccurrences(s: String, needle: String): Int =
     needle.r.findAllIn(s).length
 
+  test("flagship entry runs and returns rows (driver smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 5) // one per region
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == 150)
+  }
+
   test("filters and projections reach the parquet scan") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters: [") && p.contains("EqualTo(l_returnflag,R)"),
