@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions a training-data pipeline needs beyond the
+  * reference's surface: rolling time windows, ntile bucketing, pivots,
+  * deterministic hash sampling / train-val splits, and exact quantiles —
+  * all pure Column plans with DuckDB oracles.
+  */
+object Analytics {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // rolling 24-hour event count / value sum per user (RANGE frame over
+    // epoch microseconds — identical integer frames on both engines)
+    QueryDef.sql(
+      "q_rolling_window",
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+        |  CAST(SUM(CAST(FLOOR(value*10000) AS BIGINT)) OVER w AS BIGINT) AS val_q4_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(floor(col("value") * 10000).cast("long")).over(w).as("val_q4_24h"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(2000)
+    },
+
+    // D11 batching via NTILE: spend deciles over customers
+    QueryDef.sql(
+      "q_ntile_deciles",
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS s_q4
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(NTILE(10) OVER (ORDER BY s_q4 DESC, o_custkey) AS BIGINT) AS decile,
+        |  o_custkey, s_q4
+        |FROM spend ORDER BY decile, o_custkey LIMIT 1000""".stripMargin) { (s, d) =>
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 10000).cast("long")).as("s_q4"))
+      spend.select(
+          ntile(10).over(Window.orderBy(col("s_q4").desc, col("o_custkey")))
+            .cast("long").as("decile"),
+          col("o_custkey"), col("s_q4"))
+        .orderBy(col("decile"), col("o_custkey"))
+        .limit(1000)
+    },
+
+    // pivot via portable conditional aggregation (snow_month_filter's
+    // month-pivot shape): per user, event counts by type as columns
+    QueryDef.sql(
+      "q_pivot_event_types",
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','error')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      def cnt(t: String) =
+        sum(when(col("event_type") === t, 1).otherwise(0)).cast("long")
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+          cnt("purchase").as("n_purchase"), cnt("error").as("n_error"),
+          sum(when(!col("event_type").isin("click", "view", "purchase", "error"), 1)
+            .otherwise(0)).cast("long").as("n_other"))
+        .orderBy(col("user_id"))
+    },
+
+    // deterministic train/val/test split via arithmetic hashing (Knuth
+    // multiplicative) — the portable, engine-independent way to split a
+    // corpus; never rand()
+    QueryDef.sql(
+      "q_train_val_split",
+      """WITH h AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hv
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hv % 10 < 8 THEN 'train'
+        |       WHEN hv % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM h GROUP BY lang, 2 ORDER BY lang, split""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("hv"))
+      h.withColumn("split",
+          when(col("hv") % 10 < 8, "train")
+            .when(col("hv") % 10 < 9, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("min_doc"))
+        .orderBy(col("lang"), col("split"))
+    },
+
+    // exact interpolated quantiles of document length per language
+    QueryDef.sql(
+      "q_quantiles",
+      """SELECT lang,
+        |  CAST(FLOOR(QUANTILE_CONT(n_chars, 0.25)) AS BIGINT) AS p25,
+        |  CAST(FLOOR(QUANTILE_CONT(n_chars, 0.50)) AS BIGINT) AS p50,
+        |  CAST(FLOOR(QUANTILE_CONT(n_chars, 0.90)) AS BIGINT) AS p90,
+        |  CAST(MAX(n_chars) AS BIGINT) AS mx
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(
+          floor(expr("percentile(n_chars, 0.25d)")).cast("long").as("p25"),
+          floor(expr("percentile(n_chars, 0.50d)")).cast("long").as("p50"),
+          floor(expr("percentile(n_chars, 0.90d)")).cast("long").as("p90"),
+          max(col("n_chars")).cast("long").as("mx"))
+        .orderBy(col("lang"))
+    }
+  )
+}
