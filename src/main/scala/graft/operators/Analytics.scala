@@ -34,22 +34,31 @@ object Analytics {
         .limit(2000)
     },
 
-    // D11 batching via NTILE: spend deciles over customers
+    // D11 batching via NTILE — deciles WITHIN market segment: the window
+    // is partitioned, so the ranking scales with executor count (a global
+    // unpartitioned NTILE would collapse to a single reducer at 100 TB)
     QueryDef.sql(
       "q_ntile_deciles",
       """WITH spend AS (
-        |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice*10000) AS BIGINT)) AS BIGINT) AS s_q4
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT CAST(NTILE(10) OVER (ORDER BY s_q4 DESC, o_custkey) AS BIGINT) AS decile,
+        |  SELECT c.c_mktsegment, o.o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o.o_totalprice*10000) AS BIGINT)) AS BIGINT) AS s_q4
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY s_q4 DESC, o_custkey) AS BIGINT) AS decile,
         |  o_custkey, s_q4
-        |FROM spend ORDER BY decile, o_custkey LIMIT 1000""".stripMargin) { (s, d) =>
-      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        |FROM spend ORDER BY c_mktsegment, decile, o_custkey LIMIT 1000""".stripMargin) { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 10000).cast("long")).as("s_q4"))
-      spend.select(
-          ntile(10).over(Window.orderBy(col("s_q4").desc, col("o_custkey")))
+      spend.select(col("c_mktsegment"),
+          ntile(10).over(Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("s_q4").desc, col("o_custkey")))
             .cast("long").as("decile"),
           col("o_custkey"), col("s_q4"))
-        .orderBy(col("decile"), col("o_custkey"))
+        .orderBy(col("c_mktsegment"), col("decile"), col("o_custkey"))
         .limit(1000)
     },
 
