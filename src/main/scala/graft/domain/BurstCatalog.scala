@@ -18,18 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object BurstCatalog {
 
+  /** A structurally valid OPERA CSLC granule id (guards the fixed-slice
+    * parse — a malformed id would otherwise be silently mis-sliced). */
+  private val granulePattern =
+    "OPERA_L2_CSLC-S1_T\\d{3}-\\d{6}-IW\\d_\\d{8}T\\d{6}Z_.*_(VV|VH|HH|HV)_.*"
+
   /** Parse the raw survey rows (F4 schema: "Granule ID", "Temporal Time",
-    * "Revision Time", "revision-id") into typed burst acquisitions. */
+    * "Revision Time", "revision-id") into typed burst acquisitions.
+    * Malformed granule ids are dropped here; count them via
+    * `surveyQualityReport` before blaming the catalog. */
   def parseSurvey(raw: DataFrame): DataFrame =
     raw.select(
         col("Granule ID").as("granule"),
         col("Temporal Time").cast("timestamp").as("sensing_time"),
         col("Revision Time").cast("timestamp").as("revision_time"),
         col("revision-id").cast("int").as("revision_id"))
+      .filter(col("granule").rlike(granulePattern))
       .withColumn("burst_id_jpl",
         lower(regexp_replace(substring(col("granule"), 18, 15), "-", "_")))
       .withColumn("pol", substring(col("granule"), 72, 2))
       .filter(col("pol") === "VV")
+
+  /** Ingest-quality counters: total rows, structurally valid, VV-polarized,
+    * malformed (the validation the fixed-slice parse needs). */
+  def surveyQualityReport(raw: DataFrame): DataFrame =
+    raw.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("Granule ID").rlike(granulePattern), 1).otherwise(0))
+        .cast("long").as("n_valid"),
+      sum(when(col("Granule ID").rlike(granulePattern) &&
+          substring(col("Granule ID"), 72, 2) === "VV", 1).otherwise(0))
+        .cast("long").as("n_vv"),
+      sum(when(!col("Granule ID").rlike(granulePattern), 1).otherwise(0))
+        .cast("long").as("n_malformed"))
 
   /** Dedup duplicate deliveries: keep the newest revision per
     * (burst, sensing_time), determinized (A5 / §7.5 risk 5). */

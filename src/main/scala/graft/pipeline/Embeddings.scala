@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Number of LSH hyperplanes (bucket bits). 8 → 256 buckets suits the
+    * test corpus; at real corpus sizes this must grow ~log2(n) to keep
+    * per-bucket candidate sets bounded (see NEXT.md rehearsal note). */
+  val LshPlanes = 8
+
   /** (vec_id, i, qe): quantized element rows, i 0-based. */
   private def qelems(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -92,7 +97,7 @@ object Embeddings {
          |proj AS (
          |  SELECT vec_id, p,
          |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
-         |  FROM qe, UNNEST(RANGE(0, 8)) AS u(p)
+         |  FROM qe, UNNEST(RANGE(0, $LshPlanes)) AS u(p)
          |  GROUP BY vec_id, p),
          |buckets AS (
          |  SELECT vec_id,
@@ -104,7 +109,7 @@ object Embeddings {
       val qe = qelems(s, d)
       val proj = qe
         .select(col("vec_id"), col("i"), col("qe"),
-          explode(sequence(lit(0), lit(7))).as("p"))
+          explode(sequence(lit(0), lit(LshPlanes - 1))).as("p"))
         .withColumn("r",
           (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
         .groupBy(col("vec_id"), col("p"))
@@ -167,7 +172,7 @@ object Embeddings {
          |proj AS (
          |  SELECT vec_id, p,
          |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
-         |  FROM qe, UNNEST(RANGE(0, 8)) AS u(p)
+         |  FROM qe, UNNEST(RANGE(0, $LshPlanes)) AS u(p)
          |  GROUP BY vec_id, p),
          |buckets AS (
          |  SELECT vec_id,
@@ -192,7 +197,7 @@ object Embeddings {
       val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val proj = qe
         .select(col("vec_id"), col("i"), col("qe"),
-          explode(sequence(lit(0), lit(7))).as("p"))
+          explode(sequence(lit(0), lit(LshPlanes - 1))).as("p"))
         .withColumn("r",
           (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
         .groupBy(col("vec_id"), col("p"))

@@ -33,6 +33,8 @@ class BurstCatalogSpec extends SparkSpec {
       // non-VV noise
       csv ++= s"${granule(1, esa, 1, gts, "VH")},$ts,$ts,1\n"
     }
+    // malformed granule row: must be counted and excluded, not mis-sliced
+    csv ++= "BROKEN_GRANULE_FORMAT,2024-01-01 06:00:00,2024-01-01 06:00:00,1\n"
     Files.writeString(Paths.get(s"$tmp/survey.csv"), csv.toString)
 
     val burstIdMap = Seq(
@@ -62,5 +64,12 @@ class BurstCatalogSpec extends SparkSpec {
     val times2 = parsed2.select(expr("data.`1`.sensing_time_list")).as[Seq[String]].head()
     assert(bursts2 == Seq("t001_000001_iw1"))
     assert(times2 == Seq("2024-01-01T06:00:00", "2024-01-25T06:00:00"))
+
+    // quality report counts the malformed row and the VH noise
+    val raw = spark.read.option("header", "true").csv(s"$tmp/survey.csv")
+    val q = BurstCatalog.surveyQualityReport(raw)
+      .as[(Long, Long, Long, Long)].head()
+    // 5 (date,burst) combos × (VV+VH) + 1 duplicate VV + 1 broken = 12 rows
+    assert(q == ((12L, 11L, 6L, 1L)))
   }
 }

@@ -23,6 +23,17 @@ class SpatialPlanSpec extends SparkSpec {
     assert(nat == udf && nat.nonEmpty)
   }
 
+  test("native st_intersects non-literal fallback (column vs column)") {
+    // both sides are columns → no prepared-geometry cache; fallback path
+    val df = framesDf().withColumn("other",
+      concat(lit("POLYGON ((15 15, 30 15, 30 30, 15 30, 15 15))"), lit("")))
+    val nat = df.filter(SpatialExpressions.stIntersectsNative($"geom", $"other"))
+      .select($"fid").as[Int].collect().sorted.toSeq
+    val udf = df.filter(GeoFunctions.stIntersects($"geom", $"other"))
+      .select($"fid").as[Int].collect().sorted.toSeq
+    assert(nat == udf && nat.nonEmpty)
+  }
+
   test("bbox prefilter rule rewrites the plan and pushes bbox to the scan") {
     GraftExtensions.register(spark)
     // parquet-backed so the plan survives (LocalRelation gets constant-folded)
