@@ -40,7 +40,10 @@ object CatalogBuild {
         min(col("OGC_FID")).as("min_ogc_fid"),
         max(col("OGC_FID")).as("max_ogc_fid"),
         min_by(col("relative_orbit_number"), col("OGC_FID")).as("relative_orbit_number"),
-        min_by(col("orbit_pass"), col("OGC_FID")).as("orbit_pass"))
+        min_by(col("orbit_pass"), col("OGC_FID")).as("orbit_pass"),
+        // the reference's custom concat-of-set aggfunc (build_frame_db.py:63-89)
+        array_join(array_sort(array_distinct(collect_list(col("burst_id_jpl")))), ",")
+          .as("jpl_ids"))
 
   /** Land flag (J7): exact intersects against a broadcast land WKT. At the
     * reference's scale the land polygon side is a few MB → literal/broadcast;

@@ -166,6 +166,68 @@ object TextPipeline {
         .orderBy(col("doc1"), col("doc2"))
     },
 
+    // sketch-quality check: MinHash-estimated Jaccard (matching signature
+    // components / 16) side by side with the exact rare-gram Jaccard for
+    // the top exact pairs — both computed in-engine, both oracled; the
+    // estimate should track the exact value
+    QueryDef.sql(
+      "q_minhash_vs_exact", {
+        val matches = (0 until 16)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $gramsSql,
+           |$minhashSigSql,
+           |dg0 AS (SELECT DISTINCT doc_id, g FROM grams),
+           |dgc AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM dg0),
+           |dg AS (SELECT doc_id, g FROM dgc WHERE df <= 20),
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS shared
+           |  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |exact AS (
+           |  SELECT doc1, doc2,
+           |    CAST(FLOOR(shared * 1000000.0 / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
+           |  FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+           |             JOIN sizes s2 ON s2.doc_id = doc2
+           |  ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 20)
+           |SELECT e.doc1, e.doc2, e.jaccard_q6,
+           |  CAST(($matches) * 62500 AS BIGINT) AS minhash_est_q6
+           |FROM exact e JOIN sig a ON a.doc_id = e.doc1
+           |             JOIN sig b ON b.doc_id = e.doc2
+           |ORDER BY e.jaccard_q6 DESC, e.doc1, e.doc2""".stripMargin
+      }) { (s, d) =>
+      val wg2 = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val dg = grams(s, d).select(col("doc_id"), col("g")).distinct()
+        .withColumn("df", count(lit(1)).over(wg2))
+        .filter(col("df") <= 20).drop("df") // rare-gram candidate bound
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = dg.as("a")
+        .join(dg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("shared"))
+      val exact = inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          floor(col("shared") * lit(1000000.0) / (col("n1") + col("n2") - col("shared")))
+            .cast("long").as("jaccard_q6"))
+        .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
+        .limit(20)
+      val sig = minhashSignatures(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      exact
+        .join(broadcast(sig.as("a")), col("a.doc_id") === col("doc1"))
+        .join(broadcast(sig.as("b")), col("b.doc_id") === col("doc2"))
+        .select(col("doc1"), col("doc2"), col("jaccard_q6"),
+          (nMatch * 62500).cast("long").as("minhash_est_q6"))
+        .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
+    },
+
     // SimHash: 16-bit sign-aggregated sketch of the gram hashes
     QueryDef.sql(
       "q_dedup_simhash", {

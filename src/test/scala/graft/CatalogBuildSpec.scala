@@ -62,6 +62,12 @@ class CatalogBuildSpec extends SparkSpec {
       assert(f.getAs[Long]("ymax") > f.getAs[Long]("ymin"))
     }
 
+    // dissolve's concat-of-set column lists the three subswath jpl ids
+    val trip = CatalogBuild.withLandFlag(
+      CatalogBuild.dissolveTriplets(CatalogBuild.withJplId(grid())), landWkt)
+      .select($"burst_id", $"jpl_ids").as[(Long, String)].collect().toMap
+    assert(trip(1L) == "t001_000001_iw1,t001_000001_iw2,t001_000001_iw3")
+
     // orbit_pass propagated deterministically
     assert(frames.filter(_.getAs[Int]("relative_orbit_number") == 2)
       .forall(_.getAs[String]("orbit_pass") == "DESCENDING"))
