@@ -197,11 +197,18 @@ object TextPipeline {
            |             JOIN sig b ON b.doc_id = e.doc2
            |ORDER BY e.jaccard_q6 DESC, e.doc1, e.doc2""".stripMargin
       }) { (s, d) =>
+      // one shingle pass feeds BOTH the exact-jaccard side and the
+      // signature side
+      val g0 = grams(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wg2 = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-      val dg = grams(s, d).select(col("doc_id"), col("g")).distinct()
+      val dg = g0.select(col("doc_id"), col("g")).distinct()
         .withColumn("df", count(lit(1)).over(wg2))
         .filter(col("df") <= 20).drop("df") // rare-gram candidate bound
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigAggs = (0 until 16).map { i =>
+        min((col("hm") * minhashA(i) + minhashB(i)) % P).as(s"h$i")
+      }
       val sizes = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = dg.as("a")
         .join(dg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -215,7 +222,7 @@ object TextPipeline {
             .cast("long").as("jaccard_q6"))
         .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
         .limit(20)
-      val sig = minhashSignatures(s, d)
+      val sig = g0.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nMatch = (0 until 16)
         .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
