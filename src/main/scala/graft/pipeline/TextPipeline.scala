@@ -65,13 +65,19 @@ object TextPipeline {
        |    FROM (SELECT doc_id, $normSql AS t FROM documents WHERE LENGTH($normSql) >= 5) d,
        |         UNNEST(RANGE(1, LENGTH(t) - 3)) AS u(i)) x)""".stripMargin
 
-  /** Spark: MinHash signature (doc_id, h0..h15). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  /** MinHash signature aggregation over any (doc_id, hm) gram stream —
+    * the single source of the signature formula (min is multiplicity-
+    * invariant, so the distinct or raw gram set both work). */
+  def signaturesOf(gramRows: DataFrame): DataFrame = {
     val aggs = (0 until 16).map { i =>
       min((col("hm") * minhashA(i) + minhashB(i)) % P).as(s"h$i")
     }
-    grams(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    gramRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Spark: MinHash signature (doc_id, h0..h15). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(grams(s, d))
 
   private def minhashSigSql: String = {
     val cols = (0 until 16)
@@ -197,18 +203,15 @@ object TextPipeline {
            |             JOIN sig b ON b.doc_id = e.doc2
            |ORDER BY e.jaccard_q6 DESC, e.doc1, e.doc2""".stripMargin
       }) { (s, d) =>
-      // one shingle pass feeds BOTH the exact-jaccard side and the
-      // signature side
-      val g0 = grams(s, d)
+      // one shingle pass, cached as the DISTINCT (doc_id, g, hm) set —
+      // min is multiplicity-invariant so signatures are unchanged, and
+      // the cache is ~200× smaller than the raw shingle multiset
+      val d0 = grams(s, d).select(col("doc_id"), col("g"), col("hm")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wg2 = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-      val dg = g0.select(col("doc_id"), col("g")).distinct()
+      val dg = d0.select(col("doc_id"), col("g"))
         .withColumn("df", count(lit(1)).over(wg2))
         .filter(col("df") <= 20).drop("df") // rare-gram candidate bound
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigAggs = (0 until 16).map { i =>
-        min((col("hm") * minhashA(i) + minhashB(i)) % P).as(s"h$i")
-      }
       val sizes = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = dg.as("a")
         .join(dg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -222,14 +225,16 @@ object TextPipeline {
             .cast("long").as("jaccard_q6"))
         .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
         .limit(20)
-      val sig = g0.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = signaturesOf(d0)
       val nMatch = (0 until 16)
         .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
         .reduce(_ + _)
-      exact
-        .join(broadcast(sig.as("a")), col("a.doc_id") === col("doc1"))
-        .join(broadcast(sig.as("b")), col("b.doc_id") === col("doc2"))
+      // broadcast the 20-row exact side, never the per-document sig table
+      // (sig grows with the corpus)
+      exact.hint("broadcast")
+        .join(sig.as("a"), col("a.doc_id") === col("doc1"))
+        .hint("broadcast")
+        .join(sig.as("b"), col("b.doc_id") === col("doc2"))
         .select(col("doc1"), col("doc2"), col("jaccard_q6"),
           (nMatch * 62500).cast("long").as("minhash_est_q6"))
         .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
