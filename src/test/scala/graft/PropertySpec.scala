@@ -86,6 +86,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("reconcile invariants over random old/new frame pairs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val genFrame = for {
+      nb <- Gen.choose(1, 5)
+      bursts <- Gen.pick(nb, Seq("a", "b", "c", "d", "e", "f"))
+      nt <- Gen.choose(1, 6)
+      days <- Gen.pick(nt, 1 to 28)
+    } yield (bursts.sorted.toSeq,
+      days.toSeq.sorted.map(d => f"2020-01-$d%02dT00:00:00"))
+    val gen = Gen.zip(genFrame, genFrame)
+    val cases = Gen.listOfN(60, gen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(99L)).get
+
+    val oldDb = cases.zipWithIndex.map { case (((ob, ot), _), i) =>
+      (i.toLong, ob, ot) }.toDF("frame_id", "burst_id_list", "sensing_time_list")
+    val newDb = cases.zipWithIndex.map { case ((_, (nb, nt)), i) =>
+      (i.toLong, nb, nt) }.toDF("frame_id", "burst_id_list", "sensing_time_list")
+    val out = graft.domain.Reconcile.reconcile(oldDb, newDb)
+      .orderBy($"frame_id")
+      .as[(Long, Seq[String], Seq[String], String)].collect()
+
+    out.zip(cases).foreach { case ((_, bursts, times, action), ((ob, ot), (nb, nt))) =>
+      // burst list is always exactly the old or the new list
+      assert(bursts == ob || bursts == nb, s"bursts $bursts not old/new")
+      // times are sorted, deduped, and cover all new times
+      assert(times == times.sorted && times.distinct == times)
+      assert(nt.toSet.subsetOf(times.toSet))
+      // every time comes from old or new
+      assert(times.toSet.subsetOf(ot.toSet ++ nt.toSet))
+      // restart keeps new exactly
+      if (action == "restart") assert(bursts == nb && times == nt.sorted)
+      // shrink only ever happens when new is strictly bigger
+      if (action == "shrink") assert(nb.size > ob.size && bursts == ob)
+    }
+  }
+
   test("gaps-and-islands sessionization matches brute force") {
     val gen = for {
       n <- Gen.choose(1, 40)
