@@ -63,6 +63,21 @@ class IoSpec extends SparkSpec {
     assert(GeoFunctions.parseWkt(wkts("b")).getArea == 1.0)
   }
 
+  test("GeoJSON polygon with a hole round-trips with correct area") {
+    val tmp = Files.createTempDirectory("graft-geojson-hole").toString
+    val geojson =
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"name": "donut"},
+        |   "geometry": {"type": "Polygon", "coordinates": [
+        |     [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        |     [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]]}}
+        |]}""".stripMargin
+    val path = s"$tmp/donut.geojson"
+    Files.writeString(java.nio.file.Paths.get(path), geojson)
+    val wkt = Io.readGeoJson(spark, path).select($"wkt").as[String].head()
+    assert(graft.functions.GeoFunctions.parseWkt(wkt).getArea == 96.0) // 100 − 4
+  }
+
   test("simplified GeoJSON export round-trips through the reader") {
     val tmp = Files.createTempDirectory("graft-geojson2").toString
     val df = Seq((1, "POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))"))
