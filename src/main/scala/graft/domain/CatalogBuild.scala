@@ -99,7 +99,11 @@ object CatalogBuild {
   def build(burstIdMapRaw: DataFrame, landWkt: String,
       marginM: Double = 5000.0, snapM: Double = 30.0): BuildResult = {
     val bursts = withJplId(burstIdMapRaw)
+    // triplets feed the DP solver AND frame assembly — materialize once
+    // (the dissolve runs the JTS union aggregator; recomputing it per
+    // consumer doubles the most expensive stage)
     val triplets = withLandFlag(dissolveTriplets(bursts), landWkt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frameBursts = withGlobalFrameIds(solveTrackFrames(triplets))
 
     // frames_bursts join table: expand triplets back to subswath rows
