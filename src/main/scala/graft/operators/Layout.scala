@@ -32,6 +32,32 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Morton/Z-order key: interleave the low `bits` of two non-negative
+    * cell coordinates (pure Column arithmetic → codegen'd). Spatially
+    * close cells get numerically close keys. */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      (shiftleft(shiftright(x, j).bitwiseAND(1), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(1), 2 * j + 1)).cast("long")
+    }.reduce(_ + _)
+
+  /** Cluster rows spatially before writing: normalize (x, y) into a
+    * 2^bits grid, range-partition on the Z key, sort within partitions —
+    * each output file then covers a compact spatial extent, so the bbox
+    * min/max statistics in its row groups prune sharply (the physical
+    * complement of the BboxPrefilterRule query-side plan). */
+  def spatialCluster(df: DataFrame, x: Column, y: Column,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      partitions: Int, bits: Int = 16): DataFrame = {
+    val scale = (1L << bits) - 1
+    val cx = floor((x - xMin) / (xMax - xMin) * scale).cast("long")
+    val cy = floor((y - yMin) / (yMax - yMin) * scale).cast("long")
+    val keyed = df.withColumn("__z", zOrderKey(cx, cy, bits))
+    keyed.repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Salted two-stage aggregation: SUM/COUNT-style mergeable aggregates
     * only. `aggs` maps output column name → (stage1 agg of input col,
     * stage2 merge). */

@@ -63,6 +63,37 @@ class LayoutSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("z-order key interleaves bits") {
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (2L, 3L, 14L), (5L, 0L, 17L))
+    val df = cases.toDF("x", "y", "want")
+    val got = df.select(Layout.zOrderKey($"x", $"y", 8).as("z"), $"want")
+      .as[(Long, Long)].collect()
+    got.foreach { case (z, want) => assert(z == want) }
+  }
+
+  test("spatial clustering shrinks per-partition extents") {
+    val pts = Tables.customer(spark, sf("sf0.01"))
+      .select($"c_custkey",
+        (($"c_custkey" * 37) % 1000).cast("double").as("x"),
+        (($"c_custkey" * 73) % 1000).cast("double").as("y"))
+    val clustered = Layout.spatialCluster(pts, $"x", $"y", 0, 1000, 0, 1000,
+      partitions = 8)
+    val extents = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"pid")
+      .agg(((max($"x") - min($"x")) * (max($"y") - min($"y"))).as("area"),
+        count(lit(1)).as("n"))
+      .as[(Int, Double, Long)].collect()
+    assert(extents.length > 1)
+    val avgArea = extents.map(_._2).sum / extents.length
+    // each Z-range partition covers a compact region, far below the
+    // global 1000×1000 extent
+    assert(avgArea < 1000.0 * 1000.0 / 3, s"avg partition area $avgArea")
+    // clustering preserves all rows
+    assert(extents.map(_._3).sum == pts.count())
+  }
+
   test("blackout find_seasons hand-traced case") {
     // one key, one water year: a 3-day run (too short), then a 6-day run,
     // then stragglers; minRun=5, minTotal=8
