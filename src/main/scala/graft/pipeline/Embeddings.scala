@@ -278,6 +278,55 @@ object Embeddings {
         .orderBy(col("cluster"), col("rk"))
     },
 
+    // cross-modal dedup signal: embedding near-dup pairs annotated with a
+    // text-side confirmation (normalized-prefix equality) — the join of two
+    // modalities a production dedup pipeline votes across
+    QueryDef.sql(
+      "q_crossmodal_dedup",
+      s"""WITH $qelemsSql,
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(SUM(a.qe*b.qe) AS BIGINT) AS dot
+         |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 64 AND b.vec_id < 64
+         |  GROUP BY a.vec_id, b.vec_id),
+         |sims AS (
+         |  SELECT v1, v2,
+         |    CAST(FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) AS BIGINT) AS cos_q6
+         |  FROM dots JOIN norms n1 ON n1.vec_id = v1
+         |            JOIN norms n2 ON n2.vec_id = v2),
+         |top AS (SELECT * FROM sims ORDER BY cos_q6 DESC, v1, v2 LIMIT 50)
+         |SELECT t.v1, t.v2, t.cos_q6,
+         |  CAST(LOWER(SUBSTR(d1.text, 1, 40)) = LOWER(SUBSTR(d2.text, 1, 40)) AS BOOLEAN)
+         |    AS same_prefix40
+         |FROM top t JOIN documents d1 ON d1.doc_id = t.v1
+         |           JOIN documents d2 ON d2.doc_id = t.v2
+         |ORDER BY t.cos_q6 DESC, t.v1, t.v2""".stripMargin) { (s, d) =>
+      val qe = qelems(s, d).filter(col("vec_id") < 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val norms = qelems(s, d).groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
+      val dots = qe.as("a")
+        .join(qe.as("b"), col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .agg(sum(col("a.qe") * col("b.qe")).as("dot"))
+      val sims = dots
+        .join(norms.select(col("vec_id").as("v1"), col("n2").as("n21")), Seq("v1"))
+        .join(norms.select(col("vec_id").as("v2"), col("n2").as("n22")), Seq("v2"))
+        .select(col("v1"), col("v2"),
+          floor(col("dot") / sqrt(col("n21").cast("double") * col("n22")) * 1000000)
+            .cast("long").as("cos_q6"))
+      val top = sims.orderBy(col("cos_q6").desc, col("v1"), col("v2")).limit(50)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("p40"))
+      top.hint("broadcast")
+        .join(docs.select(col("doc_id").as("v1"), col("p40").as("p1")), Seq("v1"))
+        .hint("broadcast")
+        .join(docs.select(col("doc_id").as("v2"), col("p40").as("p2")), Seq("v2"))
+        .select(col("v1"), col("v2"), col("cos_q6"),
+          (col("p1") === col("p2")).as("same_prefix40"))
+        .orderBy(col("cos_q6").desc, col("v1"), col("v2"))
+    },
+
     // Embedding stats: per-label centroid norms and counts (grouped vector agg)
     QueryDef.sql(
       "q_embed_label_stats",
