@@ -123,6 +123,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("utm zone/epsg invariants over random coordinates") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import graft.functions.GeoFunctions
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(Gen.chooseNum(-180.0, 179.999), Gen.chooseNum(-89.9, 89.9))
+    val pts = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L)).get
+    val got = pts.toDF("lon", "lat")
+      .select(col("lon"), col("lat"),
+        GeoFunctions.utmZone(col("lon"), col("lat")).as("zone"),
+        GeoFunctions.utmEpsg(col("lon"), col("lat")).as("epsg"))
+      .as[(Double, Double, Int, Int)].collect()
+    got.foreach { case (lon, lat, zone, epsg) =>
+      assert(zone >= 1 && zone <= 60, s"zone $zone at $lon,$lat")
+      if (lat >= 84) assert(epsg == 3413)
+      else if (lat <= -60) assert(epsg == 3031)
+      else if (lat >= 0) assert(epsg == 32600 + zone)
+      else assert(epsg == 32700 + zone)
+      // outside the exception bands the formula zone holds exactly
+      val inException = (lat >= 56 && lat < 64 && lon >= 3 && lon < 12) ||
+        (lat >= 72 && lat < 84)
+      if (!inException)
+        assert(zone == math.min(60, math.max(1, (math.floor((lon + 180) / 6) + 1).toInt)))
+      // the projection of an in-band point lands at a plausible easting
+      if (lat > -60 && lat < 84) {
+        val (e, n) = GeoFunctions.tmForward(lon, lat, zone, south = lat < 0)
+        assert(e > -1000000 && e < 2000000, s"easting $e at $lon,$lat z$zone")
+        assert(n >= -1000000 && n <= 20000000, s"northing $n")
+      }
+    }
+  }
+
   test("gaps-and-islands sessionization matches brute force") {
     val gen = for {
       n <- Gen.choose(1, 40)
