@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(safe.subsetOf(streamed))
   }
 
+  test("incremental runs resume from the checkpoint (per-date append model)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    val ev = Tables.events(spark, sf()).select($"event_id", $"ts", $"user_id")
+
+    // drop 1: first half of the data, run to completion
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Sessions.runStream(spark, inDir, outDir, cp, df => df)
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == ev.filter($"event_id" % 2 === 0).count())
+
+    // drop 2: append the second half; the resumed run must process ONLY
+    // the new files (checkpoint), ending with exactly one copy of each row
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    Sessions.runStream(spark, inDir, outDir, cp, df => df)
+    val all = spark.read.parquet(outDir)
+    assert(all.count() == ev.count())
+    assert(all.select($"event_id").distinct().count() == ev.count())
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
