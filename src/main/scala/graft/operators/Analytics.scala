@@ -108,6 +108,21 @@ object Analytics {
         .orderBy(col("lang"), col("split"))
     },
 
+    // grouping sets: ROLLUP over (lang, source) — subtotal and grand-total
+    // rows; null ordering pinned explicitly (Spark defaults NULLS FIRST,
+    // DuckDB NULLS LAST)
+    QueryDef.sql(
+      "q_rollup",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
     // exact interpolated quantiles of document length per language
     QueryDef.sql(
       "q_quantiles",
