@@ -159,6 +159,25 @@ object Geo {
         .orderBy(col("c_nationkey"))
     },
 
+    // broadcast STRtree spatial join (J7): synthetic points vs nation
+    // polygons through the real tree+prepared-geometry path. Rows-only
+    // (JTS side); exactness pinned by SourcesSpec's enumerated answer set.
+    QueryDef.rowsOnly("q_spatial_join_strtree") { (s, d) =>
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        format_string("POINT (%d %d)",
+          (col("c_custkey") * 37) % 300 - 150,
+          (col("c_custkey") * 73) % 140 - 70).as("wkt"))
+      val polys = (0L until 12L).map { k =>
+        val x0 = k * 25 - 150; val y0 = (k % 4) * 30 - 60
+        (k, s"POLYGON (($x0 $y0, ${x0 + 30} $y0, ${x0 + 30} ${y0 + 35}, $x0 ${y0 + 35}, $x0 $y0))")
+      }
+      graft.operators.SpatialJoin.broadcastSpatialJoin(pts, polys, "intersects")
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("id")).as("sum_ids"))
+        .orderBy(col("poly_id"))
+    },
+
     // DP frame solver over per-user event tracks (frames.py:124-211
     // semantics; flatMapGroups, key-local)
     QueryDef.rowsOnly("q_frame_dp")((s, d) => FrameSolver.frameQuery(s, d)),
