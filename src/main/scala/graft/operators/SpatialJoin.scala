@@ -1,9 +1,11 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.functions.GeoFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
 
@@ -11,13 +13,41 @@ import org.locationtech.jts.index.strtree.STRtree
   * in-memory STRtree joins — bursts×land, bursts×NA, points-in-polygons —
   * build_frame_db.py:92-99, snow-analysis/get_volcano_frames.py:29-33).
   *
-  * The small polygon side (a few MB of WKB) is indexed once on the driver
-  * and broadcast; the big side streams through `mapPartitions`, probing the
-  * tree by envelope and refining with prepared geometries. One pass, no
-  * shuffle of the big side — the J7 pattern that scales to 100 TB because
-  * the only data movement is the broadcast.
+  * The small polygon side (a few MB of WKB) is shipped as a broadcast and
+  * indexed ONCE PER EXECUTOR (JVM-level cache keyed by broadcast id — JTS
+  * trees don't serialize, and rebuilding per task would repeat the index
+  * build 10⁵–10⁶ times at 100 TB task counts). The big side streams through
+  * `mapPartitions`, probing the tree by envelope and refining with prepared
+  * geometries. One pass, no shuffle of the big side — the J7 pattern that
+  * scales to 100 TB because the only data movement is the broadcast.
+  *
+  * Thread safety: the tree is built and `build()`-finalized inside
+  * `computeIfAbsent` (safe publication); JTS 1.20 `PreparedGeometry` lazy
+  * internals are synchronized, so concurrent probe threads are safe.
   */
 object SpatialJoin {
+
+  /** Per-JVM index cache: one STRtree build per executor per broadcast. */
+  private object TreeCache {
+    private val cache = new ConcurrentHashMap[Long, STRtree]()
+    /** number of tree builds in this JVM (spec observability hook) */
+    val builds = new AtomicLong(0L)
+    def get(bcId: Long, wkbs: Seq[(Long, Array[Byte])]): STRtree =
+      cache.computeIfAbsent(bcId, _ => {
+        builds.incrementAndGet()
+        val reader = new org.locationtech.jts.io.WKBReader()
+        val tree = new STRtree()
+        wkbs.foreach { case (id, wkb) =>
+          val g = reader.read(wkb)
+          tree.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
+        }
+        tree.build()
+        tree
+      })
+  }
+
+  /** Test hook: how many STRtree builds this JVM has performed. */
+  def treeBuildCount: Long = TreeCache.builds.get()
 
   /** big(id: long, wkt: string) ⨝ small Seq[(polyId, wkt)] →
     * (id, poly_id) for every pair satisfying the predicate.
@@ -27,7 +57,7 @@ object SpatialJoin {
     require(Seq("intersects", "contains").contains(predicate), predicate)
     val spark = big.sparkSession
     import spark.implicits._
-    // ship WKB, build the tree lazily per executor (JTS trees don't serialize)
+    // ship WKB; the executor-side cache builds the tree lazily on first probe
     val wkbs = small.map { case (id, wkt) =>
       (id, new org.locationtech.jts.io.WKBWriter().write(GeoFunctions.parseWkt(wkt)))
     }
@@ -36,15 +66,7 @@ object SpatialJoin {
     big.select(col("id").cast("long"), col("wkt").cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val reader = new org.locationtech.jts.io.WKBReader()
-        val tree = new STRtree()
-        val prepared = bc.value.map { case (id, wkb) =>
-          val g = reader.read(wkb)
-          val p = PreparedGeometryFactory.prepare(g)
-          tree.insert(g.getEnvelopeInternal, (id, p))
-          id -> p
-        }.toMap
-        tree.build()
+        val tree = TreeCache.get(bc.id, bc.value)
         it.flatMap { case (rowId, wkt) =>
           val g = GeoFunctions.parseWkt(wkt)
           import scala.jdk.CollectionConverters._

@@ -208,10 +208,15 @@ object TextPipeline {
       // the cache is ~200× smaller than the raw shingle multiset
       val d0 = grams(s, d).select(col("doc_id"), col("g"), col("hm")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wg2 = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      // document frequency via groupBy (map-side combine), NOT a window:
+      // a window over partitionBy(g) has no partial aggregation, so every
+      // row of the hottest gram lands on one reducer — a straggler at
+      // 100 TB. The semi-join keeps only rare grams (df ≤ 20); AQE's
+      // skew-join splitting handles any residual hot key.
+      val rareGrams = d0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("g"))
       val dg = d0.select(col("doc_id"), col("g"))
-        .withColumn("df", count(lit(1)).over(wg2))
-        .filter(col("df") <= 20).drop("df") // rare-gram candidate bound
+        .join(rareGrams, Seq("g"), "left_semi") // rare-gram candidate bound
       val sizes = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = dg.as("a")
         .join(dg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -286,15 +291,20 @@ object TextPipeline {
          |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
          |           JOIN sizes s2 ON s2.doc_id = doc2
          |ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
-      // document frequency via a window over g: one shuffle, no join-back
-      // (a groupBy+join would recompute the shingle pipeline per side)
-      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      // distinct gram set persisted once: it feeds the df aggregate and the
+      // semi-join probe side (at 100 TB this is a mandatory
+      // materialization, not an optimization)
+      val dgAll = grams(s, d).select(col("doc_id"), col("g")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // document frequency via groupBy+semi-join, NOT count().over(
+      // partitionBy(g)): the window has no map-side combine, so the hottest
+      // gram's full row set serializes onto one reducer — the one true
+      // straggler at 100 TB. groupBy combines map-side; the semi-join back
+      // onto the persisted distinct set keeps only rare grams.
+      val rareGrams = dgAll.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("g"))
       // rdg feeds the candidate self-join AND both size lookups — persist
-      // so the shingle pipeline runs once, not 4× (at 100 TB this is a
-      // mandatory materialization, not an optimization)
-      val rdg = grams(s, d).select(col("doc_id"), col("g")).distinct()
-        .withColumn("df", count(lit(1)).over(wg))
-        .filter(col("df") <= 20).drop("df")
+      val rdg = dgAll.join(rareGrams, Seq("g"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = rdg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = rdg.as("a")

@@ -84,6 +84,20 @@ class SourcesSpec extends SparkSpec {
     assert(joined == want1 ++ want2)
   }
 
+  test("STRtree is built once per executor JVM, not once per task") {
+    val polys = Seq((1L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"))
+    val points = (0 until 1000).map(i => (i.toLong, s"POINT (${i % 40} ${i % 40})"))
+      .toDF("id", "wkt")
+      .repartition(16) // 16 tasks probing the same broadcast index
+    val before = SpatialJoin.treeBuildCount
+    val n = SpatialJoin.broadcastSpatialJoin(points, polys, "intersects").count()
+    assert(n == 1000)
+    // local[32] is a single JVM = a single "executor": exactly one build
+    // regardless of task count (the per-JVM cache keyed by broadcast id)
+    assert(SpatialJoin.treeBuildCount - before == 1,
+      s"expected 1 tree build across 16 tasks, got ${SpatialJoin.treeBuildCount - before}")
+  }
+
   test("burst-id physics: Eq. 9-89/9-91 (D9)") {
     val anx = java.time.Instant.parse("2020-01-01T00:00:00Z")
     // first burst: sensing right after preamble
