@@ -53,11 +53,19 @@ object GeoFunctions {
       .otherwise(when(base < 1, 1).when(base > 60, 60).otherwise(base))
   }
 
-  /** EPSG pick: polar stereographic beyond the UTM band, else 326xx/327xx
-    * (polar overrides per build_frame_db.py:27-32, 204-259). */
+  /** EPSG pick: polar stereographic beyond the UTM band, else 326xx/327xx.
+    * Thresholds follow build_frame_db.py:27-32 exactly: NORTH_THRESHOLD=75
+    * (strict lat > 75 → EPSG:3413), SOUTH_THRESHOLD=-60 (strict lat < -60 →
+    * EPSG:3031). The reference additionally forces every frame intersecting
+    * the Greenland shape to 3413 (build_frame_db.py:251-257); that shape is
+    * a downloaded artifact unavailable offline — documented gap in
+    * COVERAGE.md (the polygon override is expressible via
+    * SpatialJoin.broadcastSpatialJoin when the shape is provided).
+    * The reference leaves lat == 75 / lat == -60 unassigned (epsg 0);
+    * we make the function total by giving the exact boundary to UTM. */
   def utmEpsg(lon: Column, lat: Column): Column =
-    when(lat >= 84, 3413)
-      .when(lat <= -60, 3031)
+    when(lat > 75, 3413)
+      .when(lat < -60, 3031)
       .when(lat >= 0, lit(32600) + utmZone(lon, lat))
       .otherwise(lit(32700) + utmZone(lon, lat))
 

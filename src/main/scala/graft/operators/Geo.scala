@@ -45,8 +45,8 @@ object Geo {
         |    END AS zone
         |  FROM pts)
         |SELECT s_suppkey, CAST(zone AS BIGINT) AS zone,
-        |  CAST(CASE WHEN lat >= 84 THEN 3413
-        |            WHEN lat <= -60 THEN 3031
+        |  CAST(CASE WHEN lat > 75 THEN 3413
+        |            WHEN lat < -60 THEN 3031
         |            WHEN lat >= 0 THEN 32600 + zone
         |            ELSE 32700 + zone END AS BIGINT) AS epsg
         |FROM zoned ORDER BY s_suppkey""".stripMargin) { (s, d) =>

@@ -72,10 +72,12 @@ object Windows {
         .orderBy(col("user_id"), col("session_num"))
     },
 
-    // W3: batch index within group + historical/forward labeling
-    // (reconcile_and_label_db.py:341-412): batches of 50 acquisitions per
-    // key; the last (partial or full) batch is "forward", earlier ones
-    // "historical_{k:02d}".
+    // W3: batch index within group + historical/forward labeling — the
+    // SIMPLIFIED single-group variant (batches of 50 per key; last batch
+    // "forward", earlier ones "historical_{k:02d}"). The reference's full
+    // assign_processing_modes semantics (gap groups, no_run, group-number
+    // suffixes; reconcile_and_label_db.py:341-412) live in
+    // q_processing_modes below.
     QueryDef.sql(
       "q_batch_label",
       """WITH numbered AS (
@@ -137,10 +139,14 @@ object Windows {
         .orderBy(col("run_len"))
     },
 
-    // D7 (reconcile_and_label_db.py:290-412): full processing-mode labeling
-    // — 2-hour gaps restart batch numbering (the reference's 2-year gaps,
-    // scaled to the synthetic table's span), then batches of 40 within each
-    // island; last batch of the LAST island is "forward"
+    // D7 (reconcile_and_label_db.py:341-412 assign_processing_modes, exact
+    // semantics): 2-hour gaps restart grouping (the reference's 2-year gaps,
+    // scaled to the synthetic table's span); groups with fewer than
+    // batch_size (40) times are entirely 'no_run'; each FULL batch of 40 in
+    // a group is 'historical_NN' and the partial trailing batch (if any) is
+    // 'forward_NN', where NN is the 1-based GROUP number (the suffix
+    // increments per gap-group, not per batch — reference :385-408); a
+    // group sized an exact multiple of 40 has no forward batch at all.
     QueryDef.sql(
       "q_processing_modes",
       """WITH flagged AS (
@@ -157,14 +163,15 @@ object Windows {
         |numbered AS (
         |  SELECT user_id, grp,
         |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) - 1) / 40) AS BIGINT) AS batch_id,
-        |    CAST(COUNT(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_in_grp,
-        |    CAST(MAX(grp) OVER (PARTITION BY user_id) AS BIGINT) AS max_grp
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS n_in_grp
         |  FROM islands)
         |SELECT user_id, CAST(grp AS BIGINT) AS grp, batch_id,
-        |  CASE WHEN grp = max_grp AND batch_id = CAST(FLOOR((n_in_grp - 1) / 40) AS BIGINT)
-        |       THEN 'forward' ELSE PRINTF('historical_%02d', batch_id + 1) END AS mode,
+        |  CASE WHEN n_in_grp < 40 THEN 'no_run'
+        |       WHEN batch_id < CAST(FLOOR(n_in_grp / 40) AS BIGINT)
+        |       THEN PRINTF('historical_%02d', grp)
+        |       ELSE PRINTF('forward_%02d', grp) END AS mode,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM numbered GROUP BY user_id, grp, batch_id, n_in_grp, max_grp
+        |FROM numbered GROUP BY user_id, grp, batch_id, n_in_grp
         |ORDER BY user_id, grp, batch_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val islands = Tables.events(s, d)
@@ -180,16 +187,14 @@ object Windows {
         .withColumn("batch_id", floor((row_number().over(wg) - 1) / 40).cast("long"))
         .withColumn("n_in_grp",
           count(lit(1)).over(Window.partitionBy(col("user_id"), col("grp"))).cast("long"))
-        .withColumn("max_grp",
-          max(col("grp")).over(Window.partitionBy(col("user_id"))).cast("long"))
         .groupBy(col("user_id"), col("grp").cast("long").as("grp"), col("batch_id"),
-          col("n_in_grp"), col("max_grp"))
+          col("n_in_grp"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("grp"), col("batch_id"),
-          when(col("grp") === col("max_grp") &&
-              col("batch_id") === floor((col("n_in_grp") - 1) / 40).cast("long"),
-            "forward")
-            .otherwise(format_string("historical_%02d", col("batch_id") + 1)).as("mode"),
+          when(col("n_in_grp") < 40, "no_run")
+            .when(col("batch_id") < floor(col("n_in_grp") / 40).cast("long"),
+              format_string("historical_%02d", col("grp")))
+            .otherwise(format_string("forward_%02d", col("grp"))).as("mode"),
           col("n"))
         .orderBy(col("user_id"), col("grp"), col("batch_id"))
     },

@@ -48,6 +48,20 @@ object Io {
 
   // ---------------- nested JSON documents (K4 / F11 shapes)
 
+  /** JSON string escape (backslash, quote, all control chars) for the
+    * hand-assembled document keys/metadata — an id or metadata value
+    * containing a quote must not produce a malformed document (same guard
+    * Verify.scala applies to oracle_sql.json). */
+  private[graft] def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** frame-to-burst document: {"data": {fid: {...,"burst_ids":[...]}},
     * "metadata": {...}}. `frames` needs (fid, epsg, is_land,
     * is_north_america, xmin, ymin, xmax, ymax, burst_ids). */
@@ -58,7 +72,7 @@ object Io {
           col("burst_ids"))).as("j"))
       .orderBy(col("fid"))
       .collect() // final small document assembly only
-    val data = rows.map(r => s""""${r.getAs[Any]("fid")}": ${r.getAs[String]("j")}""")
+    val data = rows.map(r => s"${jsonEscape(String.valueOf(r.getAs[Any]("fid")))}: ${r.getAs[String]("j")}")
       .mkString("{", ", ", "}")
     s"""{"data": $data, "metadata": ${metaJson(metadata)}}"""
   }
@@ -71,14 +85,14 @@ object Io {
       .select(col("burst_id_jpl"), to_json(struct(col("frame_ids"))).as("j"))
       .orderBy(col("burst_id_jpl"))
       .collect()
-    val data = rows.map(r => s""""${r.getAs[String]("burst_id_jpl")}": ${r.getAs[String]("j")}""")
+    val data = rows.map(r => s"${jsonEscape(r.getAs[String]("burst_id_jpl"))}: ${r.getAs[String]("j")}")
       .mkString("{", ", ", "}")
     s"""{"data": $data, "metadata": ${metaJson(metadata)}}"""
   }
 
   private def metaJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }.mkString("{", ", ", "}")
 
   // ---------------- GeoJSON FeatureCollection source (S6)
 
@@ -152,7 +166,7 @@ object Io {
     val features = rows.map { r =>
       val g = GeoFunctions.parseWkt(r.getAs[String]("wkt"))
       val coords = geomToGeoJsonCoords(g)
-      s"""{"type": "Feature", "properties": {"id": "${r.getAs[String]("id")}"}, """ +
+      s"""{"type": "Feature", "properties": {"id": ${jsonEscape(r.getAs[String]("id"))}}, """ +
         s""""geometry": {"type": "${geoJsonType(g)}", "coordinates": $coords}}"""
     }.mkString("[", ", ", "]")
     s"""{"type": "FeatureCollection", "features": $features}"""

@@ -57,9 +57,14 @@ object Sessions {
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)
 
   /** Stateful per-key batch labeling (reconcile_and_label_db.py:341-412
-    * semantics, streaming form): every `batchSize` acquisitions of a key
-    * start a new batch; the open batch is "forward", closed ones
-    * "historical_NN". */
+    * batch rule, streaming form): every `batchSize` acquisitions of a key
+    * form a batch. Labels are assigned at processing time: a row whose
+    * batch is already CLOSED by the end of the micro-batch gets
+    * "historical_NN" (NN = 1-based batch number); rows in the still-open
+    * partial batch get "forward". Append mode cannot retro-relabel a row
+    * once its batch later fills, and the reference's gap-based group
+    * renumbering is a batch-recompute concern — both live in the batch
+    * operator (Windows q_processing_modes), which reruns over history. */
   def labelAcquisitions(ds: Dataset[Acq], batchSize: Int = 50): Dataset[Labeled] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -68,13 +73,18 @@ object Sessions {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[BatchState]) =>
           var st = state.getOption.getOrElse(BatchState(0L, 0))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+          val numbered = rows.toSeq.sortBy(_.ts.getTime).map { a =>
             val batch = (st.count / batchSize).toInt
             st = BatchState(st.count + 1, batch)
-            Labeled(key, a.ts, batch, f"historical_${batch + 1}%02d")
+            (a, batch)
           }
           state.update(st)
-          out.iterator
+          val nClosed = st.count / batchSize // batches full as of this micro-batch
+          numbered.map { case (a, batch) =>
+            val label =
+              if (batch < nClosed) f"historical_${batch + 1}%02d" else "forward"
+            Labeled(key, a.ts, batch, label)
+          }.iterator
       }
   }
 }

@@ -25,6 +25,8 @@ class GeoFunctionsSpec extends SparkSpec {
       (13.4, 52.5, 32633), // north
       (13.4, -52.5, 32733), // south
       (-45.0, 85.0, 3413), // arctic
+      (-45.0, 76.0, 3413), // above NORTH_THRESHOLD=75 (build_frame_db.py:27)
+      (18.0, 74.0, 32633), // 74N: UTM, not polar (below the 75 threshold)
       (100.0, -75.0, 3031) // antarctic
     ).toDF("lon", "lat", "want")
     val got = df.select(GeoFunctions.utmEpsg($"lon", $"lat").as("epsg"), $"want")

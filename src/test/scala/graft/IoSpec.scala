@@ -31,6 +31,18 @@ class IoSpec extends SparkSpec {
     assert(parsed.select("data.1.epsg").as[Long].head() == 32631L)
   }
 
+  test("JSON documents escape quotes/backslashes/control chars in ids and metadata") {
+    val fb = Seq((1, """id"with\quote"""), (2, "tab\there"))
+      .toDF("frame_fid", "burst_id_jpl")
+    val doc = Io.burstToFrameJson(fb, Map("note" -> "line1\nline2 \"q\""))
+    // must parse as valid JSON despite the hostile strings
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = om.readTree(doc)
+    assert(tree.get("data").has("""id"with\quote"""))
+    assert(tree.get("data").has("tab\there"))
+    assert(tree.get("metadata").get("note").asText() == "line1\nline2 \"q\"")
+  }
+
   test("burst-to-frame inverse closure") {
     val fb = Seq((1, "t001_000001_iw1"), (2, "t001_000001_iw1"), (1, "t001_000002_iw1"))
       .toDF("frame_fid", "burst_id_jpl")

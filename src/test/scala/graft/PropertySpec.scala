@@ -138,8 +138,8 @@ class PropertySpec extends AnyFunSuite {
       .as[(Double, Double, Int, Int)].collect()
     got.foreach { case (lon, lat, zone, epsg) =>
       assert(zone >= 1 && zone <= 60, s"zone $zone at $lon,$lat")
-      if (lat >= 84) assert(epsg == 3413)
-      else if (lat <= -60) assert(epsg == 3031)
+      if (lat > 75) assert(epsg == 3413) // NORTH_THRESHOLD=75, build_frame_db.py:27-28
+      else if (lat < -60) assert(epsg == 3031)
       else if (lat >= 0) assert(epsg == 32600 + zone)
       else assert(epsg == 32700 + zone)
       // outside the exception bands the formula zone holds exactly
@@ -148,7 +148,7 @@ class PropertySpec extends AnyFunSuite {
       if (!inException)
         assert(zone == math.min(60, math.max(1, (math.floor((lon + 180) / 6) + 1).toInt)))
       // the projection of an in-band point lands at a plausible easting
-      if (lat > -60 && lat < 84) {
+      if (lat > -60 && lat <= 75) {
         val (e, n) = GeoFunctions.tmForward(lon, lat, zone, south = lat < 0)
         assert(e > -1000000 && e < 2000000, s"easting $e at $lon,$lat z$zone")
         assert(n >= -1000000 && n <= 20000000, s"northing $n")

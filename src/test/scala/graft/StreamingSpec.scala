@@ -87,6 +87,10 @@ class StreamingSpec extends SparkSpec {
     assert(out.take(50).forall(_.batchId == 0))
     assert(out.slice(50, 100).forall(_.batchId == 1))
     assert(out.drop(100).forall(_.batchId == 2))
-    assert(out.last.label == "historical_03")
+    // batches 0 and 1 are closed (120 = 2×50 + 20) → historical; the
+    // 20-row open batch is forward
+    assert(out.take(50).forall(_.label == "historical_01"))
+    assert(out.slice(50, 100).forall(_.label == "historical_02"))
+    assert(out.drop(100).forall(_.label == "forward"))
   }
 }
