@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Ingest.queries ++
       operators.Analytics.queries ++
       operators.Geo.queries ++
+      domain.Catalog.queries ++
       domain.ConsistentBursts.queries ++
       domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++

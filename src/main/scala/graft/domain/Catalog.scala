@@ -1,6 +1,7 @@
 package graft.domain
 
 import graft.functions.GeoFunctions
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,41 @@ object Catalog {
     * broadcast semi-join, never an IN-list string (P4 at scale). */
   def fetchBursts(spark: org.apache.spark.sql.SparkSession, bursts: DataFrame,
       frameToBurstJsonZip: String, frameIds: Seq[Long],
-      start: String, end: String): DataFrame = {
+      start: String, end: String): DataFrame =
+    bursts
+      .filter(col("sensing_time") >= lit(start).cast("timestamp") &&
+        col("sensing_time") <= lit(end).cast("timestamp"))
+      .join(broadcast(frameBurstIds(spark, frameToBurstJsonZip, frameIds)),
+        Seq("burst_id_jpl"), "left_semi")
+
+  /** `opera-db historical fetch-granules` (query_historical_bursts.py:98-124):
+    * same frame→burst expansion + time range as fetch-bursts, then the
+    * DISTINCT granule list with the trailing `.SAFE` stripped
+    * (row_processor at :110-112). */
+  def fetchGranules(spark: org.apache.spark.sql.SparkSession, bursts: DataFrame,
+      frameToBurstJsonZip: String, frameIds: Seq[Long],
+      start: String, end: String): DataFrame =
+    granulesFor(bursts, frameBurstIds(spark, frameToBurstJsonZip, frameIds), start, end)
+
+  /** Id-table form of fetch-granules (the surface q_fetch_granules drives):
+    * time-range filter → broadcast semi-join on the burst-id list →
+    * granule dedup. The DISTINCT runs on the already-filtered fact slice,
+    * and the id list broadcasts — no shuffle of the ~50M-row fact beyond
+    * the final distinct on the (small) matched slice. */
+  def granulesFor(bursts: DataFrame, burstIds: DataFrame,
+      start: String, end: String): DataFrame =
+    bursts
+      .filter(col("sensing_time") >= lit(start).cast("timestamp") &&
+        col("sensing_time") <= lit(end).cast("timestamp"))
+      .join(broadcast(burstIds), Seq("burst_id_jpl"), "left_semi")
+      .select(replace(col("granule"), lit(".SAFE"), lit("")).as("granule"))
+      .distinct()
+      .orderBy(col("granule"))
+
+  /** frame ids → one distinct burst-id table from the zipped
+    * frame-to-burst JSON document (query_historical_bursts.py:33-40). */
+  private def frameBurstIds(spark: org.apache.spark.sql.SparkSession,
+      frameToBurstJsonZip: String, frameIds: Seq[Long]): DataFrame = {
     import spark.implicits._
     val doc = graft.sources.Io.readJsonZip(frameToBurstJsonZip)
     val parsed = spark.read.json(Seq(doc).toDS())
@@ -75,10 +110,56 @@ object Catalog {
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     require(idDfs.nonEmpty, s"no requested frame present in $frameToBurstJsonZip")
-    val ids = idDfs.reduce(_ unionByName _).distinct()
-    bursts
-      .filter(col("sensing_time") >= lit(start).cast("timestamp") &&
-        col("sensing_time") <= lit(end).cast("timestamp"))
-      .join(broadcast(ids), Seq("burst_id_jpl"), "left_semi")
+    idDfs.reduce(_ unionByName _).distinct()
   }
+
+  val queries: Seq[QueryDef] = Seq(
+    // granule-level historical fetch (query_historical_bursts.py:98-124):
+    // a synthetic bursts fact from orders (many bursts share a granule),
+    // an arithmetic frame→burst mapping standing in for the JSON document
+    // (frames 3 and 7, 27 burst numbers × 3 subswaths each), IN-list
+    // semi-join + time range + granule dedup + `.SAFE` strip
+    QueryDef.sql(
+      "q_fetch_granules",
+      """WITH bursts AS (
+        |  SELECT
+        |    PRINTF('t%03d_%06d_iw%d', (o_orderkey %% 3000) %% 175 + 1,
+        |      o_orderkey %% 3000, o_orderkey %% 3 + 1) AS burst_id_jpl,
+        |    CAST(o_orderdate AS TIMESTAMP) AS sensing_time,
+        |    PRINTF('S1A_IW_SLC__1SDV_%sT000000_%05d.SAFE',
+        |      STRFTIME(o_orderdate, '%Y%m%d'), o_orderkey %% 500) AS granule
+        |  FROM orders),
+        |wanted AS (
+        |  SELECT DISTINCT PRINTF('t%03d_%06d_iw%d',
+        |      (f.fid * 100 + k.k) %% 175 + 1, f.fid * 100 + k.k, iw.iw) AS burst_id_jpl
+        |  FROM (SELECT UNNEST([3, 7]) AS fid) f,
+        |       (SELECT UNNEST(RANGE(0, 27)) AS k) k,
+        |       (SELECT UNNEST(RANGE(1, 4)) AS iw) iw)
+        |SELECT DISTINCT REPLACE(granule, '.SAFE', '') AS granule
+        |FROM bursts
+        |WHERE burst_id_jpl IN (SELECT burst_id_jpl FROM wanted)
+        |  AND sensing_time >= TIMESTAMP '1993-01-01 00:00:00'
+        |  AND sensing_time <= TIMESTAMP '1997-06-30 00:00:00'
+        |ORDER BY granule""".stripMargin.replace("%%", "%")) { (s, d) =>
+      val bursts = Tables.orders(s, d).select(
+        format_string("t%03d_%06d_iw%d",
+          pmod(pmod(col("o_orderkey"), lit(3000)), lit(175)) + 1,
+          pmod(col("o_orderkey"), lit(3000)),
+          pmod(col("o_orderkey"), lit(3)) + 1).as("burst_id_jpl"),
+        col("o_orderdate").cast("timestamp").as("sensing_time"),
+        format_string("S1A_IW_SLC__1SDV_%sT000000_%05d.SAFE",
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          pmod(col("o_orderkey"), lit(500))).as("granule"))
+      val fids = Seq(3L, 7L)
+      import s.implicits._
+      val ids = fids.toDF("fid")
+        .crossJoin(s.range(0, 27).toDF("k"))
+        .crossJoin(s.range(1, 4).toDF("iw"))
+        .select(format_string("t%03d_%06d_iw%d",
+          pmod(col("fid") * 100 + col("k"), lit(175)) + 1,
+          col("fid") * 100 + col("k"), col("iw")).as("burst_id_jpl"))
+        .distinct()
+      granulesFor(bursts, ids, "1993-01-01 00:00:00", "1997-06-30 00:00:00")
+    }
+  )
 }

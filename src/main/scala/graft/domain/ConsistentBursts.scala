@@ -144,8 +144,47 @@ object ConsistentBursts {
     },
 
     // option-0 selection joined with earliest sensing times (full D4 output
-    // shape; rows-only — the time attachment is covered by DomainSpec)
-    QueryDef.rowsOnly("q_consistent_selection") { (s, d) =>
+    // shape, create_cslc_burst_catalog.py:290-311). Oracled end-to-end:
+    // the same SQL reformulation as q_consistent_option0 plus the
+    // per-(frame, kept-date) earliest sensing time truncated to seconds —
+    // first/last of the attached time list pin the time attachment.
+    QueryDef.sql(
+      "q_consistent_selection",
+      """WITH tuples AS (
+        |  SELECT DISTINCT user_id AS frame_id, event_type AS burst_id,
+        |    CAST(ts AS DATE) AS date
+        |  FROM events),
+        |by_date AS (
+        |  SELECT frame_id, date, LIST_SORT(LIST(DISTINCT burst_id)) AS bset
+        |  FROM tuples GROUP BY frame_id, date),
+        |cands AS (SELECT DISTINCT frame_id, bset FROM by_date),
+        |kept AS (
+        |  SELECT c.frame_id, c.bset, d.date
+        |  FROM cands c JOIN by_date d
+        |    ON d.frame_id = c.frame_id AND LIST_HAS_ALL(d.bset, c.bset)),
+        |agg AS (
+        |  SELECT frame_id, bset, CAST(COUNT(*) AS BIGINT) AS n_dates
+        |  FROM kept GROUP BY frame_id, bset),
+        |ranked AS (
+        |  SELECT frame_id, bset, n_dates,
+        |    CAST(LEN(bset) * n_dates AS BIGINT) AS total_cells,
+        |    ROW_NUMBER() OVER (PARTITION BY frame_id
+        |      ORDER BY LEN(bset) * n_dates DESC, n_dates DESC,
+        |               ARRAY_TO_STRING(bset, ',')) AS rn
+        |  FROM agg),
+        |times AS (
+        |  SELECT user_id AS frame_id, CAST(ts AS DATE) AS date,
+        |    DATE_TRUNC('second', MIN(ts)) AS t
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT s.frame_id, s.total_cells AS total_num_bursts,
+        |  ARRAY_TO_STRING(s.bset, ',') AS burst_ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n_times,
+        |  MIN(t.t) AS first_time, MAX(t.t) AS last_time
+        |FROM (SELECT frame_id, bset, total_cells FROM ranked WHERE rn = 1) s
+        |JOIN kept k ON k.frame_id = s.frame_id AND k.bset = s.bset
+        |JOIN times t ON t.frame_id = s.frame_id AND t.date = k.date
+        |GROUP BY s.frame_id, s.total_cells, s.bset
+        |ORDER BY s.frame_id""".stripMargin) { (s, d) =>
       val bursts = Tables.events(s, d).select(
         col("user_id").as("frame_id"),
         col("event_type").as("burst_id"),
@@ -154,7 +193,9 @@ object ConsistentBursts {
       consistentSelection(bursts)
         .select(col("frame_id"), col("total_num_bursts"),
           array_join(col("burst_id_list"), ",").as("burst_ids"),
-          size(col("sensing_time_list")).as("n_times"))
+          size(col("sensing_time_list")).cast("long").as("n_times"),
+          element_at(col("sensing_time_list"), 1).as("first_time"),
+          element_at(col("sensing_time_list"), -1).as("last_time"))
         .orderBy(col("frame_id"))
     }
   )

@@ -71,11 +71,14 @@ object ReferenceDates {
 
   /** Query form: per-user reference dates over events (interval 30 days,
     * min 10 acquisitions — scaled to the synthetic table's 3-month span).
-    * Sequential per-key state → rows-only driver check; semantics pinned by
-    * ReferenceDatesSpec against hand-computed cases. */
+    * Sequential per-key state, but with no event dates the sweep IS
+    * expressible as a row-at-a-time recursive CTE → DuckDB-oracled
+    * (see the q_reference_dates oracle in operators.Geo); semantics also
+    * pinned by ReferenceDatesSpec against hand-computed cases. */
   def referenceQuery(s: SparkSession, d: String): DataFrame =
     referenceDates(
       Tables.events(s, d).select(col("user_id").as("key"), col("ts")),
       intervalDays = 30, minAcq = 10)
+      .select(col("key"), col("ref_idx").cast("long").as("ref_idx"), col("ref_ts"))
       .orderBy(col("key"), col("ref_idx"))
 }

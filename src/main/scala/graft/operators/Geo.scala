@@ -182,8 +182,39 @@ object Geo {
     // semantics; flatMapGroups, key-local)
     QueryDef.rowsOnly("q_frame_dp")((s, d) => FrameSolver.frameQuery(s, d)),
 
-    // Reference-date sweep (reference_dates.py:105-157 semantics)
-    QueryDef.rowsOnly("q_reference_dates")((s, d) => ReferenceDates.referenceQuery(s, d)),
+    // Reference-date sweep (reference_dates.py:105-157 semantics). The
+    // per-key sequential state (emit when accumulated days ≥ refs·interval
+    // AND the group holds ≥ minAcq rows) is oracled as a row-at-a-time
+    // recursive CTE: state = (refs emitted, rows in open group), stepping
+    // one ordered row per iteration for every key in parallel.
+    QueryDef.sql(
+      "q_reference_dates",
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id AS key, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    FIRST_VALUE(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t0
+        |  FROM events),
+        |step AS (
+        |  SELECT key, rn, t0, ts, 1 AS refs, 1 AS grp, TRUE AS emitted
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.rn, s.t0, o.ts,
+        |    CASE WHEN ((EPOCH_US(o.ts) - EPOCH_US(s.t0)) // 86400000000 >= s.refs * 30)
+        |              AND (s.grp + 1 >= 10)
+        |         THEN s.refs + 1 ELSE s.refs END AS refs,
+        |    CASE WHEN ((EPOCH_US(o.ts) - EPOCH_US(s.t0)) // 86400000000 >= s.refs * 30)
+        |              AND (s.grp + 1 >= 10)
+        |         THEN 0 ELSE s.grp + 1 END AS grp,
+        |    ((EPOCH_US(o.ts) - EPOCH_US(s.t0)) // 86400000000 >= s.refs * 30)
+        |      AND (s.grp + 1 >= 10) AS emitted
+        |  FROM step s
+        |  JOIN ordered o ON o.key = s.key AND o.rn = s.rn + 1)
+        |SELECT key,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY rn) AS BIGINT) AS ref_idx,
+        |  ts AS ref_ts
+        |FROM step WHERE emitted
+        |ORDER BY key, ref_idx""".stripMargin)((s, d) =>
+      ReferenceDates.referenceQuery(s, d)),
 
     // Full §3.1 catalog build on a synthesized ESA-style burst grid:
     // jpl-id → triplet dissolve (geometry union agg) → land flag → DP frame
