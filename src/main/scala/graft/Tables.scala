@@ -22,9 +22,17 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with `ts` as a microsecond TimestampType (floor-truncated from ns). */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events with `ts` as a microsecond TimestampType (floor-truncated from ns).
+    *
+    * Sessions built via [[GraftSession]] (or the Verify/Bench mains) already
+    * carry the nanosAsLong flag; for a foreign session we set it as a
+    * fallback — TIMESTAMP(NANOS) schema inference throws without it and
+    * parquet exposes no per-read option (ParquetOptions has no nanos key). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption(NanosConf).contains("true"))
+      spark.conf.set(NanosConf, "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       // integral `div`, not `/`: epoch-ns ≈ 1.7e18 overflows double precision

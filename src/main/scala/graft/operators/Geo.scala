@@ -220,8 +220,15 @@ object Geo {
     // jpl-id → triplet dissolve (geometry union agg) → land flag → DP frame
     // optimization → frame assembly → EPSG → snapped UTM bbox
     QueryDef.rowsOnly("q_catalog_build") { (s, d) =>
-      val n = Tables.supplier(s, d).count().toInt.min(400)
-      val grid = s.range(0, n.toLong * 3).toDF("i").select(
+      // fixture sized by the supplier table WITHOUT a driver-side action:
+      // suppkeys are 1..N, so (s_suppkey−1)·3 + subswath enumerates the
+      // same 3·min(N,400)-row id space the old range(count·3) produced
+      val grid = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= 400)
+        .select((col("s_suppkey").cast("long") - 1).as("sk"),
+          explode(sequence(lit(0L), lit(2L))).as("sw"))
+        .select((col("sk") * 3 + col("sw")).as("i"))
+        .select(
         (col("i") + 1).cast("int").as("OGC_FID"),
         (col("i") / 3 + 1).cast("long").as("burst_id"),
         ((col("i") / 3) / 27 + 1).cast("int").as("relative_orbit_number"),

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Number of LSH hyperplanes (bucket bits). 8 → 256 buckets suits the
-    * test corpus; at real corpus sizes this must grow ~log2(n) to keep
-    * per-bucket candidate sets bounded (see NEXT.md rehearsal note). */
+  /** Default number of LSH hyperplanes (bucket bits). 8 → 256 buckets
+    * suits the test corpus. Growth rule for a real corpus of n vectors
+    * targeting ~k candidates per bucket: planes ≈ log2(n / k) — e.g.
+    * n = 10⁹, k = 1000 → 20 planes (1M buckets). Within-bucket self-joins
+    * are O(n²/2^planes), so the bit count MUST grow with log2(n) or
+    * candidate generation degenerates toward all-pairs; every operator
+    * below takes the plane count as a parameter for exactly that reason
+    * (LshGeometrySpec runs the family at a larger count). */
   val LshPlanes = 8
 
   /** (vec_id, i, qe): quantized element rows, i 0-based. */
@@ -38,6 +43,34 @@ object Embeddings {
       |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i,
       |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qe
       |  FROM embeddings)""".stripMargin
+
+  /** Random-hyperplane LSH bucket per vector: `planes` fixed pseudo-random
+    * hyperplanes (deterministic LCG coefficients) → sign bits → bucket in
+    * [0, 2^planes). Input: (vec_id, i, qe) element rows. */
+  def lshBuckets(qe: DataFrame, planes: Int = LshPlanes): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes $planes")
+    qe.select(col("vec_id"), col("i"), col("qe"),
+        explode(sequence(lit(0), lit(planes - 1))).as("p"))
+      .withColumn("r",
+        (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("qe") * col("r")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("s") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
+        .cast("long").as("bucket"))
+  }
+
+  /** Oracle CTEs (`proj`, `buckets`) mirroring [[lshBuckets]] over `qe`. */
+  def lshBucketsSql(planes: Int = LshPlanes): String =
+    s"""proj AS (
+       |  SELECT vec_id, p,
+       |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
+       |  FROM qe, UNNEST(RANGE(0, $planes)) AS u(p)
+       |  GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -94,29 +127,11 @@ object Embeddings {
     QueryDef.sql(
       "q_ann_lsh_buckets",
       s"""WITH $qelemsSql,
-         |proj AS (
-         |  SELECT vec_id, p,
-         |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
-         |  FROM qe, UNNEST(RANGE(0, $LshPlanes)) AS u(p)
-         |  GROUP BY vec_id, p),
-         |buckets AS (
-         |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id)
+         |${lshBucketsSql(LshPlanes)}
          |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |  CAST(MIN(vec_id) AS BIGINT) AS min_vec, CAST(MAX(vec_id) AS BIGINT) AS max_vec
          |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-      val qe = qelems(s, d)
-      val proj = qe
-        .select(col("vec_id"), col("i"), col("qe"),
-          explode(sequence(lit(0), lit(LshPlanes - 1))).as("p"))
-        .withColumn("r",
-          (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("qe") * col("r")).as("s"))
-      proj.groupBy(col("vec_id"))
-        .agg(sum(when(col("s") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
-          .cast("long").as("bucket"))
+      lshBuckets(qelems(s, d), LshPlanes)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).cast("long").as("min_vec"),
@@ -169,15 +184,7 @@ object Embeddings {
     QueryDef.sql(
       "q_dedup_embedding",
       s"""WITH $qelemsSql,
-         |proj AS (
-         |  SELECT vec_id, p,
-         |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
-         |  FROM qe, UNNEST(RANGE(0, $LshPlanes)) AS u(p)
-         |  GROUP BY vec_id, p),
-         |buckets AS (
-         |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id),
+         |${lshBucketsSql(LshPlanes)},
          |cand AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM buckets a JOIN buckets b
@@ -195,16 +202,7 @@ object Embeddings {
          |WHERE FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) >= 150000
          |ORDER BY cos_q6 DESC, v1, v2 LIMIT 200""".stripMargin) { (s, d) =>
       val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val proj = qe
-        .select(col("vec_id"), col("i"), col("qe"),
-          explode(sequence(lit(0), lit(LshPlanes - 1))).as("p"))
-        .withColumn("r",
-          (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L - 1048576L)
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("qe") * col("r")).as("s"))
-      val buckets = proj.groupBy(col("vec_id"))
-        .agg(sum(when(col("s") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
-          .cast("long").as("bucket"))
+      val buckets = lshBuckets(qe, LshPlanes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = buckets.as("a")
         .join(buckets.as("b"),
