@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Geo.queries ++
       domain.Catalog.queries ++
+      domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++
       domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++

@@ -1,0 +1,157 @@
+package graft.domain
+
+import java.time.Instant
+
+import graft.QueryDef
+import graft.functions.GeoFunctions
+import graft.sources.XmlSource
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import scala.xml.XML
+
+/** D9 end-to-end burst ingest (parse_bursts.py:249-363 `_bursts_from_xml`,
+  * :404-451 `_get_burst_bounds`, :576-629 `check_dateline`, :733-738
+  * `_to_row`): one SAFE granule's annotation+manifest XML → one row per
+  * burst with the JPL id (Eq. 9-89/9-91), sensing time, and the
+  * dateline-split boundary polygon assembled from the geolocation grid.
+  *
+  * Spark shape: a `flatMap` over (file, annotationXml, manifestXml) rows —
+  * each granule parses independently, so the natural unit of parallelism is
+  * one document per task and the ingest scales linearly with executors
+  * (the reference runs the same loop per SAFE file, parse_bursts.py:666-706).
+  */
+object BurstIngest {
+
+  final case class IngestedBurst(granule: String, burst_id_jpl: String,
+      sensing_time_us: Long, wkt: String)
+
+  /** (granuleFile, annotationXml, manifestXml) → one row per burst. */
+  def ingest(files: Dataset[(String, String, String)]): Dataset[IngestedBurst] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.flatMap { case (file, annXml, manXml) =>
+      val ann = XML.loadString(annXml)
+      val man = XML.loadString(manXml)
+
+      // swath + ANX from the annotation (parse_bursts.py:269-291)
+      val swath = (ann \ "adsHeader" \ "swath").text.trim // e.g. IW1
+      val anxUs = XmlSource.parseTimeUs(
+        (ann \ "imageAnnotation" \ "imageInformation" \ "ascendingNodeTime").text.trim)
+
+      // start/stop relative orbit from the manifest (get_start_end_track,
+      // parse_bursts.py:240-247)
+      val rel = man \\ "relativeOrbitNumber"
+      def track(t: String): Option[Int] =
+        rel.find(n => (n \ "@type").text == t).map(_.text.trim.toInt)
+      val startTrack = track("start")
+        .getOrElse(rel.headOption.map(_.text.trim.toInt)
+          .getOrElse(throw new IllegalArgumentException(s"$file: no relativeOrbitNumber")))
+      val endTrack = track("stop").getOrElse(startTrack)
+
+      // geolocation grid → per-burst boundary rings (_get_burst_bounds):
+      // consecutive unique line pairs; second line's points reversed so the
+      // ring walks the boundary, not a diagonal
+      val pts = (ann \ "geolocationGrid" \ "geolocationGridPointList" \
+        "geolocationGridPoint").map { p =>
+        ((p \ "line").text.trim.toInt,
+          (p \ "latitude").text.trim.toDouble, (p \ "longitude").text.trim.toDouble)
+      }
+      val byLine = pts.groupBy(_._1) // groups keep document (pixel) order
+      val lines = byLine.keys.toSeq.sorted
+      val polys = lines.zip(lines.drop(1)).map { case (ln0, ln1) =>
+        val ring = byLine(ln0) ++ byLine(ln1).reverse
+        val closed = ring :+ ring.head
+        val wkt = closed.map(p => s"${p._3} ${p._2}").mkString("POLYGON ((", ", ", "))")
+        // check_dateline: split + wrap into [-180, 180] when the raw ring
+        // spans more than 180° of longitude
+        GeoFunctions.datelineSplit(GeoFunctions.parseWkt(wkt))
+      }
+
+      // one burst per <burst> element, paired with its boundary; the id is
+      // the Eq. 9-89/9-91 physics incl. equator-crossing track adjustment
+      val sensing = (ann \ "swathTiming" \ "burstList" \ "burst")
+        .map(b => XmlSource.parseTimeUs((b \ "sensingTime").text.trim))
+      val stem = file.split('/').last.stripSuffix(".SAFE")
+      sensing.zip(polys).map { case (tUs, poly) =>
+        val id = BurstId.fromBurstParams(
+          Instant.ofEpochSecond(tUs / 1000000L, (tUs % 1000000L) * 1000L),
+          Instant.ofEpochSecond(anxUs / 1000000L, (anxUs % 1000000L) * 1000L),
+          startTrack, endTrack, swath.toLowerCase)
+        IngestedBurst(stem, id.jplId, tUs, GeoFunctions.toWkt(poly))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic synthetic granule fixtures (for the rows-only query and
+  // specs): 25 granules, ~9 bursts each; granule 13 straddles the dateline.
+
+  private def timeStr(us: Long): String = {
+    val i = Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+    i.toString.stripSuffix("Z")
+  }
+
+  /** Build one synthetic granule's (file, annotationXml, manifestXml). */
+  def syntheticGranule(k: Int): (String, String, String) = {
+    val track = k % 175 + 1
+    val anxUs = Instant.parse("2020-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val nBursts = 9
+    val burstsXml = (0 until nBursts).map { i =>
+      val sUs = anxUs + ((2.5 + i * BurstId.TBeam) * 1e6).toLong
+      s"<burst><azimuthTime>${timeStr(sUs)}</azimuthTime><sensingTime>${timeStr(sUs)}</sensingTime></burst>"
+    }.mkString
+    // 10 grid lines × 5 pixels; granule 13 sits on the antimeridian
+    val lon0 = if (k == 13) 178.0 else -170.0 + k * 2.0
+    val lat0 = -40.0 + k * 3.0
+    def wrap(x: Double) = if (x > 180) x - 360 else x
+    val gridXml = (0 until 10).flatMap { ln =>
+      (0 until 5).map { px =>
+        val lon = wrap(lon0 + px * 0.9)
+        val lat = lat0 + ln * 0.17 + px * 0.01
+        s"<geolocationGridPoint><line>${ln * 1500}</line><pixel>${px * 5000}</pixel>" +
+          s"<latitude>$lat</latitude><longitude>$lon</longitude></geolocationGridPoint>"
+      }
+    }.mkString
+    val ann =
+      s"""<product>
+         |<adsHeader><swath>IW1</swath><polarisation>VV</polarisation></adsHeader>
+         |<imageAnnotation><imageInformation>
+         |<ascendingNodeTime>${timeStr(anxUs)}</ascendingNodeTime>
+         |<productFirstLineUtcTime>${timeStr(anxUs + 2500000L)}</productFirstLineUtcTime>
+         |</imageInformation></imageAnnotation>
+         |<swathTiming><burstList count="$nBursts">$burstsXml</burstList></swathTiming>
+         |<geolocationGrid><geolocationGridPointList count="50">$gridXml</geolocationGridPointList></geolocationGrid>
+         |</product>""".stripMargin
+    val man =
+      s"""<manifest xmlns:safe="urn:ccsds:schema:xfdu:1">
+         |<safe:orbitReference>
+         |<safe:relativeOrbitNumber type="start">$track</safe:relativeOrbitNumber>
+         |<safe:relativeOrbitNumber type="stop">$track</safe:relativeOrbitNumber>
+         |</safe:orbitReference>
+         |</manifest>""".stripMargin
+    (f"S1A_IW_SLC__1SDV_G$k%03d.SAFE", ann, man)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // D9 end-to-end: synthetic granules → full ingest (grid → polygons →
+    // dateline split → Eq. 9-89/9-91 ids) → per-granule summary. Rows-only
+    // (JTS + physics side; exactness pinned by SourcesSpec).
+    QueryDef.rowsOnly("q_burst_ingest") { (s, d) =>
+      import s.implicits._
+      val files = s.range(0, 25).map(k => syntheticGranule(k.toInt))
+        .toDF("_1", "_2", "_3").as[(String, String, String)]
+      ingest(files)
+        .groupBy(col("granule"))
+        .agg(
+          count(lit(1)).as("n_bursts"),
+          min(col("burst_id_jpl")).as("first_burst_id"),
+          max(col("burst_id_jpl")).as("last_burst_id"),
+          sum(when(col("wkt").startsWith("MULTIPOLYGON"), 1L).otherwise(0L))
+            .as("n_dateline_split"),
+          floor(sum(GeoFunctions.stArea(col("wkt"))) * 1000).cast("long")
+            .as("area_q3"))
+        .orderBy(col("granule"))
+    }
+  )
+}

@@ -43,12 +43,9 @@ object TextPipeline {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 4)).as("i"))
       .select(col("doc_id"), substring(col("t"), col("i"), lit(5)).as("g"))
-      .withColumn("hm",
-        (ascii(substring(col("g"), 1, 1)) * lit(294499921L) +
-          ascii(substring(col("g"), 2, 1)) * lit(2248091L) +
-          ascii(substring(col("g"), 3, 1)) * lit(17161L) +
-          ascii(substring(col("g"), 4, 1)) * lit(131L) +
-          ascii(substring(col("g"), 5, 1))) % lit(P))
+      // codegen'd native expression == the SQL composite
+      // (ascii(substr)·coef sum mod P); see functions.GramHash5
+      .withColumn("hm", graft.functions.GramHash.gramHash5(col("g")))
   }
 
   /** Oracle CTE producing the same (doc_id, g, hm). */

@@ -19,7 +19,7 @@ object XmlSource {
   final case class GridPoint(file: String, line: Int, pixel: Int,
       latitude: Double, longitude: Double)
 
-  private def parseTimeUs(s: String): Long = {
+  private[graft] def parseTimeUs(s: String): Long = {
     // annotation format: 2020-01-01T00:00:00.123456 (no zone)
     val inst = Instant.parse(if (s.endsWith("Z")) s else s + "Z")
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L

@@ -127,4 +127,44 @@ class SourcesSpec extends SparkSpec {
     // column form uses the burst start (no mid-IW2 offset): allow ±1
     assert(math.abs(gotCol - b1.esaBurstId) <= 1)
   }
+
+  test("D9 end-to-end ingest: grid → polygons → dateline split → JPL ids") {
+    import graft.domain.{BurstId, BurstIngest}
+    // hand-computed granule: k=2 → track 3, 9 bursts, lon0 = -166
+    val (file, ann, man) = BurstIngest.syntheticGranule(2)
+    val rows = BurstIngest.ingest(Seq((file, ann, man)).toDS())
+      .collect().sortBy(_.sensing_time_us)
+    assert(rows.length == 9)
+    assert(rows.forall(_.granule == "S1A_IW_SLC__1SDV_G002"))
+
+    // ids match the physics computed independently
+    val anx = java.time.Instant.parse("2020-01-01T00:00:00Z")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val t = anx.plusNanos(((2.5 + i * BurstId.TBeam) * 1e9).toLong)
+      val want = BurstId.fromBurstParams(t, anx, 3, 3, "iw1")
+      assert(r.burst_id_jpl == want.jplId, s"burst $i")
+    }
+    // consecutive bursts get consecutive ESA ids
+    val ids = rows.map(_.burst_id_jpl.split("_")(1).toLong)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 })
+
+    // boundary: first burst polygon spans grid lines 0 and 1500 —
+    // 10 vertices (5 per line) + closure, lat within the two lines' range
+    val g0 = graft.functions.GeoFunctions.parseWkt(rows.head.wkt)
+    assert(g0.getGeometryType == "Polygon")
+    assert(g0.getCoordinates.length == 11)
+    val lats = g0.getCoordinates.map(_.y) // lat0 = -40 + k·3 = -34 for k=2
+    assert(lats.min >= -34.0 - 1e-9 && lats.max <= -34.0 + 0.17 + 0.04 + 1e-9)
+
+    // granule 13 straddles the antimeridian → every burst polygon splits
+    // into a MultiPolygon whose parts stay within [-180, 180]
+    val (f13, a13, m13) = BurstIngest.syntheticGranule(13)
+    val dl = BurstIngest.ingest(Seq((f13, a13, m13)).toDS()).collect()
+    assert(dl.length == 9)
+    dl.foreach { r =>
+      val g = graft.functions.GeoFunctions.parseWkt(r.wkt)
+      assert(g.getNumGeometries == 2, r.wkt.take(60))
+      assert(g.getCoordinates.forall(c => c.x >= -180 && c.x <= 180))
+    }
+  }
 }
