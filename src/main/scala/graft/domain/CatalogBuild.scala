@@ -95,9 +95,16 @@ object CatalogBuild {
       burstIdMap: DataFrame)
 
   /** Full build: burst_id_map (with geom WKT) + land WKT → frames +
-    * frames_bursts + enriched burst map (§3.1 steps 2-7). */
+    * frames_bursts + enriched burst map (§3.1 steps 2-7).
+    *
+    * `polarOverrideWkt`: the reference forces every frame intersecting the
+    * Greenland shape to EPSG:3413 regardless of its centroid latitude
+    * (build_frame_db.py:251-257). The shape itself is a downloaded
+    * artifact; pass it here when available — the override is the same
+    * bbox-prefilter + exact-intersects plan as the land flag. */
   def build(burstIdMapRaw: DataFrame, landWkt: String,
-      marginM: Double = 5000.0, snapM: Double = 30.0): BuildResult = {
+      marginM: Double = 5000.0, snapM: Double = 30.0,
+      polarOverrideWkt: Option[String] = None): BuildResult = {
     val bursts = withJplId(burstIdMapRaw)
     // triplets feed the DP solver AND frame assembly — materialize once
     // (the dissolve runs the JTS union aggregator; recomputing it per
@@ -130,10 +137,25 @@ object CatalogBuild {
     // EPSG via dateline-aware centroid (D3, build_frame_db.py:193-307):
     // centroid computed in shifted space BEFORE the split — a centroid of
     // the split halves would average to ~0° longitude
-    val withEpsg = frames0
+    val withEpsg0 = frames0
       .withColumn("c", GeoFunctions.stCentroidDateline(col("geom")))
       .withColumn("geom", GeoFunctions.stDatelineSplit(col("geom")))
       .withColumn("epsg", GeoFunctions.utmEpsg(col("c._1"), col("c._2")))
+    // polar-shape override (build_frame_db.py:251-257): bbox prefilter
+    // keeps the exact JTS predicate off frames nowhere near the shape
+    val withEpsg = polarOverrideWkt match {
+      case None => withEpsg0
+      case Some(wkt) =>
+        val env = GeoFunctions.parseWkt(wkt).getEnvelopeInternal
+        withEpsg0
+          .withColumn("e", GeoFunctions.stEnvelope(col("geom")))
+          .withColumn("epsg",
+            when(col("e._1") <= env.getMaxX && col("e._3") >= env.getMinX &&
+                col("e._2") <= env.getMaxY && col("e._4") >= env.getMinY &&
+                GeoFunctions.stIntersects(col("geom"), lit(wkt)), lit(3413))
+              .otherwise(col("epsg")))
+          .drop("e")
+    }
 
     // UTM bbox, snapped (build_frame_db.py:409-451): project → envelope →
     // pad margin → snap to grid, stored as int columns for data skipping

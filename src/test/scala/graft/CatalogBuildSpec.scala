@@ -84,6 +84,25 @@ class CatalogBuildSpec extends SparkSpec {
     assert(counts.getOrElse(2L, 0L) > 0) // overlap bursts exist
   }
 
+  test("polar-shape override forces intersecting frames to EPSG:3413") {
+    // a "Greenland-style" shape over track 1's southern frames; everything
+    // it touches must flip to 3413 regardless of centroid latitude
+    val shape = "POLYGON ((9 0, 14 0, 14 5, 9 5, 9 0))"
+    val base = CatalogBuild.build(grid(), landWkt).frames
+      .select($"fid", $"epsg").as[(Int, Int)].collect().toMap
+    val over = CatalogBuild.build(grid(), landWkt, polarOverrideWkt = Some(shape))
+    val frames = over.frames.select($"fid", $"epsg", $"geom").collect()
+    var flipped = 0
+    frames.foreach { f =>
+      val hits = GeoFunctions.parseWkt(f.getAs[String]("geom"))
+        .intersects(GeoFunctions.parseWkt(shape))
+      val epsg = f.getAs[Int]("epsg")
+      if (hits) { assert(epsg == 3413); flipped += 1 }
+      else assert(epsg == base(f.getAs[Int]("fid"))) // untouched frames keep their UTM pick
+    }
+    assert(flipped > 0 && flipped < frames.length)
+  }
+
   test("lookup and JSON documents work off the built catalog") {
     val r = CatalogBuild.build(grid(), landWkt)
     val someFid = r.frames.select($"fid").orderBy($"fid").as[Int].head()
