@@ -159,10 +159,30 @@ object Geo {
         .orderBy(col("c_nationkey"))
     },
 
-    // broadcast STRtree spatial join (J7): synthetic points vs nation
-    // polygons through the real tree+prepared-geometry path. Rows-only
-    // (JTS side); exactness pinned by SourcesSpec's enumerated answer set.
-    QueryDef.rowsOnly("q_spatial_join_strtree") { (s, d) =>
+    // broadcast STRtree spatial join (J7): synthetic points vs polygons
+    // through the real tree+prepared-geometry path. ORACLED: the fixture
+    // polygons are axis-aligned rectangles, so an independent SQL range
+    // join computes the identical answer — a drift anywhere in the
+    // WKB→tree→prepared-intersects path breaks the hash (JTS intersects
+    // includes the boundary, hence BETWEEN on both axes).
+    QueryDef.sql(
+      "q_spatial_join_strtree",
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey*37) % 300 - 150 AS BIGINT) AS x,
+        |    CAST((c_custkey*73) % 140 - 70 AS BIGINT) AS y
+        |  FROM customer),
+        |polys AS (
+        |  SELECT k, CAST(k*25 - 150 AS BIGINT) AS x0,
+        |    CAST((k % 4)*30 - 60 AS BIGINT) AS y0
+        |  FROM (SELECT UNNEST(RANGE(0, 12)) AS k))
+        |SELECT CAST(k AS BIGINT) AS poly_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(id) AS BIGINT) AS sum_ids
+        |FROM polys JOIN pts
+        |  ON pts.x BETWEEN polys.x0 AND polys.x0 + 30
+        | AND pts.y BETWEEN polys.y0 AND polys.y0 + 35
+        |GROUP BY k ORDER BY poly_id""".stripMargin) { (s, d) =>
       val pts = Tables.customer(s, d).select(
         col("c_custkey").as("id"),
         format_string("POINT (%d %d)",
@@ -174,7 +194,7 @@ object Geo {
       }
       graft.operators.SpatialJoin.broadcastSpatialJoin(pts, polys, "intersects")
         .groupBy(col("poly_id"))
-        .agg(count(lit(1)).as("n_points"), sum(col("id")).as("sum_ids"))
+        .agg(count(lit(1)).as("n_points"), sum(col("id")).cast("long").as("sum_ids"))
         .orderBy(col("poly_id"))
     },
 
