@@ -142,6 +142,42 @@ object TextPipeline {
       .agg(countDistinct(col("a.b")).as("n_bands"))
   }
 
+  /** Connected components over near-duplicate candidate pairs — the step
+    * that turns a pair list into keep/drop decisions. Distributed
+    * min-label propagation: every doc starts labeled with its own id;
+    * each round every doc takes the min of its own and its neighbors'
+    * labels, until a fixpoint. Rounds are bounded by the component
+    * diameter (near-dup clusters are shallow: clone groups are cliques,
+    * diameter ≤ 2); each round is a shuffle join + combiner aggregate, so
+    * the work is fully distributed — the driver only checks the
+    * converged-yet count (the standard connected-components loop shape;
+    * the per-round persist keeps lineage from growing unboundedly).
+    * Returns (doc_id, canonical_id = min doc id of the component). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("a"), col("lbl").as("albl")), Seq("a"))
+        .groupBy(col("b").as("doc_id")).agg(min(col("albl")).as("nlbl"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   /** Oracle CTE (`bands`) mirroring [[bandRows]] over `sig`. */
   def bandsSql(bands: Int = LshBands, rowsPerBand: Int = LshRowsPerBand): String = {
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 16)
@@ -231,6 +267,43 @@ object TextPipeline {
          |ORDER BY doc1, doc2""".stripMargin) { (s, d) =>
       lshCandidatePairs(minhashSignatures(s, d), LshBands, LshRowsPerBand)
         .orderBy(col("doc1"), col("doc2"))
+    },
+
+    // dedup cluster formation: connected components over the LSH candidate
+    // pairs (min-label propagation in Spark, verified against a DuckDB
+    // recursive transitive closure over the identical edge set); one row
+    // per cluster with the canonical (min) doc id — the keep/drop list a
+    // production dedup pipeline ships
+    QueryDef.sql(
+      "q_dedup_clusters",
+      s"""WITH RECURSIVE $gramsSql,
+         |$minhashSigSql,
+         |${bandsSql(LshBands, LshRowsPerBand)},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.sig_key = c.sig_key AND a.doc_id < c.doc_id),
+         |edges AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |canon AS (
+         |  SELECT d.doc_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_members
+         |FROM canon GROUP BY canonical_id ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      val pairs = lshCandidatePairs(minhashSignatures(s, d), LshBands, LshRowsPerBand)
+        .select(col("doc1"), col("doc2"))
+      dedupClusters(Tables.documents(s, d).select(col("doc_id")), pairs)
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_members"))
+        .orderBy(col("canonical_id"))
     },
 
     // sketch-quality check: MinHash-estimated Jaccard (matching signature

@@ -62,6 +62,15 @@ class LshGeometrySpec extends SparkSpec {
     sig.unpersist()
   }
 
+  test("dedup clusters: min-label propagation matches hand-computed components") {
+    // components: {1,2,3} via 1-2, 2-3 (a chain, diameter 2), {4,5}, {6} isolated
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val got = TextPipeline.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("band geometry guardrails") {
     val sig = TextPipeline.minhashSignatures(spark, sf())
     intercept[IllegalArgumentException] {
