@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.Relational.queries ++
       operators.Windows.queries ++
+      operators.AsOfJoin.queries ++
       operators.Ingest.queries ++
       operators.Analytics.queries ++
       operators.Geo.queries ++
@@ -23,7 +24,8 @@ object SparkEntry {
       domain.ConsistentBursts.queries ++
       domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++
-      pipeline.Embeddings.queries
+      pipeline.Embeddings.queries ++
+      sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The canonical 3-way dim join + aggregation (README.md:146-151 shape). */

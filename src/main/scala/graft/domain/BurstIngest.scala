@@ -73,6 +73,9 @@ object BurstIngest {
       val sensing = (ann \ "swathTiming" \ "burstList" \ "burst")
         .map(b => XmlSource.parseTimeUs((b \ "sensingTime").text.trim))
       val stem = file.split('/').last.stripSuffix(".SAFE")
+      // zip would silently truncate on a malformed granule, dropping bursts
+      require(sensing.length == polys.length,
+        s"$file: ${sensing.length} bursts vs ${polys.length} grid polygons")
       sensing.zip(polys).map { case (tUs, poly) =>
         val id = BurstId.fromBurstParams(
           Instant.ofEpochSecond(tUs / 1000000L, (tUs % 1000000L) * 1000L),

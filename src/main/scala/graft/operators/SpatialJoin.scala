@@ -27,13 +27,21 @@ import org.locationtech.jts.index.strtree.STRtree
   */
 object SpatialJoin {
 
-  /** Per-JVM index cache: one STRtree build per executor per broadcast. */
+  /** Per-JVM index cache: one STRtree build per executor per broadcast.
+    *
+    * Keyed by (applicationId, broadcast id), NOT broadcast id alone:
+    * broadcast ids restart at 0 per SparkContext, so after a stop/start in
+    * the same JVM (tests, notebooks) a bare-id key could silently serve a
+    * previous context's polygons. Inserting under a new application also
+    * evicts every entry from other applications — they can never be probed
+    * again, so a long-lived JVM doesn't accumulate dead trees. */
   private object TreeCache {
-    private val cache = new ConcurrentHashMap[Long, STRtree]()
+    private val cache = new ConcurrentHashMap[(String, Long), STRtree]()
     /** number of tree builds in this JVM (spec observability hook) */
     val builds = new AtomicLong(0L)
-    def get(bcId: Long, wkbs: Seq[(Long, Array[Byte])]): STRtree =
-      cache.computeIfAbsent(bcId, _ => {
+    def get(appId: String, bcId: Long, wkbs: Seq[(Long, Array[Byte])]): STRtree = {
+      cache.keySet.forEach(k => if (k._1 != appId) cache.remove(k))
+      cache.computeIfAbsent((appId, bcId), _ => {
         builds.incrementAndGet()
         val reader = new org.locationtech.jts.io.WKBReader()
         val tree = new STRtree()
@@ -44,6 +52,7 @@ object SpatialJoin {
         tree.build()
         tree
       })
+    }
   }
 
   /** Test hook: how many STRtree builds this JVM has performed. */
@@ -62,11 +71,12 @@ object SpatialJoin {
       (id, new org.locationtech.jts.io.WKBWriter().write(GeoFunctions.parseWkt(wkt)))
     }
     val bc = spark.sparkContext.broadcast(wkbs)
+    val appId = spark.sparkContext.applicationId // closed over → valid on executors
 
     big.select(col("id").cast("long"), col("wkt").cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val tree = TreeCache.get(bc.id, bc.value)
+        val tree = TreeCache.get(appId, bc.id, bc.value)
         it.flatMap { case (rowId, wkt) =>
           val g = GeoFunctions.parseWkt(wkt)
           import scala.jdk.CollectionConverters._

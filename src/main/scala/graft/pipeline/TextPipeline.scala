@@ -82,13 +82,39 @@ object TextPipeline {
   // in Verify/Bench, and the downstream plans become plain parquet scans
   // with pushdown. (SimHash and the fingerprint need the raw multiset and
   // keep their inline scans.)
-  private val sharedGrams = scala.collection.mutable.Map[(Int, String), String]()
+  // WeakHashMap keyed by the session OBJECT (not its identity hash: a
+  // collision after a session is GC'd could hand a new session another
+  // run's temp path); entries die with their session. Temp dirs are
+  // recursively removed by a JVM shutdown hook.
+  private val sharedGrams =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  private lazy val cleanupHook: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-grams")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    root
+  }
 
-  /** The materialized DISTINCT (doc_id, g, hm) table for (session, dir). */
+  /** The materialized DISTINCT (doc_id, g, hm) table for (session, dir).
+    * Call once outside any timed region (Bench's warm-up does) — the
+    * first touch pays the one-off shingle materialization write. */
   def distinctGrams(s: SparkSession, d: String): DataFrame = synchronized {
-    val path = sharedGrams.getOrElseUpdate((System.identityHashCode(s), d), {
-      val p = java.nio.file.Files.createTempDirectory("graft-grams")
-        .resolve("grams").toString
+    val perSession = {
+      val m = sharedGrams.get(s)
+      if (m != null) m
+      else {
+        val m2 = scala.collection.mutable.Map[String, String]()
+        sharedGrams.put(s, m2); m2
+      }
+    }
+    val path = perSession.getOrElseUpdate(d, {
+      val p = java.nio.file.Files
+        .createTempDirectory(cleanupHook, "ds").resolve("grams").toString
       grams(s, d).select(col("doc_id"), col("g"), col("hm")).distinct()
         .write.mode("overwrite").parquet(p)
       p
@@ -150,32 +176,71 @@ object TextPipeline {
     * diameter (near-dup clusters are shallow: clone groups are cliques,
     * diameter ≤ 2); each round is a shuffle join + combiner aggregate, so
     * the work is fully distributed — the driver only checks the
-    * converged-yet count (the standard connected-components loop shape;
-    * the per-round persist keeps lineage from growing unboundedly).
+    * converged-yet count (the standard connected-components loop shape).
+    *
+    * Lineage control: `labels` is referenced three times per round (the
+    * neighbor join, the convergence check, the next round's base), so a
+    * persist() alone caches DATA but lets the LOGICAL PLAN nest ~3× per
+    * round — exponential plan growth that hit Spark's 2 GiB plan-string
+    * cap and stalled analysis on a prior large-scale run. Each round's
+    * result is therefore localCheckpoint(eager = true)-ed: the plan is
+    * cut to a leaf over the materialized blocks, so round N+1's plan is
+    * O(1) regardless of N. Superseded rounds' blocks become unreferenced
+    * on reassignment and the ContextCleaner reclaims them.
+    *
+    * A non-converged exit would silently return WRONG labels (rows still
+    * carrying a non-canonical id), so exhausting maxIters throws instead.
     * Returns (doc_id, canonical_id = min doc id of the component). */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterate ONLY over the candidate-pair vertex set: a doc that appears
+    // in no pair keeps its own id forever, so looping over the full corpus
+    // would shuffle billions of never-changing rows per round at 100 TB.
+    // The vertex set is the near-dup fraction — orders of magnitude
+    // smaller; the untouched majority joins back in one pass at the end.
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"), lit(false).as("chg"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("a"), col("lbl").as("albl")), Seq("a"))
         .groupBy(col("b").as("doc_id")).agg(min(col("albl")).as("nlbl"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      // pointer jumping: also adopt lbl(lbl(x)). Plain neighbor-min needs
+      // O(diameter) rounds — a chain-shaped near-dup component (doc A ~ B,
+      // B ~ C, ...) of length d would take d rounds at 100 TB. Following
+      // the label's own label halves every chain per round → O(log d).
+      // The fixpoint (everyone holds the component min) is unchanged.
+      val jump = labels.as("x")
+        .join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("jlbl"))
+      // the `chg` flag rides along into the checkpoint so convergence is a
+      // scan of the just-materialized blocks — no extra join-action per round
+      val next = labels.select(col("doc_id"), col("lbl"))
+        .join(neighborMin, Seq("doc_id"), "left")
+        .join(jump, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))) =!= col("lbl")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).isEmpty
       labels = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("canonical_id"))
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters")
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
   }
 
   /** Oracle CTE (`bands`) mirroring [[bandRows]] over `sig`. */

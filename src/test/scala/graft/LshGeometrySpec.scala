@@ -71,6 +71,30 @@ class LshGeometrySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("dedup clusters: a 60-edge chain converges within the round budget") {
+    // A path graph 1-2-3-...-61 has diameter 60: plain neighbor-min
+    // propagation would need 60 rounds (> maxIters=20) — only the
+    // pointer-jumping step (adopting lbl(lbl(x)), O(log d) rounds) makes
+    // this converge. This also regression-pins the lineage fix: 60 rounds
+    // of un-truncated plans would have blown past the plan-string cap.
+    val n = 61
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = TextPipeline.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 1L),
+      s"all $n chain members must canonicalize to 1")
+  }
+
+  test("dedup clusters: exhausting maxIters fails loudly, not silently wrong") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = (1L until 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val e = intercept[IllegalStateException] {
+      TextPipeline.dedupClusters(docs, pairs, maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("band geometry guardrails") {
     val sig = TextPipeline.minhashSignatures(spark, sf())
     intercept[IllegalArgumentException] {
