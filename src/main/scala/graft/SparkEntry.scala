@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Windows.queries ++
       operators.AsOfJoin.queries ++
+      operators.RangeJoin.queries ++
       operators.Ingest.queries ++
       operators.Analytics.queries ++
       operators.Geo.queries ++
