@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.AsOfJoin.queries ++
       operators.RangeJoin.queries ++
+      operators.Layout.queries ++
       operators.Ingest.queries ++
       operators.Analytics.queries ++
       operators.Geo.queries ++

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -72,4 +73,23 @@ object Layout {
       .agg(sum(col("__cnt")).as("n"),
         sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
   }
+
+  val queries: Seq[QueryDef] = Seq(
+    // the salted two-stage aggregation vs a plain GROUP BY oracle: proves
+    // the skew-mitigation path is semantics-preserving (event_type has
+    // only 5 values — exactly the hot-key shape salting exists for; value
+    // is per-row quantized BEFORE summation so both engines sum integers)
+    QueryDef.sql(
+      "q_salted_agg",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      saltedSumCount(ev, col("event_type"), salts = 8, sumCols = Seq("v_c"))
+        .select(col("key").as("event_type"), col("n"),
+          col("sum_v_c").cast("long").as("sum_v_c"))
+        .orderBy(col("event_type"))
+    }
+  )
 }

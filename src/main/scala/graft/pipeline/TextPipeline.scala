@@ -168,6 +168,27 @@ object TextPipeline {
       .agg(countDistinct(col("a.b")).as("n_bands"))
   }
 
+  /** Star-reduced edge set for CLUSTERING over the same LSH geometry:
+    * per band bucket, edges (bucket-min, member) instead of all pairs.
+    * A star spans exactly the component its clique would — connected
+    * components over star edges equal components over pairwise edges — but
+    * costs O(k) per bucket where pairwise costs O(k²): with 10⁴ identical
+    * documents in one hot bucket (the dedup worst case at 100 TB),
+    * pairwise emits 5·10⁷ edges from a single reducer, the star emits
+    * 10⁴. Use [[lshCandidatePairs]] only when the pair list itself is the
+    * product (similarity scoring); use this to feed [[dedupClusters]]. */
+  def lshClusterEdges(sig: DataFrame, bands: Int = LshBands,
+      rowsPerBand: Int = LshRowsPerBand): DataFrame = {
+    val bandTable = bandRows(sig, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val roots = bandTable.groupBy(col("b"), col("sig_key"))
+      .agg(min(col("doc_id")).as("doc1"))
+    bandTable.join(roots, Seq("b", "sig_key"))
+      .filter(col("doc_id") =!= col("doc1"))
+      .select(col("doc1"), col("doc_id").as("doc2"))
+      .distinct()
+  }
+
   /** Connected components over near-duplicate candidate pairs — the step
     * that turns a pair list into keep/drop decisions. Distributed
     * min-label propagation: every doc starts labeled with its own id;
@@ -363,8 +384,10 @@ object TextPipeline {
          |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(doc_id) AS BIGINT) AS sum_members
          |FROM canon GROUP BY canonical_id ORDER BY canonical_id""".stripMargin) { (s, d) =>
-      val pairs = lshCandidatePairs(minhashSignatures(s, d), LshBands, LshRowsPerBand)
-        .select(col("doc1"), col("doc2"))
+      // star edges, not pairwise: components are provably identical (the
+      // oracle's recursive closure runs over the pairwise set and the
+      // hashes still match) but the hot-bucket cost is O(k), not O(k²)
+      val pairs = lshClusterEdges(minhashSignatures(s, d), LshBands, LshRowsPerBand)
       dedupClusters(Tables.documents(s, d).select(col("doc_id")), pairs)
         .groupBy(col("canonical_id"))
         .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_members"))

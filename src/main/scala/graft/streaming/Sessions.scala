@@ -52,6 +52,27 @@ object Sessions {
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join (the streaming form of the
+    * range join, operators/RangeJoin): each left row pairs with right rows
+    * of the same key whose `ts` falls within `lookback` before the left
+    * `ts`. Both sides carry watermarks and the join condition carries the
+    * time-range conjunct — that pair is what lets Spark BOUND the join
+    * state (right rows older than watermark − lookback are evicted); a
+    * stream-stream join without the range conjunct retains state forever,
+    * the unbounded-state hazard at production event rates. `withWatermark`
+    * is a no-op on batch frames, so the same function is the batch
+    * equivalence oracle (StreamingSpec). Both inputs need event-time
+    * column `ts`; output qualifies sides as `l` / `r`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lookback: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withColumnRenamed("ts", "l_ts")
+      .withWatermark("l_ts", watermarkDelay).alias("l")
+    val r = right.withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r_ts >= l_ts - INTERVAL $lookback AND r_ts <= l_ts"))
+  }
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

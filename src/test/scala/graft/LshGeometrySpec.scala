@@ -95,6 +95,23 @@ class LshGeometrySpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star-reduced cluster edges yield the same components as pairwise edges") {
+    val sig = TextPipeline.minhashSignatures(spark, sf()).persist()
+    val docs = Tables.documents(spark, sf()).select($"doc_id")
+    val viaPairs = TextPipeline.dedupClusters(docs,
+      TextPipeline.lshCandidatePairs(sig).select($"doc1", $"doc2"))
+      .as[(Long, Long)].collect().toMap
+    val viaStars = TextPipeline.dedupClusters(docs,
+      TextPipeline.lshClusterEdges(sig))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaPairs)
+    // and the star set is never larger than the pairwise set
+    val nPairs = TextPipeline.lshCandidatePairs(sig).count()
+    val nStars = TextPipeline.lshClusterEdges(sig).count()
+    assert(nStars <= nPairs, s"$nStars star edges vs $nPairs pairwise")
+    sig.unpersist()
+  }
+
   test("band geometry guardrails") {
     val sig = TextPipeline.minhashSignatures(spark, sf())
     intercept[IllegalArgumentException] {

@@ -77,6 +77,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).select($"event_id").distinct().count() == got)
   }
 
+  test("stream-stream interval join equals the batch join on the same data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val pDir = s"$tmp/p"; val qDir = s"$tmp/q"
+    val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    val ev = Tables.events(spark, sf()).filter($"user_id" < 8)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts").coalesce(1).write.parquet(pDir)
+    ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts").coalesce(1).write.parquet(qDir)
+
+    def stream(dir: String) =
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+
+    // generous watermark delay → no state eviction inside the run, so the
+    // stream result must EQUAL the batch join (the 0-delay eviction path
+    // is exercised by the sessionization test above)
+    val q = Sessions.intervalJoin(stream(pDir), stream(qDir),
+        "user_id", "2 hours", watermarkDelay = "30 days")
+      .select($"l.event_id".as("pid"), $"r.event_id".as("qid"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long)].collect().toSet
+    val batch = Sessions.intervalJoin(
+        spark.read.parquet(pDir), spark.read.parquet(qDir),
+        "user_id", "2 hours", watermarkDelay = "30 days")
+      .select($"l.event_id".as("pid"), $"r.event_id".as("qid"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState batch labeling assigns sequential batches") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val acqs = (0 until 120).map(i =>
