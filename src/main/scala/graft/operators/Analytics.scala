@@ -123,6 +123,20 @@ object Analytics {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
     },
 
+    // full grouping-sets lattice: CUBE adds the per-source marginals that
+    // ROLLUP's hierarchy omits (reference summary tables report both axes)
+    QueryDef.sql(
+      "q_cube",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).cast("long").as("min_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
     // exact interpolated quantiles of document length per language
     QueryDef.sql(
       "q_quantiles",

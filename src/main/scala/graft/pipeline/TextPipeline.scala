@@ -212,56 +212,123 @@ object TextPipeline {
     * A non-converged exit would silently return WRONG labels (rows still
     * carrying a non-canonical id), so exhausting maxIters throws instead.
     * Returns (doc_id, canonical_id = min doc id of the component). */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** observability hook: rounds the last [[dedupClusters]] call took. */
+  @volatile var lastClusterRounds: Int = 0
+
+  /** `partsOverride` pins the contraction/loop width (tests use it to
+    * exercise the multi-partition quotient path on small graphs). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 30,
+      partsOverride: Option[Int] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val sess = docs.sparkSession
+    import sess.implicits._
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Iterate ONLY over the candidate-pair vertex set: a doc that appears
-    // in no pair keeps its own id forever, so looping over the full corpus
-    // would shuffle billions of never-changing rows per round at 100 TB.
-    // The vertex set is the near-dup fraction — orders of magnitude
-    // smaller; the untouched majority joins back in one pass at the end.
-    var labels = edges.select(col("a").as("doc_id")).distinct()
+    // Size the loop's shuffle width to the PROBLEM, not the session
+    // default: the vertex set is the near-dup fraction (usually orders of
+    // magnitude below the corpus), and each propagation round is several
+    // chained tiny jobs whose latency — not data — dominates when
+    // partitions are near-empty. ~2M edge rows per partition; the count
+    // also forces the edge persist once, outside everything.
+    val parts = partsOverride.getOrElse(
+      math.max(1, math.min(4096, (edges.count() / 2000000L + 1).toInt)))
+
+    // PHASE 1 — partition-local contraction. One union-find sweep per edge
+    // partition maps every locally-connected subgraph to its min-id root
+    // (the by-min union rule keeps roots = local minima, so the global
+    // component min always survives as its own root). Label propagation
+    // alone needs O(log diameter) distributed rounds — ~13 rounds on a
+    // chained corpus — but after contraction the loop only sees the
+    // quotient graph of CROSS-partition edges, whose diameter is bounded
+    // by the partition count, not the corpus: typically 0-4 rounds. This
+    // is the one imperative mapPartitions in the pipeline, and it is
+    // partition-local by construction (the same license as the STRtree).
+    // RANGE partitioning, not hash: contraction quality is how much of a
+    // component lands in one partition, and near-dup edges are id-local
+    // (star edges share their root key; clone ids cluster) — a hash
+    // scatter would leave a quotient graph nearly as deep as the input.
+    val localRoot = edges.repartitionByRange(parts, col("a")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        it.foreach { case (a, b) =>
+          seen += a; seen += b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        seen.iterator.map(x => (x, find(x)))
+      }.toDF("doc_id", "lroot")
+    // a vertex seen in several partitions gets one candidate root each;
+    // φ(x) = the smallest — still inside x's component, still ≥ its min
+    val phi = localRoot.groupBy(col("doc_id")).agg(min(col("lroot")).as("lroot"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // quotient edges: original edges mapped through φ, self-loops dropped.
+    // Connectivity is preserved (each original path maps to a φ-path), so
+    // quotient components are exactly the images of original components.
+    val qEdges = edges
+      .join(phi.select(col("doc_id").as("a"), col("lroot").as("ra")), Seq("a"))
+      .join(phi.select(col("doc_id").as("b"), col("lroot").as("rb")), Seq("b"))
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra").as("a"), col("rb").as("b")).distinct()
+      .repartition(parts, col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // PHASE 2 — min-label propagation over the quotient graph only.
+    var labels = qEdges.select(col("a").as("doc_id")).distinct()
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("doc_id").as("lbl"), lit(false).as("chg"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // fully-local graph: nothing to propagate
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
+      // pointer jumping fused into the neighbor pass: augment the real
+      // edges with (parent = lbl(x) → x) label edges, so x's neighbor-min
+      // also sees lbl(lbl(x)) — chains halve every round, O(log d) rounds
+      // with ONE join + aggregate per round. The fixpoint (everyone holds
+      // the component min) is unchanged.
+      val allEdges = qEdges
+        .union(labels.select(col("lbl").as("a"), col("doc_id").as("b")))
+      val neighborMin = allEdges
         .join(labels.select(col("doc_id").as("a"), col("lbl").as("albl")), Seq("a"))
         .groupBy(col("b").as("doc_id")).agg(min(col("albl")).as("nlbl"))
-      // pointer jumping: also adopt lbl(lbl(x)). Plain neighbor-min needs
-      // O(diameter) rounds — a chain-shaped near-dup component (doc A ~ B,
-      // B ~ C, ...) of length d would take d rounds at 100 TB. Following
-      // the label's own label halves every chain per round → O(log d).
-      // The fixpoint (everyone holds the component min) is unchanged.
-      val jump = labels.as("x")
-        .join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("jlbl"))
       // the `chg` flag rides along into the checkpoint so convergence is a
       // scan of the just-materialized blocks — no extra join-action per round
       val next = labels.select(col("doc_id"), col("lbl"))
         .join(neighborMin, Seq("doc_id"), "left")
-        .join(jump, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))).as("lbl"),
-          (least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))) =!= col("lbl")).as("chg"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("nlbl"), col("lbl"))) =!= col("lbl")).as("chg"))
+        .repartition(parts, col("doc_id"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).isEmpty
       labels = next
       iter += 1
+      lastClusterRounds = iter
     }
-    edges.unpersist()
+    lastClusterRounds = iter
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters: min-label propagation did not converge in $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
-    docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("lbl")), Seq("doc_id"), "left")
+    // canonical(x) = loop label of φ(x); a quotient root that never made it
+    // into qEdges was a fully-local component — φ(x) is already its min
+    val vertexLabels = phi
+      .join(labels.select(col("doc_id").as("lroot"), col("lbl")), Seq("lroot"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("lroot")).as("lbl"))
+    val out = docs.select(col("doc_id"))
+      .join(vertexLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
+      .localCheckpoint(true) // pin the result before releasing the caches
+    edges.unpersist(); phi.unpersist(); qEdges.unpersist()
+    out
   }
 
   /** Oracle CTE (`bands`) mirroring [[bandRows]] over `sig`. */

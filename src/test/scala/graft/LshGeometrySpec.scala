@@ -71,26 +71,33 @@ class LshGeometrySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
-  test("dedup clusters: a 60-edge chain converges within the round budget") {
-    // A path graph 1-2-3-...-61 has diameter 60: plain neighbor-min
-    // propagation would need 60 rounds (> maxIters=20) — only the
-    // pointer-jumping step (adopting lbl(lbl(x)), O(log d) rounds) makes
-    // this converge. This also regression-pins the lineage fix: 60 rounds
-    // of un-truncated plans would have blown past the plan-string cap.
-    val n = 61
+  test("dedup clusters: a 240-edge chain converges within the round budget") {
+    // A path graph 1-2-...-241 has diameter 240: plain neighbor-min
+    // propagation would need 240 rounds. Phase 1 contracts each of the 8
+    // forced partitions locally; the quotient chain of ≤ 8 local roots
+    // then converges in O(log) pointer-jumping rounds. Forcing 8
+    // partitions exercises the cross-partition path a 1-partition test
+    // would skip; it also regression-pins the lineage fix (un-truncated
+    // plans at this round count would blow past the plan-string cap).
+    val n = 241
     val docs = (1L to n.toLong).toDF("doc_id")
     val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val got = TextPipeline.dedupClusters(docs, pairs)
+    val got = TextPipeline.dedupClusters(docs, pairs, partsOverride = Some(8))
       .as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.forall(_ == 1L),
       s"all $n chain members must canonicalize to 1")
+    assert(TextPipeline.lastClusterRounds <= 8,
+      s"${TextPipeline.lastClusterRounds} rounds on an 8-root quotient chain")
   }
 
   test("dedup clusters: exhausting maxIters fails loudly, not silently wrong") {
-    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
-    val pairs = (1L until 5L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    // 8 forced partitions keep a non-trivial quotient graph alive so the
+    // propagation loop actually runs; maxIters=1 cannot converge on it
+    val n = 241
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val e = intercept[IllegalStateException] {
-      TextPipeline.dedupClusters(docs, pairs, maxIters = 1)
+      TextPipeline.dedupClusters(docs, pairs, maxIters = 1, partsOverride = Some(8))
     }
     assert(e.getMessage.contains("did not converge"))
   }
