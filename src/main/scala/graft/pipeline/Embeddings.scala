@@ -177,6 +177,40 @@ object Embeddings {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // same pairing as q_ann_zipwith but through the codegen'd QDotExpr —
+    // one static loop over the unsafe array data per pair instead of the
+    // zipped-intermediate + two lambdas; identical oracle arithmetic, so
+    // the hash match proves the native expression bit-exact
+    QueryDef.sql(
+      "q_ann_native_dot",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS cand_id,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qe, e.embedding),
+        |      p -> CAST(FLOOR(CAST(STRUCT_EXTRACT(p, 1) AS DOUBLE)*1000000) AS BIGINT)
+        |         * CAST(FLOOR(CAST(STRUCT_EXTRACT(p, 2) AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS dot_q
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, cand_id, dot_q,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, cand_id) AS rk
+        |  FROM pairs)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, cand_id, dot_q
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val pairs = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          graft.functions.QDot.qdot(col("qe"), col("embedding")).as("dot_q"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("cand_id"))
+      pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("cand_id"), col("dot_q"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // embedding-cosine near-duplicate detection: LSH buckets generate the
     // candidate pairs (bucket-equality join — never the O(n²) cross
     // product), exact integer-quantized cosine verifies; pairs above the
