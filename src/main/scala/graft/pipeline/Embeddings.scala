@@ -95,19 +95,22 @@ object Embeddings {
          |SELECT qid, CAST(rk AS BIGINT) AS rk, cand_id, dot_q, cos_q6
          |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // qe feeds norms, the probe side, and the corpus side — one compute
-      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
-      // the probe set is FIXED (8 vectors × 64 dims) → broadcast it; joining
-      // on `i` (64 distinct keys) with a shuffle would serialize on 64
-      // reducers. The corpus side streams map-side.
-      val probe = qe.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("i"), col("qe").as("pqe"))
-      val dots = qe.withColumnRenamed("vec_id", "cand_id")
-        .join(broadcast(probe), Seq("i"))
+      import graft.functions.QDot.qdot
+      // whole-array formulation: the codegen'd qdot computes each
+      // (probe, candidate) dot in one pass over the unsafe array data —
+      // no element explosion, no join on `i`, no per-pair aggregation
+      // shuffle. The fixed probe set (8 vectors) broadcasts; the corpus
+      // side streams map-side, ONE row per pair from the start.
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val norms = emb.select(col("vec_id"),
+        qdot(col("embedding"), col("embedding")).as("n2"))
+      val probe = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("pe"))
+      val dots = emb.withColumnRenamed("vec_id", "cand_id")
+        .crossJoin(broadcast(probe))
         .filter(col("qid") =!= col("cand_id"))
-        .groupBy(col("qid"), col("cand_id"))
-        .agg(sum(col("pqe") * col("qe")).as("dot_q"))
+        .select(col("qid"), col("cand_id"),
+          qdot(col("pe"), col("embedding")).as("dot_q"))
       val withCos = dots
         .join(broadcast(norms.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
@@ -235,20 +238,24 @@ object Embeddings {
          |          JOIN norms n2 ON n2.vec_id = v2
          |WHERE FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) >= 150000
          |ORDER BY cos_q6 DESC, v1, v2 LIMIT 200""".stripMargin) { (s, d) =>
-      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val buckets = lshBuckets(qe, LshPlanes)
+      import graft.functions.QDot.qdot
+      // element rows feed ONLY the hyperplane projection (lshBuckets needs
+      // per-dimension rows); the verify stage joins candidate ids back to
+      // the raw arrays and computes each dot in one codegen'd pass —
+      // no per-element join, no per-pair aggregation shuffle
+      val buckets = lshBuckets(qelems(s, d), LshPlanes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = buckets.as("a")
         .join(buckets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      val norms = qe.groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val norms = emb.select(col("vec_id"),
+        qdot(col("embedding"), col("embedding")).as("n2"))
       val dots = cand
-        .join(qe.select(col("vec_id").as("v1"), col("i"), col("qe").as("qe1")), Seq("v1"))
-        .join(qe.select(col("vec_id").as("v2"), col("i"), col("qe").as("qe2")),
-          Seq("v2", "i"))
-        .groupBy(col("v1"), col("v2"))
-        .agg(sum(col("qe1") * col("qe2")).as("dot"))
+        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+        .select(col("v1"), col("v2"), qdot(col("e1"), col("e2")).as("dot"))
       dots
         .join(norms.select(col("vec_id").as("v1"), col("n2").as("n21")), Seq("v1"))
         .join(norms.select(col("vec_id").as("v2"), col("n2").as("n22")), Seq("v2"))
@@ -289,12 +296,16 @@ object Embeddings {
          |FROM ranked r JOIN occ o ON o.cluster = r.cluster
          |WHERE r.rk <= 3 ORDER BY r.cluster, r.rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val qe = qelems(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cent = qe.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("i"), col("qe").as("cqe"))
-      val dots = qe.join(broadcast(cent), Seq("i"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("qe") * col("cqe")).as("dot"))
+      import graft.functions.QDot.qdot
+      // the 8-centroid codebook broadcasts as whole arrays; assignment is
+      // 8 codegen'd dots per vector in a single map stage — the exploded
+      // version needed a 64-element join plus a per-(vector, centroid)
+      // aggregation shuffle before the argmax
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val dots = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), qdot(col("embedding"), col("ce")).as("dot"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
       val members = dots.withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
@@ -334,13 +345,18 @@ object Embeddings {
          |FROM top t JOIN documents d1 ON d1.doc_id = t.v1
          |           JOIN documents d2 ON d2.doc_id = t.v2
          |ORDER BY t.cos_q6 DESC, t.v1, t.v2""".stripMargin) { (s, d) =>
-      val qe = qelems(s, d).filter(col("vec_id") < 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = qelems(s, d).groupBy(col("vec_id")).agg(sum(col("qe") * col("qe")).as("n2"))
-      val dots = qe.as("a")
-        .join(qe.as("b"), col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-        .agg(sum(col("a.qe") * col("b.qe")).as("dot"))
+      import graft.functions.QDot.qdot
+      // 64-vector slice: pair the whole arrays under a broadcast NLJ and
+      // compute each dot in one codegen'd pass (the exploded self-join on
+      // `i` shuffled 64 element rows per vector and re-aggregated)
+      val emb64 = Tables.embeddings(s, d).filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+      val norms = Tables.embeddings(s, d).select(col("vec_id"),
+        qdot(col("embedding"), col("embedding")).as("n2"))
+      val dots = emb64.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+        .join(broadcast(emb64.select(col("vec_id").as("v2"), col("embedding").as("e2"))),
+          col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), qdot(col("e1"), col("e2")).as("dot"))
       val sims = dots
         .join(norms.select(col("vec_id").as("v1"), col("n2").as("n21")), Seq("v1"))
         .join(norms.select(col("vec_id").as("v2"), col("n2").as("n22")), Seq("v2"))
