@@ -27,6 +27,7 @@ object SparkEntry {
       domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++
       pipeline.Embeddings.queries ++
+      pipeline.Packing.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
