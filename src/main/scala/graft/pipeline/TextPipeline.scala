@@ -608,6 +608,39 @@ object TextPipeline {
         .limit(100)
     },
 
+    // heavy hitters: top-5 grams per language by document frequency —
+    // exact two-stage shape: df via combiner-backed groupBy, then the
+    // rank window runs over PRE-AGGREGATED (lang, g, df) rows prefiltered
+    // to df ≥ 3 (the common-gram mass), so the per-language reducer sees
+    // the aggregate tail, never raw gram rows
+    QueryDef.sql(
+      "q_frequent_ngrams",
+      s"""WITH $gramsSql,
+         |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         |freq AS (
+         |  SELECT d.lang, dg.g, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM dg JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang, dg.g
+         |  HAVING COUNT(*) >= 3),
+         |ranked AS (
+         |  SELECT lang, g, df,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, g) AS rk
+         |  FROM freq)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, g, df
+         |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dg = distinctGrams(s, d).select(col("doc_id"), col("g"))
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val freq = dg.join(langs, Seq("doc_id"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("g"))
+      freq.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("g"), col("df"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // Token counting: word tokens + BPE-ish ≤4-char piece count
     QueryDef.sql(
       "q_text_tokens",
