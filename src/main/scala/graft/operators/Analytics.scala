@@ -137,6 +137,60 @@ object Analytics {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
     },
 
+    // feature standardization: per-language z-score of document length.
+    // Mean/variance come from EXACT integer sums (n, Σx, Σx²) so both
+    // engines derive the identical doubles through the identical algebraic
+    // form z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²) — no accumulation-order
+    // dependence anywhere
+    QueryDef.sql(
+      "q_zscore_standardize",
+      """WITH stats AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(FLOOR((CAST(d.n_chars AS DOUBLE) * n - s1)
+        |    / SQRT(GREATEST(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1, 1))
+        |    * 1000000) AS BIGINT) AS z_q6
+        |FROM documents d JOIN stats USING (lang)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("s1"),
+        sum(col("n_chars").cast("long") * col("n_chars")).cast("long").as("s2"))
+      docs.join(broadcast(stats), Seq("lang")) // per-group stats: fixed-size side
+        .select(col("doc_id"), col("lang"),
+          floor((col("n_chars").cast("double") * col("n") - col("s1"))
+            / sqrt(greatest(col("n").cast("double") * col("s2")
+              - col("s1").cast("double") * col("s1"), lit(1)))
+            * 1000000).cast("long").as("z_q6"))
+        .orderBy(col("doc_id"))
+    },
+
+    // rank-fraction windows: percent_rank + cume_dist per nation over
+    // account balance (quantized — both engines divide the same integers)
+    QueryDef.sql(
+      "q_percent_rank",
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pr_q6,
+        |  CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cd_q6
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables.supplier(s, d).select(
+          col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_q6"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cd_q6"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // exact interpolated quantiles of document length per language
     QueryDef.sql(
       "q_quantiles",

@@ -78,6 +78,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("embedding dots stay whole-array (no element explosion in the pair stage)") {
+    // the round-3 rewrite: candidate pairs carry raw arrays through the
+    // join and one codegen'd qdot computes each dot — a regression back to
+    // posexplode + join-on-i + re-aggregation would re-shuffle 64× the data
+    for (q <- Seq("q_ann_bruteforce", "q_crossmodal_dedup", "q_ann_native_dot")) {
+      val p = plan(q)
+      assert(p.contains("qdot"), s"$q lost the native dot expression:\n${p.take(1500)}")
+      assert(!p.contains("posexplode"), s"$q regressed to element explosion")
+    }
+    // the LSH bucket stage legitimately keeps element rows (hyperplane
+    // projection is per-dimension); only the verify stage must not
+    val pDedup = plan("q_dedup_embedding")
+    assert(pDedup.contains("qdot"), "q_dedup_embedding verify stage lost qdot")
+  }
+
+  test("heavy-hitters window runs over pre-aggregated rows only") {
+    val p = plan("q_frequent_ngrams")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"df aggregate lost map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("windowspecdefinition(g"),
+      "rank window must partition by lang over aggregated rows, never by gram")
+  }
+
   test("gram_hash5 equals the ascii/substring composite and stays codegen'd") {
     import graft.functions.GramHash
     import spark.implicits._
