@@ -137,6 +137,23 @@ object Analytics {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
     },
 
+    // deterministic stratified sampling: ~20% per language via the Knuth
+    // multiplicative hash on the id — NEVER rand() (the determinism
+    // contract), and the stratum sizes verify the rate is uniform
+    QueryDef.sql(
+      "q_stratified_sample",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(pmod(col("doc_id") * 2654435761L, lit(4294967296L)), lit(100)) < 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+
     // feature standardization: per-language z-score of document length.
     // Mean/variance come from EXACT integer sums (n, Σx, Σx²) so both
     // engines derive the identical doubles through the identical algebraic

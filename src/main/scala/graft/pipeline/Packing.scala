@@ -79,6 +79,34 @@ object Packing {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // passage-level duplicate detection (the block-hash flavor of corpus
+    // dedup): md5 of aligned 100-char blocks, keep hashes seen in >1
+    // distinct document — finds repeated passages that whole-document
+    // dedup misses; one narrow chunk pass + one combiner-backed groupBy
+    QueryDef.sql(
+      "q_dup_passages",
+      """WITH blocks AS (
+        |  SELECT doc_id, MD5(SUBSTR(text, CAST(k * 100 + 1 AS INTEGER), 100)) AS h
+        |  FROM documents,
+        |    UNNEST(RANGE(0, CAST(FLOOR((LENGTH(text) - 1) / 100) AS BIGINT) + 1)) AS u(k)
+        |  WHERE LENGTH(SUBSTR(text, CAST(k * 100 + 1 AS INTEGER), 100)) = 100)
+        |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM blocks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_occurrences DESC, h LIMIT 100""".stripMargin) { (s, d) =>
+      chunks(Tables.documents(s, d), width = 100, stride = 100)
+        .filter(length(col("chunk")) === 100)
+        .select(col("doc_id"), md5(encode(col("chunk"), "UTF-8")).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_occurrences").desc, col("h"))
+        .limit(100)
+    },
+
     // greedy 2048-token packing over 8 shards (tokens ~ chars/4); the
     // DuckDB recursive CTE replays the identical greedy walk per shard
     QueryDef.sql(

@@ -112,6 +112,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("interval join under a tight watermark emits only valid pairs (eviction path)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj0").toString
+    val pDir = s"$tmp/p"; val qDir = s"$tmp/q"
+    val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    val ev = Tables.events(spark, sf()).filter($"user_id" < 8)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts").coalesce(1).write.parquet(pDir)
+    ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts").coalesce(1).write.parquet(qDir)
+    def stream(dir: String) =
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+
+    // 0-delay watermark → right-state eviction at watermark − lookback is
+    // live; every emitted pair must still satisfy the join condition and
+    // be a subset of the batch result (bounded state can only LOSE matches
+    // that arrive after eviction, never invent pairs)
+    val q = Sessions.intervalJoin(stream(pDir), stream(qDir),
+        "user_id", "2 hours", watermarkDelay = "0 seconds")
+      .select($"l.event_id".as("pid"), $"r.event_id".as("qid"),
+        $"l_ts", $"r_ts")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+    streamed.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().foreach { case (pid, qid, lts, rts) =>
+        assert(rts.getTime <= lts.getTime && rts.getTime >= lts.getTime - 2 * 3600 * 1000,
+          s"pair ($pid, $qid) violates the interval")
+      }
+    val batch = Sessions.intervalJoin(
+        spark.read.parquet(pDir), spark.read.parquet(qDir),
+        "user_id", "2 hours")
+      .select($"l.event_id".as("pid"), $"r.event_id".as("qid"))
+      .as[(Long, Long)].collect().toSet
+    val streamedPairs = streamed.select($"pid", $"qid").as[(Long, Long)].collect().toSet
+    assert(streamedPairs.subsetOf(batch))
+  }
+
   test("flatMapGroupsWithState batch labeling assigns sequential batches") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val acqs = (0 until 120).map(i =>
