@@ -34,13 +34,19 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
-  /** left ⟕asof right on `key`, backward in `time`. Right columns (minus
-    * the key) come back prefixed with `prefix`; unmatched lefts get nulls
+  /** left ⟕asof right on `key` in `time`. `direction` "backward" attaches
+    * the latest right at-or-before each left time; "forward" the earliest
+    * right at-or-after (the same running-last trick over DESCENDING time —
+    * rights with larger t are seen first, so the last right seen before a
+    * left row is the smallest t ≥ its time). Right columns (minus the key)
+    * come back prefixed with `prefix`; unmatched lefts get nulls
     * (LEFT OUTER asof semantics). */
   def asOf(left: DataFrame, right: DataFrame, key: Seq[String], time: String,
-      prefix: String = "asof_", tiebreak: Seq[String] = Nil): DataFrame = {
+      prefix: String = "asof_", tiebreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(left.columns.contains(time) && right.columns.contains(time),
       s"both sides need the time column '$time'")
+    require(Seq("backward", "forward").contains(direction), direction)
     val lcols = left.columns.toSeq
     val rcols = right.columns.toSeq.filterNot(key.contains)
     val lPayload = StructType(left.schema.fields)
@@ -54,7 +60,8 @@ object AsOfJoin {
     val u = side(right, 0, lit(null).cast(lPayload), struct(rcols.map(col): _*))
       .unionByName(side(left, 1, struct(lcols.map(col): _*), lit(null).cast(rPayload)))
 
-    val order = Seq(col("__t").asc, col("__side").asc) ++
+    val tOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    val order = Seq(tOrder, col("__side").asc) ++
       tiebreak.map(c => col(s"__tb_$c").asc_nulls_last)
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -89,6 +96,34 @@ object AsOfJoin {
         .groupBy(col("user_id"), col("ts"))
         .agg(floor(max(col("value")) * 100).cast("long").as("click_val_q2"))
       asOf(probes, quotes, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts_us"),
+          unix_micros(col("asof_ts")).as("click_ts_us"),
+          col("asof_click_val_q2").as("click_val_q2"))
+        .orderBy(col("event_id"))
+    },
+
+    // forward direction: each purchase attached to the user's NEXT click
+    // at-or-after it (DuckDB's ASOF with a >= condition is the oracle)
+    QueryDef.sql(
+      "q_asof_join_forward",
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |quotes AS (
+        |  SELECT user_id, ts, CAST(FLOOR(MAX(value) * 100) AS BIGINT) AS click_val_q2
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS p_ts_us,
+        |  EPOCH_US(q.ts) AS click_ts_us, q.click_val_q2
+        |FROM probes p ASOF LEFT JOIN quotes q
+        |  ON p.user_id = q.user_id AND q.ts >= p.ts
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(floor(max(col("value")) * 100).cast("long").as("click_val_q2"))
+      asOf(probes, quotes, Seq("user_id"), "ts", direction = "forward")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("p_ts_us"),
           unix_micros(col("asof_ts")).as("click_ts_us"),

@@ -43,6 +43,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forward asOf attaches the earliest right row at-or-after each left time") {
+    val left = Seq((1L, 10L, "p1"), (1L, 19L, "p2"), (1L, 30L, "p3"), (2L, 5L, "p4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 18L, 180L), (1L, 25L, 250L))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", direction = "forward")
+      .select($"tag", $"asof_t", $"asof_v")
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      ("p1", Some(10L), Some(100L)), // equal timestamp IS visible
+      ("p2", Some(25L), Some(250L)), // earliest ≥ 19
+      ("p3", None, None),            // nothing after 30
+      ("p4", None, None)))           // no right rows for k=2
+  }
+
   test("asOf plan is one shuffle (window), no join") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1L)).toDF("k", "t", "v")
