@@ -38,24 +38,31 @@ object Packing {
 
   /** Greedy fixed-budget packing of (doc_id, shard, tok) rows, in doc-id
     * order within each shard. A doc larger than the budget gets a bin of
-    * its own (the first doc of a bin always enters it). */
+    * its own (the first doc of a bin always enters it).
+    *
+    * Secondary-sort shape, not flatMapGroups: repartition by shard, let
+    * Spark's spill-aware sort order (shard, doc_id) within each partition,
+    * then stream a single iterator that resets its counters at every
+    * shard boundary. No shard's rows are ever materialized — a shard
+    * bigger than executor memory still packs — and the sort spills to
+    * disk instead of OOMing. */
   def packGreedy(docs: DataFrame, budget: Long): DataFrame = {
     val s: SparkSession = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id"), col("shard"), col("tok")).as[DocTok]
-      .groupByKey(_.shard)
-      .flatMapGroups { (shard, it) =>
-        // group fits per-shard state in memory by construction: shard
-        // count is the scale dial (thousands of shards at corpus scale)
-        val sorted = it.toArray.sortBy(_.doc_id)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
         var bin = 0L
         var acc = 0L
         var first = true
-        sorted.iterator.map { d =>
-          if (first) { acc = d.tok; first = false }
-          else if (acc + d.tok > budget) { bin += 1; acc = d.tok }
+        it.map { d =>
+          if (first || d.shard != curShard) {
+            curShard = d.shard; bin = 0L; acc = d.tok; first = false
+          } else if (acc + d.tok > budget) { bin += 1; acc = d.tok }
           else acc += d.tok
-          Packed(d.doc_id, shard, bin, d.tok)
+          Packed(d.doc_id, d.shard, bin, d.tok)
         }
       }.toDF()
   }
