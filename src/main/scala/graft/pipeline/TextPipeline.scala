@@ -250,21 +250,31 @@ object TextPipeline {
     // scatter would leave a quotient graph nearly as deep as the input.
     val localRoot = edges.repartitionByRange(parts, col("a")).as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // primitive long→long parent map (absent key = self-rooted);
+        // every seen node gets an entry, so the map doubles as the seen
+        // set. Boxed HashMap at ~4M nodes/partition would 5× the memory.
+        val parent = new LongLongMap()
         def find(x: Long): Long = {
           var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
           var c = x // path compression
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent.put(c, r); c = n
+          }
           r
         }
-        val seen = scala.collection.mutable.HashSet.empty[Long]
         it.foreach { case (a, b) =>
-          seen += a; seen += b
+          if (!parent.contains(a)) parent.put(a, a)
+          if (!parent.contains(b)) parent.put(b, b)
           val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
         }
-        seen.iterator.map(x => (x, find(x)))
+        // full path compression (puts only touch EXISTING keys — no
+        // resize — so mutating inside foreachKey is safe); afterwards
+        // every entry's value IS its component-local min root, and the
+        // zero-copy iterator streams (node, root) without re-boxing
+        parent.foreachKey { x => find(x); () }
+        parent.iterator
       }.toDF("doc_id", "lroot")
     // a vertex seen in several partitions gets one candidate root each;
     // φ(x) = the smallest — still inside x's component, still ≥ its min
