@@ -618,6 +618,52 @@ object TextPipeline {
         .limit(100)
     },
 
+    // asymmetric containment C(A→B) = |A∩B| / |A|: catches a short doc
+    // quoted inside a long one, which symmetric Jaccard dilutes away
+    // (|A∩B|/|A∪B| stays small when |B| >> |A|). Same rare-gram candidate
+    // bound as the Jaccard query; both directions reported per pair
+    QueryDef.sql(
+      "q_ngram_containment",
+      s"""WITH $gramsSql,
+         |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         |rare AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) <= 20),
+         |rdg AS (SELECT dg.doc_id, dg.g FROM dg JOIN rare USING (g)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rdg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, shared,
+         |  CAST(FLOOR(shared * 1000000.0 / s1.n) AS BIGINT) AS cont12_q6,
+         |  CAST(FLOOR(shared * 1000000.0 / s2.n) AS BIGINT) AS cont21_q6
+         |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+         |           JOIN sizes s2 ON s2.doc_id = doc2
+         |ORDER BY GREATEST(
+         |    CAST(FLOOR(shared * 1000000.0 / s1.n) AS BIGINT),
+         |    CAST(FLOOR(shared * 1000000.0 / s2.n) AS BIGINT)) DESC, doc1, doc2
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val dgAll = distinctGrams(s, d).select(col("doc_id"), col("g"))
+      val rareGrams = dgAll.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("g"))
+      val rdg = dgAll.join(rareGrams, Seq("g"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = rdg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = rdg.as("a")
+        .join(rdg.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("shared"))
+      val c12 = floor(col("shared") * lit(1000000.0) / col("n1")).cast("long")
+      val c21 = floor(col("shared") * lit(1000000.0) / col("n2")).cast("long")
+      inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("shared"),
+          c12.as("cont12_q6"), c21.as("cont21_q6"))
+        .orderBy(greatest(col("cont12_q6"), col("cont21_q6")).desc,
+          col("doc1"), col("doc2"))
+        .limit(100)
+    },
+
     // heavy hitters: top-5 grams per language by document frequency —
     // exact two-stage shape: df via combiner-backed groupBy, then the
     // rank window runs over PRE-AGGREGATED (lang, g, df) rows prefiltered
