@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Ingest.queries ++
       operators.Analytics.queries ++
       operators.Geo.queries ++
+      operators.BloomJoin.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++
@@ -28,6 +29,8 @@ object SparkEntry {
       pipeline.TextPipeline.queries ++
       pipeline.Embeddings.queries ++
       pipeline.Packing.queries ++
+      pipeline.Corpus.queries ++
+      pipeline.Clustering.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

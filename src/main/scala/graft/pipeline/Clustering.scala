@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-means (Lloyd's algorithm) over the `embeddings` table — the clustering
+  * step behind corpus curation (topic balancing, IVF codebook training,
+  * semantic dedup partitioning).
+  *
+  * Determinism contract: elements are floor-quantized to integers
+  * (`floor(x·10⁶)`), so distances are exact 64-bit sums of squared integer
+  * differences and the argmin tie-breaks on centroid id; centroid updates
+  * are `floor(sum·1.0/count)` — one exact integer sum, one correctly-rounded
+  * IEEE division, one floor — identical in Spark and DuckDB. Initial
+  * centroids are the k lowest vec_ids. The whole loop therefore replays
+  * bit-for-bit as unrolled SQL CTEs (q_kmeans's oracle).
+  *
+  * Scale posture: centroids are k whole arrays, BROADCAST to every task;
+  * assignment is one codegen'd fold per (vector, centroid) under a
+  * broadcast nested-loop — the corpus never shuffles by element. The only
+  * shuffles are the per-(cluster, dimension) centroid update (combiner-
+  * backed groupBy over n·dim rows) and the argmin (combiner-backed
+  * min(struct) per vec_id). Each round's centroid table is
+  * localCheckpoint-ed: k·dim longs, cuts the otherwise per-round-nesting
+  * lineage (same rationale as TextPipeline.dedupClusters).
+  */
+object Clustering {
+
+  /** (vec_id, q: array<long>) floor-quantized vectors. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long"))
+        .as("q"))
+
+  /** Squared L2 distance between two quantized arrays — a single codegen'd
+    * zip_with + fold, no element explosion. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Assign each vector to its nearest centroid (ties → lowest cid).
+    * Input: qv (vec_id, q), cent (cid, cq). Output (vec_id, cid, dist). */
+  def assign(qv: DataFrame, cent: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(cent)) // k rows — the intended broadcast NLJ
+      .select(col("vec_id"), col("cid"), sqDist(col("q"), col("cq")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** Recompute centroids as the element-wise floor-mean of members.
+    * Input: members (vec_id, cid), qv (vec_id, q). Output (cid, cq). */
+  def recompute(members: DataFrame, qv: DataFrame): DataFrame =
+    qv.join(members.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "qe")))
+      .groupBy(col("cid"), col("i"))
+      .agg(floor(sum(col("qe")) * lit(1.0) / count(lit(1))).cast("long").as("qc"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("qc")))),
+        _.getField("qc")).as("cq"))
+
+  /** `iters` Lloyd rounds from the k lowest-id vectors. Returns the final
+    * (members, centroids): members carry the distance to the PREVIOUS
+    * round's centroid (the assignment that produced the final update). */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
+    val qv = quantized(emb)
+    var cent = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    var members = assign(qv, cent)
+    for (_ <- 1 until iters) {
+      // k·dim longs: eager checkpoint cuts the per-round plan nesting
+      cent = recompute(members, qv).localCheckpoint(true)
+      members = assign(qv, cent)
+    }
+    (members, recompute(members, qv))
+  }
+
+  /** Oracle helpers: exploded quantized elements + quantized list CTEs. */
+  private val qvSql =
+    """qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qe AS (
+      |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i,
+      |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qe
+      |  FROM embeddings)""".stripMargin
+
+  private def distSql(q1: String, q2: String): String =
+    s"""CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($q1, $q2),
+       |      p -> (STRUCT_EXTRACT(p,1) - STRUCT_EXTRACT(p,2))
+       |         * (STRUCT_EXTRACT(p,1) - STRUCT_EXTRACT(p,2)))) AS BIGINT)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // 2 Lloyd rounds, k = 4: report per-cluster membership, total inertia
+    // of the final assignment, and the updated centroid's squared norm —
+    // the exact integer replay of Clustering.kmeans(emb, 4, 2)
+    QueryDef.sql(
+      "q_kmeans",
+      s"""WITH $qvSql,
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 4),
+         |d1 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${distSql("v.q", "c.cq")} AS dist
+         |  FROM qv v CROSS JOIN c0 c),
+         |m1 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |e1 AS (
+         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe)*1.0/COUNT(*)) AS BIGINT) AS qc
+         |  FROM m1 m JOIN qe u USING (vec_id) GROUP BY m.cid, u.i),
+         |c1 AS (SELECT cid, LIST(qc ORDER BY i) AS cq FROM e1 GROUP BY cid),
+         |d2 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${distSql("v.q", "c.cq")} AS dist
+         |  FROM qv v CROSS JOIN c1 c),
+         |m2 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |e2 AS (
+         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe)*1.0/COUNT(*)) AS BIGINT) AS qc
+         |  FROM m2 m JOIN qe u USING (vec_id) GROUP BY m.cid, u.i)
+         |SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(m.dist) AS BIGINT) AS inertia,
+         |  MAX(n.norm2) AS centroid_norm2
+         |FROM m2 m JOIN (
+         |  SELECT cid, CAST(SUM(qc*qc) AS BIGINT) AS norm2 FROM e2 GROUP BY cid) n
+         |  USING (cid)
+         |GROUP BY m.cid ORDER BY m.cid""".stripMargin) { (s, d) =>
+      val (members, cent) = kmeans(Tables.embeddings(s, d), k = 4, iters = 2)
+      val norms = cent.select(col("cid"),
+        aggregate(col("cq"), lit(0L), (acc, x) => acc + x * x).as("norm2"))
+      members.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+        .join(broadcast(norms), Seq("cid"))
+        .select(col("cid"), col("n_members"), col("inertia"),
+          col("norm2").as("centroid_norm2"))
+        .orderBy(col("cid"))
+    }
+  )
+}

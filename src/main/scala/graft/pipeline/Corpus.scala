@@ -1,0 +1,267 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators a large-scale training-data pipeline runs
+  * between ingest and dedup: relevance scoring (TF-IDF), inverted-index
+  * construction, repetition-based quality filtering (the Gopher-style
+  * signals), PII scrubbing, per-domain caps, and URL/domain extraction.
+  *
+  * All pure Column arithmetic (whole-stage codegen, zero UDFs). The one
+  * numerically delicate piece is IDF: `ln` is not guaranteed identically
+  * rounded across engines, so relevance uses the BM25 idf *odds ratio*
+  * (N - df + 0.5)/(df + 0.5) — the argument of BM25's log — quantized from
+  * one exact double division (IEEE-correctly-rounded in both engines).
+  * Monotone in df exactly like the log form, so rankings are identical.
+  *
+  * Scale posture: every per-token aggregate is a combiner-backed groupBy
+  * (never a window over a raw token stream — the hottest token of a 100 TB
+  * corpus would serialize onto one reducer); per-document signals reduce
+  * the exploded token stream immediately (map-side partial aggregation);
+  * the per-source cap joins ranked rows against a pre-aggregated size
+  * table rather than running a count window over the corpus.
+  */
+object Corpus {
+
+  /** word tokens, lowercased: the shared tokenizer of the family */
+  private val tokSparkPat = "[a-z0-9]+"
+  private val toksSql =
+    """tok AS (
+      |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+      |  FROM documents)""".stripMargin
+
+  private def tokRows(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0))).as("t"))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // TF-IDF top terms per document. tf = in-doc term count; idf = the
+    // BM25 odds ratio (see scaladoc) quantized to q6; score = tf · idf_q6
+    // (exact bigint). Ranking window runs over the PRE-AGGREGATED
+    // (doc, term, score) rows — one row per distinct term per doc, never
+    // the raw token stream.
+    QueryDef.sql(
+      "q_tfidf_top_terms",
+      s"""WITH $toksSql,
+         |tf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, t),
+         |df AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+         |    tf.tf * CAST(FLOOR((n.n_docs - df.df + 0.5) * 1000000.0 / (df.df + 0.5)) AS BIGINT)
+         |      AS score
+         |  FROM tf JOIN df USING (t) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, t, tf, df, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t, tf, df, score
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = tokRows(s, d).groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("t"))
+        .crossJoin(broadcast(n)) // 1-row corpus size — never a driver action
+        .select(col("doc_id"), col("t"), col("tf"), col("df"),
+          (col("tf") * floor((col("n_docs") - col("df") + 0.5) * lit(1000000.0)
+            / (col("df") + 0.5)).cast("long")).as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("t"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Inverted index: per term, document frequency plus the head of the
+    // posting list (first 10 doc_ids — the truncated-postings shape an
+    // impact-ordered index ships). The postings string is built from a
+    // SORTED collected array, so it is deterministic despite collect
+    // order. At 100 TB the collect_list is bounded by the slice: a full
+    // index would instead write (t, doc_id) rows sorted within term —
+    // this query is the per-term summary view of that table.
+    QueryDef.sql(
+      "q_inverted_index",
+      s"""WITH $toksSql,
+         |dt AS (SELECT DISTINCT doc_id, t FROM tok)
+         |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+         |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:10], ',') AS postings_head
+         |FROM dt GROUP BY t ORDER BY t""".stripMargin) { (s, d) =>
+      val dt = tokRows(s, d).distinct()
+      dt.groupBy(col("t"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+              _.cast("string"))).as("postings_head"))
+        .orderBy(col("t"))
+    },
+
+    // Gopher-style repetition/quality signals: distinct-token ratio,
+    // top-token share, mean token length — with the keep/drop verdict a
+    // filtering pipeline ships. The exploded token stream reduces to one
+    // row per (doc, token) immediately (combiner-backed), then to one row
+    // per doc; no window ever sees raw tokens.
+    QueryDef.sql(
+      "q_quality_gopher",
+      s"""WITH $toksSql,
+         |tc AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(LENGTH(t) AS BIGINT) AS wlen
+         |  FROM tok GROUP BY doc_id, t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         |    CAST(SUM(wlen * cnt) AS BIGINT) AS sum_len
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(FLOOR(n_distinct * 1000000.0 / n_tokens) AS BIGINT) AS distinct_ratio_q6,
+         |  CAST(FLOOR(top_cnt * 1000000.0 / n_tokens) AS BIGINT) AS top_share_q6,
+         |  CAST(FLOOR(sum_len * 1000000.0 / n_tokens) AS BIGINT) AS mean_wlen_q6,
+         |  CAST(n_tokens >= 20
+         |    AND FLOOR(n_distinct * 1000000.0 / n_tokens) >= 200000
+         |    AND FLOOR(top_cnt * 1000000.0 / n_tokens) <= 200000 AS BOOLEAN) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tc = tokRows(s, d).groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("cnt"), length(col("t")).cast("long").as("wlen"))
+      val sig = tc.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+        sum(col("wlen") * col("cnt")).as("sum_len"))
+      val distinctRatio = floor(col("n_distinct") * lit(1000000.0) / col("n_tokens")).cast("long")
+      val topShare = floor(col("top_cnt") * lit(1000000.0) / col("n_tokens")).cast("long")
+      sig.select(col("doc_id"), col("n_tokens"),
+          distinctRatio.as("distinct_ratio_q6"),
+          topShare.as("top_share_q6"),
+          floor(col("sum_len") * lit(1000000.0) / col("n_tokens")).cast("long")
+            .as("mean_wlen_q6"),
+          (col("n_tokens") >= 20 && distinctRatio >= 200000 && topShare <= 200000)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing: synthesize contact strings carrying an email and a
+    // phone per customer, then redact both patterns and count the hits —
+    // the regex-scrub pass every shipped corpus runs. Redaction and
+    // counting are single codegen'd regex ops per row.
+    QueryDef.sql(
+      "q_pii_redact",
+      """WITH msgs AS (
+        |  SELECT c_custkey,
+        |    'Contact ' || c_name || ' <user' || c_custkey ||
+        |    '@mail-' || (c_custkey % 7) || '.example.com> or call +1-' ||
+        |    LPAD(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+        |    LPAD(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+        |    LPAD(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' re: ' || c_mktsegment AS msg
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(msg,
+        |    '[A-Za-z0-9][A-Za-z0-9.#-]*@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(msg, '[A-Za-z0-9][A-Za-z0-9.#-]*@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(msg, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM msgs WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val emailPat = "[A-Za-z0-9][A-Za-z0-9.#-]*@[A-Za-z0-9.-]+"
+      val phonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val msgs = Tables.customer(s, d).select(col("c_custkey"),
+        concat(lit("Contact "), col("c_name"), lit(" <user"), col("c_custkey"),
+          lit("@mail-"), pmod(col("c_custkey"), lit(7)), lit(".example.com> or call +1-"),
+          lpad((pmod(col("c_custkey"), lit(900)) + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((pmod(col("c_custkey") * 7, lit(900)) + 100).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey") * 31, lit(10000)).cast("string"), 4, "0"),
+          lit(" re: "), col("c_mktsegment")).as("msg"))
+      msgs.filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("msg"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"),
+          size(regexp_extract_all(col("msg"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("msg"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Per-domain cap: keep the first 10 documents per source (deterministic
+    // by doc_id) — the standard over-represented-domain guard. Group sizes
+    // come from a combiner-backed aggregate joined back, NOT a count
+    // window over the corpus.
+    QueryDef.sql(
+      "q_domain_cap",
+      """WITH sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, s.n_source
+        |FROM ranked r JOIN sizes s USING (source)
+        |WHERE r.rk <= 10 ORDER BY r.source, r.rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .join(sizes, Seq("source"))
+        .select(col("doc_id"), col("source"), col("rk"), col("n_source"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // URL/domain extraction: synthesize crawl-style URLs, pull host / TLD /
+    // path depth with anchored regexes (identical engines' regex syntax),
+    // aggregate per TLD — the domain-distribution report behind crawl caps.
+    QueryDef.sql(
+      "q_url_extract",
+      """WITH urls AS (
+        |  SELECT p_partkey,
+        |    'https://cdn' || (p_partkey % 5) || '.shop-' || LOWER(REPLACE(p_brand, '#', '')) ||
+        |    (CASE p_partkey % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) ||
+        |    '/parts/' || (p_partkey % 50) || '/item' ||
+        |    (CASE WHEN p_partkey % 4 = 0 THEN '?ref=feed' ELSE '' END) AS url
+        |  FROM part),
+        |parsed AS (
+        |  SELECT p_partkey, url,
+        |    REGEXP_EXTRACT(url, '^https://([^/]+)/', 1) AS host,
+        |    REGEXP_EXTRACT(url, '\.([a-z]+)(/|$)', 1) AS tld,
+        |    CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(url, '^https://[^/]+', ''), '[^/]', '', 'g')) AS BIGINT) AS depth,
+        |    CAST(url LIKE '%?%' AS BOOLEAN) AS has_query
+        |  FROM urls)
+        |SELECT tld, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(SUM(depth) AS BIGINT) AS sum_depth,
+        |  CAST(SUM(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query
+        |FROM parsed GROUP BY tld ORDER BY tld""".stripMargin) { (s, d) =>
+      val urls = Tables.part(s, d).select(col("p_partkey"),
+        concat(lit("https://cdn"), pmod(col("p_partkey"), lit(5)),
+          lit(".shop-"), lower(regexp_replace(col("p_brand"), "#", "")),
+          when(pmod(col("p_partkey"), lit(3)) === 0, ".com")
+            .when(pmod(col("p_partkey"), lit(3)) === 1, ".org").otherwise(".net"),
+          lit("/parts/"), pmod(col("p_partkey"), lit(50)), lit("/item"),
+          when(pmod(col("p_partkey"), lit(4)) === 0, "?ref=feed").otherwise(""))
+          .as("url"))
+      val parsed = urls.select(col("p_partkey"), col("url"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "\\.([a-z]+)(/|$)", 1).as("tld"),
+        length(regexp_replace(regexp_replace(col("url"), "^https://[^/]+", ""), "[^/]", ""))
+          .cast("long").as("depth"),
+        col("url").contains("?").as("has_query"))
+      parsed.groupBy(col("tld")).agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("depth")).as("sum_depth"),
+          sum(when(col("has_query"), 1).otherwise(0)).as("n_with_query"))
+        .orderBy(col("tld"))
+    }
+  )
+}

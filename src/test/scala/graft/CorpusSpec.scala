@@ -1,0 +1,131 @@
+package graft
+
+import graft.pipeline.{Clustering, Corpus}
+import graft.operators.BloomJoin
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 corpus-shaping family: TF-IDF, quality filters,
+  * PII scrubbing, k-means, bloom pre-join. The oracle gate checks the
+  * full queries; these specs pin the algebra on hand-computable inputs
+  * and the scale-posture invariants the oracle can't see. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byName(name: String) =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("tfidf: rarer terms outscore common terms at equal tf") {
+    // idf odds (N - df + 0.5)/(df + 0.5) strictly decreases in df, so at
+    // equal tf a rarer term must strictly outrank a more common one
+    val rows = byName("q_tfidf_top_terms")
+      .select($"doc_id", $"rk", $"tf", $"df", $"score").as[(Long, Long, Long, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { perDoc =>
+      val sorted = perDoc.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, tf1, df1, s1), (_, _, tf2, df2, s2)) =>
+          assert(s1 >= s2) // rank order == score order
+          if (tf1 == tf2 && df1 < df2) assert(s1 > s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("gopher signals: repetitive and tiny docs are dropped, diverse kept") {
+    val docs = Seq(
+      (1L, ("spam " * 50).trim),                        // one token repeated: top_share = 1e6
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")),   // all-distinct, 60 tokens
+      (3L, "too short")                                 // < 20 tokens
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("x")
+    // run the same signal algebra on the synthetic docs
+    val tc = docs.select($"doc_id",
+        explode(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("cnt"))
+    val sig = tc.groupBy($"doc_id").agg(
+      sum($"cnt").as("n_tokens"), count(lit(1)).as("n_distinct"), max($"cnt").as("top_cnt"))
+    val keep = sig.select($"doc_id",
+      ($"n_tokens" >= 20 &&
+        floor($"n_distinct" * lit(1000000.0) / $"n_tokens").cast("long") >= 200000 &&
+        floor($"top_cnt" * lit(1000000.0) / $"n_tokens").cast("long") <= 200000).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("pii redaction leaves no live email or phone pattern behind") {
+    val out = byName("q_pii_redact").select($"redacted", $"n_emails", $"n_phones")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 100)
+    out.foreach { case (red, ne, np) =>
+      assert(ne == 1 && np == 1) // one of each synthesized per row
+      assert(!red.contains("@"), red)
+      assert(!red.matches(".*\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}.*"), red)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"), red)
+    }
+  }
+
+  test("domain cap keeps at most 10 docs per source, lowest ids first") {
+    val rows = byName("q_domain_cap")
+      .select($"source", $"doc_id", $"rk", $"n_source")
+      .as[(String, Long, Long, Long)].collect()
+    val bySource = rows.groupBy(_._1)
+    bySource.values.foreach { g =>
+      assert(g.length <= 10)
+      assert(g.length == math.min(10, g.head._4))
+      // kept ids are exactly the group's smallest, ranked in order
+      val ids = g.sortBy(_._3).map(_._2)
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
+
+  test("inverted index postings are sorted, unique, and df-consistent") {
+    val rows = byName("q_inverted_index")
+      .select($"t", $"df", $"postings_head").as[(String, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dfv, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == math.min(10, dfv))
+      assert(ids.distinct.length == ids.length)
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
+
+  test("kmeans: two obvious blobs separate; inertia never increases") {
+    // 2 tight clusters around (0.1.., ) and (0.9..): ids 0,1 seed them
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.1f else 0.9f
+      (i.toLong, Array.fill(8)(base + (i / 1000.0f)))
+    }.toDF("vec_id", "embedding")
+    val (members, cent) = Clustering.kmeans(vecs, k = 2, iters = 3)
+    val got = members.select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    (0 until 20).foreach { i =>
+      assert(got(i.toLong) == (if (i % 2 == 0) 0L else 1L))
+    }
+    assert(cent.count() == 2)
+    // Lloyd monotonicity on the real table: total inertia(iter 2) ≤ iter 1
+    val emb = Tables.embeddings(spark, sf())
+    def inertia(iters: Int): Long =
+      Clustering.kmeans(emb, 4, iters)._1.agg(sum($"dist")).as[Long].head()
+    assert(inertia(2) <= inertia(1))
+  }
+
+  test("bloom pre-join: no false negatives, and the prefilter is selective") {
+    val d = sf()
+    val small = Tables.orders(spark, d)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000)
+      .select($"o_orderkey")
+    val big = Tables.lineitem(spark, d).select($"l_orderkey", $"l_quantity")
+    val exact = big.join(small, $"l_orderkey" === $"o_orderkey").count()
+    val viaBloom = BloomJoin.bloomJoin(big, $"l_orderkey", small, $"o_orderkey").count()
+    assert(viaBloom == exact)
+    // the prefilter alone must pass a strict subset of the fact table
+    // (false-positive rate bounded — this is the shuffle-volume guarantee)
+    val bloom = BloomJoin.bloomOf(small, $"o_orderkey", 100000L)
+    val passed = big.filter(BloomJoin.mightContain(bloom, $"l_orderkey")).count()
+    val total = big.count()
+    val matching = big.join(small, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    assert(passed >= matching)        // no false negatives
+    assert(passed < total / 2, s"prefilter not selective: $passed of $total")
+  }
+}
