@@ -31,6 +31,7 @@ object SparkEntry {
       pipeline.Packing.queries ++
       pipeline.Corpus.queries ++
       pipeline.Clustering.queries ++
+      pipeline.Sketches.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -74,6 +74,21 @@ object Layout {
         sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
   }
 
+  /** Salted replicate join for a skewed key: the big side gets a random-
+    * but-deterministic salt in [0, salts); the small side is replicated
+    * `salts`× so every (key, salt) pair still finds its match. The hot
+    * key's rows then spread over `salts` reducers instead of one. Use when
+    * the small side is too big to broadcast outright but `salts`× its key
+    * rows still shuffle cheaply; AQE's skew splitting covers sort-merge
+    * joins it can see, this covers the planned-ahead case. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val sb = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val ss = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sb.join(ss, Seq(key, "__salt")).drop("__salt")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // the salted two-stage aggregation vs a plain GROUP BY oracle: proves
     // the skew-mitigation path is semantics-preserving (event_type has
@@ -89,6 +104,30 @@ object Layout {
       saltedSumCount(ev, col("event_type"), salts = 8, sumCols = Seq("v_c"))
         .select(col("key").as("event_type"), col("n"),
           col("sum_v_c").cast("long").as("sum_v_c"))
+        .orderBy(col("event_type"))
+    },
+
+    // salted replicate JOIN vs the plain join oracle: events (5 event
+    // types — all hot keys) against a per-type weight dim; weighted sums
+    // must come out identical to the unsalted plan
+    QueryDef.sql(
+      "q_salted_join",
+      """WITH dim AS (
+        |  SELECT event_type, CAST(LENGTH(event_type) AS BIGINT) AS w
+        |  FROM (SELECT DISTINCT event_type FROM events) x),
+        |ev AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v_c FROM events)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(e.v_c * d.w) AS BIGINT) AS weighted_sum
+        |FROM ev e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      saltedJoin(ev, dim, "event_type", salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v_c") * col("w")).as("weighted_sum"))
         .orderBy(col("event_type"))
     }
   )

@@ -262,6 +262,100 @@ object Corpus {
           sum(col("depth")).as("sum_depth"),
           sum(when(col("has_query"), 1).otherwise(0)).as("n_with_query"))
         .orderBy(col("tld"))
+    },
+
+    // Benchmark decontamination: flag training documents sharing any token
+    // 8-gram with the held-out eval split (doc_id % 50 = 0 — the
+    // benchmark-set stand-in). The eval gram set is small by construction,
+    // so its Bloom fingerprint prefilters the training gram stream BEFORE
+    // the exact join (BloomJoin machinery): no false negatives, false
+    // positives killed by the join — at 100 TB the prefilter is what makes
+    // this a map-side scan of the corpus instead of a full-shuffle join.
+    QueryDef.sql(
+      "q_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 6),
+        |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS gram
+        |  FROM toks WHERE LEN(tk) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id ORDER BY n_shared_grams DESC, tr.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 8)
+      val g = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 7),
+          i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("gram"))
+      val ev = g.filter(col("doc_id") % 50 === 0).select(col("gram")).distinct()
+      val tr = g.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("gram")).distinct()
+      // Bloom of the eval grams (the small side), probed per training gram
+      // before any shuffle; the exact join then removes false positives
+      val bloom = graft.operators.BloomJoin.bloomOf(ev, col("gram"), 100000L)
+      tr.filter(graft.operators.BloomJoin.mightContain(bloom, col("gram")))
+        .join(ev, Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("n_shared_grams").desc, col("doc_id"))
+    },
+
+    // Source-mixture sampling: per-source keep rates (‰, derived from the
+    // source id) applied via the Knuth multiplicative hash of doc_id —
+    // NEVER rand(): resampling a 100 TB corpus must be reproducible and
+    // join-stable. Reports achieved vs target rate per source.
+    QueryDef.sql(
+      "q_source_mixture",
+      """WITH rated AS (
+        |  SELECT doc_id, source,
+        |    200 + (CAST(SUBSTR(source, 4) AS BIGINT) * 137) % 700 AS rate,
+        |    (doc_id * 2654435761) % 1000 AS h
+        |  FROM documents)
+        |SELECT source, CAST(MAX(rate) AS BIGINT) AS target_permille,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(FLOOR(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
+        |    AS kept_ratio_q6
+        |FROM rated GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val rated = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        (lit(200) + pmod(substring(col("source"), 4, 10).cast("long") * 137, lit(700)))
+          .as("rate"),
+        pmod(col("doc_id") * 2654435761L, lit(1000)).as("h"))
+      val kept = sum(when(col("h") < col("rate"), 1).otherwise(0))
+      rated.groupBy(col("source")).agg(
+          max(col("rate")).cast("long").as("target_permille"),
+          count(lit(1)).as("n_docs"),
+          kept.cast("long").as("n_kept"),
+          floor(kept * lit(1000000.0) / count(lit(1))).cast("long").as("kept_ratio_q6"))
+        .orderBy(col("source"))
+    },
+
+    // Tokenizer induction, round 0: adjacent character-pair frequencies
+    // over the normalized prefix — the statistic the first BPE merge
+    // maximizes. Multiset counts (not per-doc distinct), top 25.
+    QueryDef.sql(
+      "q_bpe_pairs",
+      """WITH t AS (
+        |  SELECT doc_id, LOWER(SUBSTR(text, 1, 200)) AS p FROM documents
+        |  WHERE LENGTH(LOWER(SUBSTR(text, 1, 200))) >= 2),
+        |pairs AS (
+        |  SELECT SUBSTR(p, CAST(i AS INTEGER), 2) AS pair
+        |  FROM t, UNNEST(RANGE(1, LENGTH(p))) AS u(i))
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 25""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 200)).as("p"))
+        .filter(length(col("p")) >= 2)
+      t.select(explode(sequence(lit(1), length(col("p")) - 1)).as("i"), col("p"))
+        .select(substring(col("p"), col("i"), lit(2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(25)
     }
   )
 }

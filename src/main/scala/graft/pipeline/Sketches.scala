@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/cardinality sketches built RELATIONALLY — the
+  * fixed-size-state summaries a 100 TB profiling pass ships to the driver.
+  * Spark's own `approx_count_distinct`/`approx_percentile` are exercised in
+  * SketchSpec (their binary encodings differ from DuckDB's, so no hash
+  * oracle is possible); these two sketches instead use engine-neutral
+  * integer arithmetic, so the full build → query path hash-matches DuckDB:
+  *
+  *   - Count-Min: 4 hash rows × 256 counters as a 1024-row aggregate.
+  *     Build is one combiner-backed groupBy over (row, bucket) — mergeable
+  *     by construction (counters add), estimate = min over rows. The
+  *     sketch never exceeds 1024 rows regardless of input size.
+  *   - HyperLogLog: 64 buckets, rho = leading-zero rank of the hashed
+  *     suffix, estimate = α·m²/Σ2^(−maxrho). All 2^(−rho) terms are exact
+  *     dyadic doubles (built by integer shift, never `pow`), so the sum is
+  *     order-independent and cross-engine exact. Small-range linear
+  *     counting needs `ln` (not identically rounded across engines) and is
+  *     deliberately omitted — the raw estimator is the determinism-safe
+  *     core; callers below the 2.5·m regime should use the exact count.
+  *
+  * Hash family: h(k) = (a·k + b) mod P, P = 2³¹−1, a < 2³² so products
+  * stay far from signed-64 overflow on both engines.
+  */
+object Sketches {
+
+  val P = 2147483647L
+  /** Count-Min geometry: depth 4 × width 256. */
+  val CmDepth = 4
+  val CmWidth = 256
+  private val cmA = (0 until CmDepth).map(i => 104729L * (i + 1) + 12345L)
+  private val cmB = (0 until CmDepth).map(i => 7919L * (i + 1) + 271L)
+
+  /** Count-Min bucket of `key` for hash row i. */
+  private def cmBucket(key: Column, i: Column): Column = {
+    // coefficient lookup by row id, as a CASE chain (fixed tiny depth)
+    val a = cmA.zipWithIndex.tail.foldLeft(when(i === 0, cmA.head)) {
+      case (acc, (v, j)) => acc.when(i === j, v)
+    }
+    val b = cmB.zipWithIndex.tail.foldLeft(when(i === 0, cmB.head)) {
+      case (acc, (v, j)) => acc.when(i === j, v)
+    }
+    pmod(pmod(key * a + b, lit(P)), lit(CmWidth))
+  }
+
+  private def cmBucketSql(key: String, i: String): String = {
+    val a = (0 until CmDepth).map(j => s"WHEN $j THEN ${cmA(j)}").mkString(" ")
+    val b = (0 until CmDepth).map(j => s"WHEN $j THEN ${cmB(j)}").mkString(" ")
+    s"(($key * (CASE $i $a END) + (CASE $i $b END)) % $P) % $CmWidth"
+  }
+
+  /** The 1024-row Count-Min table (i, bucket, cnt) of a key column. */
+  def countMin(rows: DataFrame, key: Column): DataFrame =
+    rows.select(key.as("k"), explode(sequence(lit(0), lit(CmDepth - 1))).as("i"))
+      .groupBy(col("i"), cmBucket(col("k"), col("i")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `keys` (column `k`) against a Count-Min table:
+    * min over the 4 rows' counters. Never underestimates. */
+  def cmEstimate(cms: DataFrame, keys: DataFrame): DataFrame =
+    keys.select(col("k"), explode(sequence(lit(0), lit(CmDepth - 1))).as("i"))
+      .withColumn("bucket", cmBucket(col("k"), col("i")))
+      .join(cms, Seq("i", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** HLL geometry: m = 64 buckets, 25-bit suffix. */
+  val HllBuckets = 64
+
+  /** bit length of a non-negative value known < 2^25: Σ [w ≥ 2^j]. */
+  private def bitLen(w: Column): Column =
+    (0 until 25).map(j => when(w >= (1L << j), 1L).otherwise(0L)).reduce(_ + _)
+  private def bitLenSql(w: String): String =
+    (0 until 25).map(j => s"CASE WHEN $w >= ${1L << j} THEN 1 ELSE 0 END").mkString(" + ")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Count-Min over lineitem part keys (key space >> width, so buckets
+    // genuinely collide): estimates for the 10 heaviest keys vs their
+    // exact counts — est ≥ exact always (the CMS one-sided guarantee,
+    // asserted in CorpusSpec and visible in the hash-matched output)
+    QueryDef.sql(
+      "q_countmin_heavy",
+      s"""WITH cms AS (
+         |  SELECT i, ${cmBucketSql("l_partkey", "i")} AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem, UNNEST(RANGE(0, $CmDepth)) AS u(i)
+         |  GROUP BY 1, 2),
+         |heavy AS (
+         |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS exact
+         |  FROM lineitem GROUP BY l_partkey
+         |  ORDER BY exact DESC, k LIMIT 10),
+         |est AS (
+         |  SELECT h.k, CAST(MIN(c.cnt) AS BIGINT) AS est
+         |  FROM heavy h CROSS JOIN UNNEST(RANGE(0, $CmDepth)) AS u(i)
+         |  JOIN cms c ON c.i = u.i AND c.bucket = ${cmBucketSql("h.k", "u.i")}
+         |  GROUP BY h.k)
+         |SELECT h.k, h.exact, e.est
+         |FROM heavy h JOIN est e USING (k) ORDER BY h.exact DESC, h.k""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cms = countMin(li, col("l_partkey"))
+      val heavy = li.groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("k")).limit(10)
+      // the sketch is FIXED-SIZE (1024 rows) → broadcast; the 10-key probe
+      // side is tiny → broadcast into the estimate join
+      cmEstimate(broadcast(cms), broadcast(heavy).select(col("k")))
+        .join(broadcast(heavy), Seq("k"))
+        .select(col("k"), col("exact"), col("est"))
+        .orderBy(col("exact").desc, col("k"))
+    },
+
+    // Relational HyperLogLog over the order→customer stream: 64-bucket
+    // max-rank table → the α·m²/Σ2^(−maxrho) estimate next to the exact
+    // distinct count. Empty buckets contribute 2⁰ via the RANGE left join.
+    // The key is avalanche-mixed (two multiply-mod + xor-shift rounds): a
+    // bare linear-congruential map is an arithmetic progression mod P
+    // whose leading-zero statistics are lattice-biased — it blew the
+    // estimate up ~80% before the mix (SketchesSpec gates the error band).
+    QueryDef.sql(
+      "q_hll_distinct",
+      s"""WITH h0 AS (
+         |  SELECT ((o_custkey * 2654435761 + 104729) % $P) AS x1 FROM orders),
+         |h1 AS (SELECT ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
+         |h AS (SELECT xor(x3, x3 >> 13) AS hv FROM h1),
+         |rho AS (
+         |  SELECT hv & 63 AS bucket,
+         |    26 - (${bitLenSql("(hv >> 6)")}) AS r
+         |  FROM h),
+         |mx AS (
+         |  SELECT b.bucket, COALESCE(MAX(rho.r), 0) AS maxrho
+         |  FROM (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket) b
+         |  LEFT JOIN rho ON rho.bucket = b.bucket
+         |  GROUP BY b.bucket),
+         |s AS (
+         |  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << maxrho) AS DOUBLE)) AS z,
+         |    CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |  FROM mx)
+         |SELECT
+         |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_exact,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / z) AS BIGINT) AS hll_est,
+         |  n_empty
+         |FROM s""".stripMargin) { (s, d) =>
+      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
+      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
+      val h = Tables.orders(s, d)
+        .select(x3.bitwiseXOR(shiftright(x3, 13)).as("hv"))
+      val rho = h.select(
+        col("hv").bitwiseAND(63).as("bucket"),
+        (lit(26L) - bitLen(shiftright(col("hv"), 6))).as("r"))
+      val mx = s.range(HllBuckets).select(col("id").as("bucket"))
+        .join(rho, Seq("bucket"), "left")
+        .groupBy(col("bucket")).agg(coalesce(max(col("r")), lit(0L)).as("maxrho"))
+      val zed = mx.agg(
+        sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)"))
+          .as("z"),
+        sum(when(col("maxrho") === 0, 1).otherwise(0)).as("n_empty"))
+      val exact = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.crossJoin(broadcast(zed))
+        .select(col("n_exact"),
+          floor(lit(0.709) * HllBuckets * HllBuckets / col("z")).cast("long")
+            .as("hll_est"),
+          col("n_empty"))
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Layout
+import graft.pipeline.Sketches
+import org.apache.spark.sql.functions._
+
+/** Specs for the relational sketches + skew/salt paths: the properties the
+  * DuckDB hash oracle can't express (one-sided error, mergeability,
+  * estimate accuracy, salt invariance). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min never underestimates — for every key, not just the heavy ones") {
+    val li = Tables.lineitem(spark, sf())
+    val cms = Sketches.countMin(li, col("l_partkey"))
+    val exact = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("exact"))
+    val joined = Sketches.cmEstimate(cms, exact.select($"k"))
+      .join(exact, Seq("k"))
+      .select($"k", $"exact", $"est").as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (k, ex, est) =>
+      assert(est >= ex, s"CMS underestimated key $k: est $est < exact $ex")
+    }
+  }
+
+  test("count-min is mergeable: sketch(a ∪ b) == sketch(a) + sketch(b)") {
+    val li = Tables.lineitem(spark, sf())
+    val a = li.filter($"l_orderkey" % 2 === 0)
+    val b = li.filter($"l_orderkey" % 2 =!= 0)
+    val merged = Sketches.countMin(a, col("l_partkey"))
+      .unionByName(Sketches.countMin(b, col("l_partkey")))
+      .groupBy($"i", $"bucket").agg(sum($"cnt").as("cnt"))
+    val whole = Sketches.countMin(li, col("l_partkey"))
+    val diff = merged.join(whole.withColumnRenamed("cnt", "cnt2"),
+        Seq("i", "bucket"), "full")
+      .filter(coalesce($"cnt", lit(-1L)) =!= coalesce($"cnt2", lit(-2L)))
+    assert(diff.isEmpty, "merged partial sketches differ from the whole-input sketch")
+  }
+
+  test("hll estimate lands within the expected error band of the exact count") {
+    // sf0.01: ~1500 distinct customers — safely inside the raw-estimator
+    // regime (sf0.001's 150 sits under the 2.5·m small-range cutoff)
+    val row = SparkEntry.queries("q_hll_distinct")(spark, sf("sf0.01"))
+      .select($"n_exact", $"hll_est").as[(Long, Long)].head()
+    val (exact, est) = row
+    assert(exact > 160, s"corpus too small for the raw estimator regime: $exact")
+    // 64 buckets → typical rel. error 1.04/√64 ≈ 13%; gate at 3σ-ish 40%
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.4, s"HLL est $est vs exact $exact (rel err $relErr)")
+  }
+
+  test("salted join result is invariant to the salt width") {
+    val ev = Tables.events(spark, sf()).select($"event_type",
+      floor($"value" * 100).cast("long").as("v_c"))
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("w", length($"event_type").cast("long"))
+    def agg(salts: Int) =
+      Layout.saltedJoin(ev, dim, "event_type", salts)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c" * $"w").as("ws"))
+        .as[(String, Long, Long)].collect().toSet
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c" * $"w").as("ws"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(agg(2) == plain && agg(16) == plain)
+  }
+
+  test("decontamination flags only training docs, each with real overlap") {
+    val out = SparkEntry.queries("q_decontaminate")(spark, sf())
+      .select($"doc_id", $"n_shared_grams").as[(Long, Long)].collect()
+    assert(out.nonEmpty, "no contamination found — the fixture should plant some")
+    out.foreach { case (id, n) =>
+      assert(id % 50 != 0, s"eval doc $id flagged as training")
+      assert(n >= 1)
+    }
+  }
+
+  test("source mixture: deterministic, and kept counts respect the rate bound") {
+    val run1 = SparkEntry.queries("q_source_mixture")(spark, sf())
+      .select($"source", $"target_permille", $"n_docs", $"n_kept")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val run2 = SparkEntry.queries("q_source_mixture")(spark, sf())
+      .select($"source", $"target_permille", $"n_docs", $"n_kept")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(run1.sameElements(run2)) // hash-based, never rand()
+    run1.foreach { case (src, rate, n, kept) =>
+      assert(kept <= n)
+      assert(rate >= 200 && rate < 900, s"$src rate $rate")
+    }
+  }
+}
