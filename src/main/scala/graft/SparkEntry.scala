@@ -32,6 +32,7 @@ object SparkEntry {
       pipeline.Corpus.queries ++
       pipeline.Clustering.queries ++
       pipeline.Sketches.queries ++
+      pipeline.Graphs.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -359,6 +359,32 @@ object Relational {
         .orderBy(col("src"), col("k"))
     },
 
+    // FULL OUTER join: per-nation high-balance customer vs supplier
+    // counts — sparse sides leave unmatched rows in BOTH directions, which
+    // the coalesced key + zero-fill must carry (pd.merge(how="outer"))
+    QueryDef.sql(
+      "q_full_outer_join",
+      """WITH c AS (
+        |  SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9500 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9500 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.k, s.k) AS nationkey,
+        |  COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9500)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 9500)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
     // U3: UNION ALL row append (pd.concat analogue)
     QueryDef.sql(
       "q_union_all",

@@ -125,4 +125,42 @@ class PlanAuditSpec extends SparkSpec {
       .filter(col("h") >= 0).queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"gram_hash5 broke codegen:\n$p")
   }
+
+  test("bloom pre-join probes the sketch BEFORE the exact join") {
+    val p = plan("q_bloom_semi_join")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n${p.take(1500)}")
+    // the probe must be a plain Filter on the fact scan side, upstream of
+    // the join — i.e. it appears deeper in the plan than the join node
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "might_contain must sit below the join in the plan tree")
+  }
+
+  test("decontamination also rides the bloom prefilter") {
+    assert(plan("q_decontaminate").contains("might_contain"))
+  }
+
+  test("kmeans assignment is a broadcast NLJ over whole arrays") {
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pairing must broadcast, not shuffle:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("posexplode") ||
+      p.indexOf("posexplode") > p.indexOf("BroadcastNestedLoopJoin"),
+      "distance must not explode elements before pairing")
+  }
+
+  test("tfidf rank window runs over aggregated (doc, term) rows, keyed by doc") {
+    val p = plan("q_tfidf_top_terms")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "tf/df aggregates lost map-side combine")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "rank window must partition by doc_id")
+  }
+
+  test("count-min build is map-side combined (mergeable-sketch shape)") {
+    val p = plan("q_countmin_heavy")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"sketch build lost the combiner:\n${p.take(1500)}")
+  }
 }
