@@ -356,6 +356,38 @@ object Corpus {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(25)
+    },
+
+    // Edit-distance near-dup signal: candidates bucket on the first 8
+    // normalized chars (an equality join — never all-pairs; a typo in the
+    // head escapes this blocker, which is why it runs alongside the
+    // MinHash family, not instead of it), then exact Levenshtein over the
+    // 40-char prefixes scores each candidate pair. Both engines ship the
+    // same classic DP levenshtein.
+    QueryDef.sql(
+      "q_edit_distance",
+      """WITH np AS (
+        |  SELECT doc_id, LOWER(SUBSTR(text, 1, 40)) AS p40,
+        |    LOWER(SUBSTR(text, 1, 8)) AS b8
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.p40 AS p1, b.p40 AS p2
+        |  FROM np a JOIN np b ON a.b8 = b.b8 AND a.doc_id < b.doc_id)
+        |SELECT doc1, doc2,
+        |  CAST(LEVENSHTEIN(p1, p2) AS BIGINT) AS edit_dist
+        |FROM cand WHERE LEVENSHTEIN(p1, p2) <= 10
+        |ORDER BY edit_dist, doc1, doc2 LIMIT 200""".stripMargin) { (s, d) =>
+      val np = Tables.documents(s, d).select(col("doc_id"),
+        lower(substring(col("text"), 1, 40)).as("p40"),
+        lower(substring(col("text"), 1, 8)).as("b8"))
+      val cand = np.as("a")
+        .join(np.as("b"), col("a.b8") === col("b.b8") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          levenshtein(col("a.p40"), col("b.p40")).as("edit_dist"))
+      cand.filter(col("edit_dist") <= 10)
+        .select(col("doc1"), col("doc2"), col("edit_dist").cast("long").as("edit_dist"))
+        .orderBy(col("edit_dist"), col("doc1"), col("doc2"))
+        .limit(200)
     }
   )
 }
