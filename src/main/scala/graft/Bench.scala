@@ -28,15 +28,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the elapsed time is captured BEFORE the finally block runs, so cache
+    // cleanup is harness hygiene between queries, not billed work. (An
+    // explicit System.gc() here was tried against r03's 13 s cross-query
+    // outlier and REGRESSED every query ~2× — the forced full GC shrinks
+    // the heap and the next query pays re-expansion; leave GC to the JVM.)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      finally spark.catalog.clearCache() // per-query isolation for persists
-      (System.nanoTime() - t0) / 1e9
+        -1.0
+      } finally spark.catalog.clearCache() // per-query isolation for persists
     }
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

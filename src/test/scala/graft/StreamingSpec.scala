@@ -168,4 +168,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.slice(50, 100).forall(_.label == "historical_02"))
     assert(out.drop(100).forall(_.label == "forward"))
   }
+
+  test("streaming count-min sketch equals the batch sketch (fixed state)") {
+    import graft.pipeline.Sketches
+    import org.apache.spark.sql.streaming.Trigger
+    // the sketch's (i, bucket) key space caps streaming-aggregation state
+    // at 1024 rows REGARDLESS of stream volume — the property that makes a
+    // sketch the right continuous-profiling operator; the relational build
+    // (explode + groupBy count) runs unchanged on the streaming frame
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val inDir = s"$tmp/in"
+    Tables.events(spark, sf()).select($"user_id")
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val q = Sketches.countMin(in, $"user_id")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.countMin(spark.read.parquet(inDir), $"user_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.size <= 4 * 256)
+  }
 }
