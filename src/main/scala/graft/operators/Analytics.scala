@@ -154,6 +154,33 @@ object Analytics {
         .orderBy(col("lang"))
     },
 
+    // exact-k stratified sample: precisely 5 docs per source, chosen by
+    // Knuth-hash priority (the distributed reservoir-sample equivalent —
+    // deterministic, rerun- and join-stable where rand() is neither);
+    // the rank window runs per-source over hash priorities, so state per
+    // reducer is the stratum, never the corpus
+    QueryDef.sql(
+      "q_sample_exact_k",
+      """WITH pri AS (
+        |  SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM pri)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pri = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      pri.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk"))
+    },
+
     // feature standardization: per-language z-score of document length.
     // Mean/variance come from EXACT integer sums (n, Σx, Σx²) so both
     // engines derive the identical doubles through the identical algebraic

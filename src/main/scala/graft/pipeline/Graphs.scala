@@ -34,13 +34,23 @@ object Graphs {
   }
 
   /** `iters` integer-exact PageRank rounds, uniform out-degree 3.
-    * Returns (doc_id, rank_q6). */
+    * Returns (doc_id, rank_q6).
+    *
+    * The edge list is materialized ONCE, pre-partitioned on `src` — every
+    * round's rank join then reuses that partitioning instead of re-deriving
+    * and re-shuffling the edges (at 100 TB the edge scan is the dominant
+    * cost and must not repeat per iteration). Ranks are checkpointed per
+    * round past a small iteration count, same lineage rationale as
+    * TextPipeline.dedupClusters. */
   def pageRank(docs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
+    import org.apache.spark.storage.StorageLevel
     val edges = syntheticEdges(docs)
-    val nodes = docs.select(col("doc_id"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("doc_id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edges
         .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
         .select(col("dst"),
@@ -49,6 +59,8 @@ object Graphs {
       ranks = nodes
         .join(contribs.select(col("dst").as("doc_id"), col("cin")), Seq("doc_id"), "left")
         .select(col("doc_id"), (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+      // fixed small unrolls stay one static plan; longer runs cut lineage
+      if (iters > 4 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("doc_id"), col("r").as("rank_q6"))
   }
