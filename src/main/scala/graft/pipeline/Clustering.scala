@@ -141,6 +141,69 @@ object Clustering {
         .select(col("cid"), col("n_members"), col("inertia"),
           col("norm2").as("centroid_norm2"))
         .orderBy(col("cid"))
+    },
+
+    // Product quantization: the 64-dim vector splits into 4 blocks of 16;
+    // each block is coded by its nearest sub-codebook entry (codebook =
+    // the first 4 vectors' blocks — the fixed-codebook assign stage, as
+    // in q_ann_ivf; training the codebook IS Clustering.kmeans per
+    // block). Output: the 4 codes (a 64-dim float vector compressed to
+    // 4 bytes) plus the exact reconstruction error. The codebook is
+    // 16 sub-vectors broadcast to every task; coding is 16 codegen'd
+    // folds per vector, no element shuffle anywhere.
+    QueryDef.sql(
+      "q_pq_codes", {
+        val blockDist =
+          """CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.sub),
+            |        p -> (STRUCT_EXTRACT(p,1) - STRUCT_EXTRACT(p,2))
+            |           * (STRUCT_EXTRACT(p,1) - STRUCT_EXTRACT(p,2)))) AS BIGINT)""".stripMargin
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |    LIST_TRANSFORM(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |blocks AS (
+           |  SELECT vec_id, b, q[1 + 16*b : 16 + 16*b] AS sub
+           |  FROM qv CROSS JOIN UNNEST(RANGE(0, 4)) AS u(b)),
+           |cb AS (SELECT vec_id AS code, b, sub FROM blocks WHERE vec_id < 4),
+           |dists AS (
+           |  SELECT v.vec_id, v.b, c.code, $blockDist AS dist
+           |  FROM blocks v JOIN cb c USING (b)),
+           |best AS (
+           |  SELECT vec_id, b, code, dist FROM (
+           |    SELECT vec_id, b, code, dist,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY dist, code) AS rn
+           |    FROM dists) WHERE rn = 1)
+           |SELECT vec_id,
+           |  CAST(MAX(CASE WHEN b = 0 THEN code END) AS BIGINT) AS code0,
+           |  CAST(MAX(CASE WHEN b = 1 THEN code END) AS BIGINT) AS code1,
+           |  CAST(MAX(CASE WHEN b = 2 THEN code END) AS BIGINT) AS code2,
+           |  CAST(MAX(CASE WHEN b = 3 THEN code END) AS BIGINT) AS code3,
+           |  CAST(SUM(dist) AS BIGINT) AS recon_err
+           |FROM best GROUP BY vec_id ORDER BY vec_id LIMIT 500""".stripMargin
+      }) { (s, d) =>
+      val qv = quantized(Tables.embeddings(s, d))
+      val blocks = qv.select(col("vec_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"), slice(col("q"), 1 + 16 * b, 16).as("sub"))): _*))
+            .as("blk"))
+        .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
+      val cb = blocks.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("code"), col("b"), col("sub").as("csub"))
+      val dists = blocks.join(broadcast(cb), Seq("b"))
+        .select(col("vec_id"), col("b"), col("code"),
+          aggregate(zip_with(col("sub"), col("csub"), (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _).as("dist"))
+      val best = dists.groupBy(col("vec_id"), col("b"))
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("b"), col("m.code").as("code"), col("m.dist").as("dist"))
+      best.groupBy(col("vec_id"))
+        .agg(
+          max(when(col("b") === 0, col("code"))).cast("long").as("code0"),
+          max(when(col("b") === 1, col("code"))).cast("long").as("code1"),
+          max(when(col("b") === 2, col("code"))).cast("long").as("code2"),
+          max(when(col("b") === 3, col("code"))).cast("long").as("code3"),
+          sum(col("dist")).as("recon_err"))
+        .orderBy(col("vec_id")).limit(500)
     }
   )
 }

@@ -110,6 +110,24 @@ class CorpusSpec extends SparkSpec {
     assert(inertia(2) <= inertia(1))
   }
 
+  test("pq codes: codebook vectors reconstruct exactly; codes stay in range") {
+    val rows = byName("q_pq_codes")
+      .select($"vec_id", $"code0", $"code1", $"code2", $"code3", $"recon_err")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, c0, c1, c2, c3, err) =>
+      assert(Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < 4))
+      assert(err >= 0)
+      // a codebook vector's own blocks are in the codebook → zero error
+      // and self-codes (ties broken toward the lowest code id)
+      if (id < 4) {
+        assert(err == 0, s"codebook vector $id must reconstruct exactly")
+        assert(Seq(c0, c1, c2, c3).forall(_ <= id),
+          s"vector $id coded by a higher id than itself")
+      }
+    }
+  }
+
   test("bloom pre-join: no false negatives, and the prefilter is selective") {
     val d = sf()
     val small = Tables.orders(spark, d)
