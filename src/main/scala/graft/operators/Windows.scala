@@ -300,6 +300,63 @@ object Windows {
           max(col("n")).cast("long").as("max_daily"),
           sum(col("val_q4")).cast("long").as("val_q4"))
         .orderBy(col("event_type"), col("week"))
+    },
+
+    // Integer-exact EWMA per user (α = 16/64): the streaming-analytics
+    // smoother as a key-local sequential fold. s₁ = x₁;
+    // sₜ = floor((16·xₜ + 48·sₜ₋₁)/64) — pure integers, so the DuckDB
+    // recursive CTE replays it bit-for-bit. A residual |xₜ − sₜ₋₁| > 500
+    // counts as a spike (the anomaly flag riding the same pass).
+    // Secondary sort (repartition by user, sortWithinPartitions by
+    // (user, ts, id)) streams each user's rows through the fold without
+    // materializing the group — the same license as packGreedy; state is
+    // O(1) per user regardless of history length.
+    QueryDef.sql(
+      "q_ewma",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |walk(user_id, rn, x, s, spikes) AS (
+        |  SELECT user_id, rn, x, x, 0 FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.x,
+        |    CAST(FLOOR((16.0 * e.x + 48.0 * w.s) / 64.0) AS BIGINT),
+        |    w.spikes + CASE WHEN ABS(e.x - w.s) > 500 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+        |last AS (
+        |  SELECT user_id, rn, s, spikes,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        |  FROM walk)
+        |SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+        |  CAST(s AS BIGINT) AS ewma_final, CAST(spikes AS BIGINT) AS n_spikes
+        |FROM last WHERE rr = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d).filter(col("user_id") < 40)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") * 100).cast("long").as("x"))
+        .as[(Long, Long, Long, Long)]
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .mapPartitions { it =>
+          var cur = Long.MinValue
+          var n = 0L; var sAcc = 0L; var spikes = 0L
+          val buf = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          def flush(): Unit = if (n > 0) buf += ((cur, n, sAcc, spikes))
+          it.foreach { case (u, _, _, x) =>
+            if (u != cur) { flush(); cur = u; n = 0L; sAcc = 0L; spikes = 0L }
+            if (n == 0) sAcc = x
+            else {
+              if (math.abs(x - sAcc) > 500) spikes += 1
+              sAcc = math.floor((16.0 * x + 48.0 * sAcc) / 64.0).toLong
+            }
+            n += 1
+          }
+          flush()
+          buf.iterator
+        }
+        .toDF("user_id", "n_events", "ewma_final", "n_spikes")
+        .orderBy(col("user_id"))
     }
   )
 }
