@@ -56,6 +56,8 @@ object Bench {
     SparkEntry.queries.get("q_agg_pricing").foreach(fn => run("warmup", fn))
     graft.pipeline.TextPipeline.distinctGrams(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    graft.pipeline.TextPipeline.minhashSignatures(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (dev loop)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -123,9 +123,28 @@ object TextPipeline {
   }
 
   /** Spark: MinHash signature (doc_id, h0..h15), from the shared
-    * materialized distinct gram set. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(distinctGrams(s, d))
+    * materialized distinct gram set — itself memoized per (session,
+    * dataset) like the gram table: four dedup queries (minhash, lsh_pairs,
+    * clusters, minhash_vs_exact) consume the identical signature table,
+    * and a 100 TB pipeline materializes signatures once next to the
+    * shingle table rather than re-aggregating 16 minima per query. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = synchronized {
+    val perSession = {
+      val m = sharedGrams.get(s)
+      if (m != null) m
+      else {
+        val m2 = scala.collection.mutable.Map[String, String]()
+        sharedGrams.put(s, m2); m2
+      }
+    }
+    val path = perSession.getOrElseUpdate(s"$d#sig", {
+      val p = java.nio.file.Files
+        .createTempDirectory(cleanupHook, "sig").resolve("sig").toString
+      signaturesOf(distinctGrams(s, d)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** MinHash-LSH band geometry. The defaults (4 bands × 4 rows over the
     * 16-hash signature) suit the test corpus; the (bands, rowsPerBand)
@@ -528,7 +547,7 @@ object TextPipeline {
             .cast("long").as("jaccard_q6"))
         .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
         .limit(20)
-      val sig = signaturesOf(d0)
+      val sig = minhashSignatures(s, d) // the memoized signature table
       val nMatch = (0 until 16)
         .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
         .reduce(_ + _)
