@@ -49,6 +49,29 @@ class SketchesSpec extends SparkSpec {
     assert(relErr < 0.4, s"HLL est $est vs exact $exact (rel err $relErr)")
   }
 
+  test("hll is mergeable: bucket-wise max of partial sketches == whole sketch") {
+    // the merge operation of an HLL register table is element-wise MAX —
+    // build the rho table per half, merge via max, compare with the
+    // whole-input register table (the partial-aggregation licence at 100 TB)
+    val P = Sketches.P
+    def rhoTable(df: org.apache.spark.sql.DataFrame) = {
+      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
+      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
+      val hv = x3.bitwiseXOR(shiftright(x3, 13))
+      val bl = (0 until 25).map(j =>
+        when(shiftright(hv, 6) >= (1L << j), 1L).otherwise(0L)).reduce(_ + _)
+      df.select(hv.bitwiseAND(63).as("bucket"), (lit(26L) - bl).as("r"))
+        .groupBy($"bucket").agg(max($"r").as("maxrho"))
+    }
+    val orders = Tables.orders(spark, sf())
+    val a = rhoTable(orders.filter($"o_orderkey" % 2 === 0))
+    val b = rhoTable(orders.filter($"o_orderkey" % 2 =!= 0))
+    val merged = a.unionByName(b).groupBy($"bucket").agg(max($"maxrho").as("maxrho"))
+      .as[(Long, Long)].collect().toMap
+    val whole = rhoTable(orders).as[(Long, Long)].collect().toMap
+    assert(merged == whole && whole.nonEmpty)
+  }
+
   test("salted join result is invariant to the salt width") {
     val ev = Tables.events(spark, sf()).select($"event_type",
       floor($"value" * 100).cast("long").as("v_c"))
