@@ -59,13 +59,22 @@ object Layout {
       .drop("__z")
   }
 
+  /** Deterministic row salt: hashes the row's actual column values, never
+    * monotonically_increasing_id() — a nondeterministic expression feeding
+    * a shuffle KEY re-routes rows on task retry (the classic
+    * nondeterministic-shuffle-key failure: a retried map task salts rows
+    * differently than the outputs reducers already fetched → lost or
+    * duplicated rows). Content hashing is retry-stable and run-stable;
+    * duplicate rows sharing a salt only costs spread uniformity. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(salts))
+
   /** Salted two-stage aggregation: SUM/COUNT-style mergeable aggregates
     * only. `aggs` maps output column name → (stage1 agg of input col,
     * stage2 merge). */
   def saltedSumCount(df: DataFrame, key: Column, salts: Int,
       sumCols: Seq[String]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     val stage1 = salted.groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("__cnt"),
         sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
@@ -82,8 +91,7 @@ object Layout {
     * rows still shuffle cheaply; AQE's skew splitting covers sort-merge
     * joins it can see, this covers the planned-ahead case. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val sb = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val sb = big.withColumn("__salt", rowSalt(big, salts))
     val ss = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sb.join(ss, Seq(key, "__salt")).drop("__salt")

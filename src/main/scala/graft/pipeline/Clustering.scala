@@ -64,7 +64,10 @@ object Clustering {
   def kmeans(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
     val qv = quantized(emb)
-    var cent = qv.filter(col("vec_id") < k)
+    // the ACTUAL k lowest ids, not `vec_id < k`: a frame whose ids don't
+    // start at 0 would otherwise silently seed fewer than k centroids and
+    // return an empty result
+    var cent = qv.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     var members = assign(qv, cent)
     for (_ <- 1 until iters) {

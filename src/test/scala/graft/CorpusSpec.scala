@@ -38,7 +38,6 @@ class CorpusSpec extends SparkSpec {
       (2L, (1 to 60).map(i => s"w$i").mkString(" ")),   // all-distinct, 60 tokens
       (3L, "too short")                                 // < 20 tokens
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("x")
     // run the same signal algebra on the synthetic docs
     val tc = docs.select($"doc_id",
         explode(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("t"))

@@ -145,9 +145,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"centroid pairing must broadcast, not shuffle:\n${p.take(1500)}")
-    assert(!p.toLowerCase.contains("posexplode") ||
-      p.indexOf("posexplode") > p.indexOf("BroadcastNestedLoopJoin"),
-      "distance must not explode elements before pairing")
+    // posexplode belongs ONLY to the centroid-recompute stage; the final
+    // plan holds one live recompute (earlier rounds are checkpoint-cut).
+    // An exploded assign path would add a posexplode per distance stage.
+    assert(countOccurrences(p, "posexplode") <= 2,
+      "assignment must pair whole arrays, not exploded elements")
   }
 
   test("tfidf rank window runs over aggregated (doc, term) rows, keyed by doc") {
