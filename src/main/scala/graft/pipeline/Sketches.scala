@@ -166,6 +166,64 @@ object Sketches {
           floor(lit(0.709) * HllBuckets * HllBuckets / col("z")).cast("long")
             .as("hll_est"),
           col("n_empty"))
+    },
+
+    // Grouped HLL: distinct customers per order priority — the GROUP BY
+    // form that matters at scale (per-domain distinct users, per-source
+    // distinct docs): state is 64 registers PER GROUP, combiner-merged by
+    // bucket-wise max. The bucket spine (every group × all 64 buckets)
+    // comes from a cross join against the distinct group keys so empty
+    // buckets contribute 2⁰ exactly as in the global estimator.
+    QueryDef.sql(
+      "q_hll_by_group",
+      s"""WITH h0 AS (
+         |  SELECT o_orderpriority AS grp,
+         |    ((o_custkey * 2654435761 + 104729) % $P) AS x1 FROM orders),
+         |h1 AS (SELECT grp, ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
+         |h AS (SELECT grp, xor(x3, x3 >> 13) AS hv FROM h1),
+         |rho AS (
+         |  SELECT grp, hv & 63 AS bucket,
+         |    26 - (${bitLenSql("(hv >> 6)")}) AS r
+         |  FROM h),
+         |spine AS (
+         |  SELECT g.grp, b.bucket
+         |  FROM (SELECT DISTINCT grp FROM rho) g
+         |  CROSS JOIN (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket) b),
+         |mx AS (
+         |  SELECT s.grp, s.bucket, COALESCE(MAX(rho.r), 0) AS maxrho
+         |  FROM spine s LEFT JOIN rho ON rho.grp = s.grp AND rho.bucket = s.bucket
+         |  GROUP BY s.grp, s.bucket),
+         |est AS (
+         |  SELECT grp,
+         |    CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets /
+         |      SUM(1.0 / CAST((CAST(1 AS BIGINT) << maxrho) AS DOUBLE))) AS BIGINT) AS hll_est
+         |  FROM mx GROUP BY grp),
+         |exact AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT e.grp, x.n_exact, e.hll_est
+         |FROM est e JOIN exact x USING (grp) ORDER BY e.grp""".stripMargin) { (s, d) =>
+      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
+      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
+      val hv = x3.bitwiseXOR(shiftright(x3, 13))
+      val rho = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        hv.bitwiseAND(63).as("bucket"),
+        (lit(26L) - bitLen(shiftright(hv, 6))).as("r"))
+      val spine = rho.select(col("grp")).distinct()
+        .crossJoin(broadcast(s.range(HllBuckets).select(col("id").as("bucket"))))
+      val mx = spine.join(rho, Seq("grp", "bucket"), "left")
+        .groupBy(col("grp"), col("bucket"))
+        .agg(coalesce(max(col("r")), lit(0L)).as("maxrho"))
+      val est = mx.groupBy(col("grp"))
+        .agg(floor(lit(0.709) * HllBuckets * HllBuckets /
+          sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)")))
+          .cast("long").as("hll_est"))
+      val exact = Tables.orders(s, d).groupBy(col("o_orderpriority").as("grp"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_exact"), col("hll_est"))
+        .orderBy(col("grp"))
     }
   )
 }
