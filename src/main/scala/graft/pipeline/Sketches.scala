@@ -224,6 +224,32 @@ object Sketches {
       est.join(exact, Seq("grp"))
         .select(col("grp"), col("n_exact"), col("hll_est"))
         .orderBy(col("grp"))
+    },
+
+    // Table checksum: an order-independent content fingerprint (sum of
+    // per-row polynomial hashes mod P, plus count and a column sum) — the
+    // integrity check a replication/reconciliation pipeline compares
+    // across stores without moving data. Engine-neutral row hashing
+    // (never Spark's hash(), which DuckDB cannot reproduce); SUM is
+    // commutative so partitioning and order don't matter.
+    QueryDef.sql(
+      "q_table_checksum",
+      s"""WITH rh AS (
+         |  SELECT (o_orderkey * 1000003 + o_custkey * 8191
+         |        + CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 131
+         |        + CAST(LENGTH(o_orderpriority) AS BIGINT)) % $P AS h
+         |  FROM orders)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(h) % $P AS BIGINT) AS checksum,
+         |  CAST(MIN(h) AS BIGINT) AS h_min, CAST(MAX(h) AS BIGINT) AS h_max
+         |FROM rh""".stripMargin) { (s, d) =>
+      val h = pmod(col("o_orderkey") * 1000003L + col("o_custkey") * 8191L
+        + floor(col("o_totalprice") * 100).cast("long") * 131L
+        + length(col("o_orderpriority")).cast("long"), lit(P))
+      Tables.orders(s, d).select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h")) % P).as("checksum"),
+          min(col("h")).as("h_min"), max(col("h")).as("h_max"))
     }
   )
 }
