@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *     core; callers below the 2.5·m regime should use the exact count.
   *
   * Hash family: h(k) = (a·k + b) mod P, P = 2³¹−1, a < 2³² so products
-  * stay far from signed-64 overflow on both engines.
+  * stay far from signed-64 overflow on both engines. Anywhere bit
+  * STATISTICS matter (HLL ranks, checksums) the linear map must be
+  * avalanche-mixed first — [[hllMix]]/[[hllMixCtes]] are the single
+  * source of that mix on both engines (a bare LCG is an arithmetic
+  * progression mod P whose leading-zero stats are lattice-biased; it blew
+  * the HLL estimate ~80% before the mix, SketchesSpec gates the band).
   */
 object Sketches {
 
@@ -68,6 +73,23 @@ object Sketches {
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Two-round multiply-mod + xor-shift avalanche of a non-negative key
+    * (key·2654435761 must stay under 2⁶³ — any id below ~3.4e9). The ONE
+    * definition of the mix; [[hllMixCtes]] is its SQL twin. */
+  def hllMix(key: Column): Column = {
+    val x1 = pmod(key * 2654435761L + 104729L, lit(P))
+    val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
+    x3.bitwiseXOR(shiftright(x3, 13))
+  }
+
+  /** Oracle CTE chain mirroring [[hllMix]]: `h0, h1, h` with `h` exposing
+    * `hv` (+ any carried columns). `carry` is a comma-terminated column
+    * list copied through each stage (e.g. "grp,"), empty for none. */
+  def hllMixCtes(src: String, keyExpr: String, carry: String = ""): String =
+    s"""h0 AS (SELECT $carry (($keyExpr * 2654435761 + 104729) % $P) AS x1 FROM $src),
+       |h1 AS (SELECT $carry ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
+       |h AS (SELECT $carry xor(x3, x3 >> 13) AS hv FROM h1)""".stripMargin
+
   /** HLL geometry: m = 64 buckets, 25-bit suffix. */
   val HllBuckets = 64
 
@@ -76,6 +98,10 @@ object Sketches {
     (0 until 25).map(j => when(w >= (1L << j), 1L).otherwise(0L)).reduce(_ + _)
   private def bitLenSql(w: String): String =
     (0 until 25).map(j => s"CASE WHEN $w >= ${1L << j} THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** (grp?, bucket, r) rho rows from mixed hash values. */
+  def rhoOf(hv: Column): (Column, Column) =
+    (hv.bitwiseAND(63), lit(26L) - bitLen(shiftright(hv, 6)))
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -115,27 +141,22 @@ object Sketches {
     },
 
     // Relational HyperLogLog over the order→customer stream: 64-bucket
-    // max-rank table → the α·m²/Σ2^(−maxrho) estimate next to the exact
-    // distinct count. Empty buckets contribute 2⁰ via the RANGE left join.
-    // The key is avalanche-mixed (two multiply-mod + xor-shift rounds): a
-    // bare linear-congruential map is an arithmetic progression mod P
-    // whose leading-zero statistics are lattice-biased — it blew the
-    // estimate up ~80% before the mix (SketchesSpec gates the error band).
+    // max-rank register table → the α·m²/Σ2^(−maxrho) estimate next to
+    // the exact distinct count. The register table is aggregated FIRST
+    // (combiner-backed groupBy → ≤64 rows) and only then joined to the
+    // bucket spine for the empty-register 2⁰ terms — the raw rows never
+    // shuffle into a join.
     QueryDef.sql(
       "q_hll_distinct",
-      s"""WITH h0 AS (
-         |  SELECT ((o_custkey * 2654435761 + 104729) % $P) AS x1 FROM orders),
-         |h1 AS (SELECT ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
-         |h AS (SELECT xor(x3, x3 >> 13) AS hv FROM h1),
-         |rho AS (
+      s"""WITH ${hllMixCtes("orders", "o_custkey")},
+         |reg AS (
          |  SELECT hv & 63 AS bucket,
-         |    26 - (${bitLenSql("(hv >> 6)")}) AS r
-         |  FROM h),
+         |    MAX(26 - (${bitLenSql("(hv >> 6)")})) AS maxrho
+         |  FROM h GROUP BY hv & 63),
          |mx AS (
-         |  SELECT b.bucket, COALESCE(MAX(rho.r), 0) AS maxrho
+         |  SELECT b.bucket, COALESCE(reg.maxrho, 0) AS maxrho
          |  FROM (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket) b
-         |  LEFT JOIN rho ON rho.bucket = b.bucket
-         |  GROUP BY b.bucket),
+         |  LEFT JOIN reg ON reg.bucket = b.bucket),
          |s AS (
          |  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << maxrho) AS DOUBLE)) AS z,
          |    CAST(SUM(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
@@ -145,16 +166,14 @@ object Sketches {
          |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / z) AS BIGINT) AS hll_est,
          |  n_empty
          |FROM s""".stripMargin) { (s, d) =>
-      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
-      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
-      val h = Tables.orders(s, d)
-        .select(x3.bitwiseXOR(shiftright(x3, 13)).as("hv"))
-      val rho = h.select(
-        col("hv").bitwiseAND(63).as("bucket"),
-        (lit(26L) - bitLen(shiftright(col("hv"), 6))).as("r"))
+      val hv = hllMix(col("o_custkey"))
+      val (bucket, r) = rhoOf(hv)
+      val reg = Tables.orders(s, d)
+        .select(bucket.as("bucket"), r.as("r"))
+        .groupBy(col("bucket")).agg(max(col("r")).as("maxrho"))
       val mx = s.range(HllBuckets).select(col("id").as("bucket"))
-        .join(rho, Seq("bucket"), "left")
-        .groupBy(col("bucket")).agg(coalesce(max(col("r")), lit(0L)).as("maxrho"))
+        .join(reg, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("maxrho"), lit(0L)).as("maxrho"))
       val zed = mx.agg(
         sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)"))
           .as("z"),
@@ -170,29 +189,24 @@ object Sketches {
 
     // Grouped HLL: distinct customers per order priority — the GROUP BY
     // form that matters at scale (per-domain distinct users, per-source
-    // distinct docs): state is 64 registers PER GROUP, combiner-merged by
-    // bucket-wise max. The bucket spine (every group × all 64 buckets)
-    // comes from a cross join against the distinct group keys so empty
-    // buckets contribute 2⁰ exactly as in the global estimator.
+    // distinct docs): 64 registers per group, combiner-merged by
+    // bucket-wise max BEFORE any join; the group × bucket spine then
+    // fills empty registers with 2⁰ against the ≤ groups·64-row table.
     QueryDef.sql(
       "q_hll_by_group",
-      s"""WITH h0 AS (
-         |  SELECT o_orderpriority AS grp,
-         |    ((o_custkey * 2654435761 + 104729) % $P) AS x1 FROM orders),
-         |h1 AS (SELECT grp, ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
-         |h AS (SELECT grp, xor(x3, x3 >> 13) AS hv FROM h1),
-         |rho AS (
+      s"""WITH ${hllMixCtes("(SELECT o_orderpriority AS grp, o_custkey FROM orders)",
+                            "o_custkey", "grp,")},
+         |reg AS (
          |  SELECT grp, hv & 63 AS bucket,
-         |    26 - (${bitLenSql("(hv >> 6)")}) AS r
-         |  FROM h),
+         |    MAX(26 - (${bitLenSql("(hv >> 6)")})) AS maxrho
+         |  FROM h GROUP BY grp, hv & 63),
          |spine AS (
          |  SELECT g.grp, b.bucket
-         |  FROM (SELECT DISTINCT grp FROM rho) g
+         |  FROM (SELECT DISTINCT grp FROM reg) g
          |  CROSS JOIN (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket) b),
          |mx AS (
-         |  SELECT s.grp, s.bucket, COALESCE(MAX(rho.r), 0) AS maxrho
-         |  FROM spine s LEFT JOIN rho ON rho.grp = s.grp AND rho.bucket = s.bucket
-         |  GROUP BY s.grp, s.bucket),
+         |  SELECT s.grp, s.bucket, COALESCE(reg.maxrho, 0) AS maxrho
+         |  FROM spine s LEFT JOIN reg ON reg.grp = s.grp AND reg.bucket = s.bucket),
          |est AS (
          |  SELECT grp,
          |    CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets /
@@ -204,17 +218,15 @@ object Sketches {
          |  FROM orders GROUP BY o_orderpriority)
          |SELECT e.grp, x.n_exact, e.hll_est
          |FROM est e JOIN exact x USING (grp) ORDER BY e.grp""".stripMargin) { (s, d) =>
-      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
-      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
-      val hv = x3.bitwiseXOR(shiftright(x3, 13))
-      val rho = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
-        hv.bitwiseAND(63).as("bucket"),
-        (lit(26L) - bitLen(shiftright(hv, 6))).as("r"))
-      val spine = rho.select(col("grp")).distinct()
+      val hv = hllMix(col("o_custkey"))
+      val (bucket, r) = rhoOf(hv)
+      val reg = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"), bucket.as("bucket"), r.as("r"))
+        .groupBy(col("grp"), col("bucket")).agg(max(col("r")).as("maxrho"))
+      val spine = reg.select(col("grp")).distinct()
         .crossJoin(broadcast(s.range(HllBuckets).select(col("id").as("bucket"))))
-      val mx = spine.join(rho, Seq("grp", "bucket"), "left")
-        .groupBy(col("grp"), col("bucket"))
-        .agg(coalesce(max(col("r")), lit(0L)).as("maxrho"))
+      val mx = spine.join(reg, Seq("grp", "bucket"), "left")
+        .select(col("grp"), coalesce(col("maxrho"), lit(0L)).as("maxrho"))
       val est = mx.groupBy(col("grp"))
         .agg(floor(lit(0.709) * HllBuckets * HllBuckets /
           sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)")))
@@ -226,29 +238,34 @@ object Sketches {
         .orderBy(col("grp"))
     },
 
-    // Table checksum: an order-independent content fingerprint (sum of
-    // per-row polynomial hashes mod P, plus count and a column sum) — the
+    // Table checksum: an order-independent content fingerprint — the
     // integrity check a replication/reconciliation pipeline compares
-    // across stores without moving data. Engine-neutral row hashing
-    // (never Spark's hash(), which DuckDB cannot reproduce); SUM is
-    // commutative so partitioning and order don't matter.
+    // across stores without moving data. Each row's column combination is
+    // avalanche-MIXED before summing: a raw linear combination would
+    // factor into per-column sums (SUM(a·x+b·y) = a·SUM(x)+b·SUM(y)), so
+    // swapping values between rows or offsetting compensating errors
+    // would cancel — exactly the divergences the check exists to catch.
+    // The sum accumulates in DECIMAL(38,0): mixed values are uniform in
+    // [0, 2³¹), so an int64 sum overflows (ANSI-mode throw) past ~4.3e9
+    // rows while DuckDB's HUGEINT keeps going.
     QueryDef.sql(
       "q_table_checksum",
       s"""WITH rh AS (
          |  SELECT (o_orderkey * 1000003 + o_custkey * 8191
          |        + CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 131
-         |        + CAST(LENGTH(o_orderpriority) AS BIGINT)) % $P AS h
-         |  FROM orders)
+         |        + CAST(LENGTH(o_orderpriority) AS BIGINT)) % $P AS base
+         |  FROM orders),
+         |${hllMixCtes("rh", "base")}
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(SUM(h) % $P AS BIGINT) AS checksum,
-         |  CAST(MIN(h) AS BIGINT) AS h_min, CAST(MAX(h) AS BIGINT) AS h_max
-         |FROM rh""".stripMargin) { (s, d) =>
-      val h = pmod(col("o_orderkey") * 1000003L + col("o_custkey") * 8191L
+         |  CAST(SUM(hv) % $P AS BIGINT) AS checksum,
+         |  CAST(MIN(hv) AS BIGINT) AS h_min, CAST(MAX(hv) AS BIGINT) AS h_max
+         |FROM h""".stripMargin) { (s, d) =>
+      val base = pmod(col("o_orderkey") * 1000003L + col("o_custkey") * 8191L
         + floor(col("o_totalprice") * 100).cast("long") * 131L
         + length(col("o_orderpriority")).cast("long"), lit(P))
-      Tables.orders(s, d).select(h.as("h"))
+      Tables.orders(s, d).select(hllMix(base).as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          (sum(col("h")) % P).as("checksum"),
+          (sum(col("h").cast("decimal(38,0)")) % P).cast("long").as("checksum"),
           min(col("h")).as("h_min"), max(col("h")).as("h_max"))
     }
   )

@@ -52,15 +52,11 @@ class SketchesSpec extends SparkSpec {
   test("hll is mergeable: bucket-wise max of partial sketches == whole sketch") {
     // the merge operation of an HLL register table is element-wise MAX —
     // build the rho table per half, merge via max, compare with the
-    // whole-input register table (the partial-aggregation licence at 100 TB)
-    val P = Sketches.P
+    // whole-input register table (the partial-aggregation licence at 100 TB);
+    // the hash/rho algebra comes from the SAME helpers the queries use
     def rhoTable(df: org.apache.spark.sql.DataFrame) = {
-      val x1 = pmod(col("o_custkey") * 2654435761L + 104729L, lit(P))
-      val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
-      val hv = x3.bitwiseXOR(shiftright(x3, 13))
-      val bl = (0 until 25).map(j =>
-        when(shiftright(hv, 6) >= (1L << j), 1L).otherwise(0L)).reduce(_ + _)
-      df.select(hv.bitwiseAND(63).as("bucket"), (lit(26L) - bl).as("r"))
+      val (bucket, r) = Sketches.rhoOf(Sketches.hllMix($"o_custkey"))
+      df.select(bucket.as("bucket"), r.as("r"))
         .groupBy($"bucket").agg(max($"r").as("maxrho"))
     }
     val orders = Tables.orders(spark, sf())
@@ -70,6 +66,39 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val whole = rhoTable(orders).as[(Long, Long)].collect().toMap
     assert(merged == whole && whole.nonEmpty)
+  }
+
+  test("grouped hll registers merge per key exactly like the global table") {
+    def regTable(df: org.apache.spark.sql.DataFrame) = {
+      val (bucket, r) = Sketches.rhoOf(Sketches.hllMix($"o_custkey"))
+      df.select($"o_orderpriority".as("grp"), bucket.as("bucket"), r.as("r"))
+        .groupBy($"grp", $"bucket").agg(max($"r").as("maxrho"))
+    }
+    val orders = Tables.orders(spark, sf())
+    val a = regTable(orders.filter($"o_orderkey" % 2 === 0))
+    val b = regTable(orders.filter($"o_orderkey" % 2 =!= 0))
+    val merged = a.unionByName(b).groupBy($"grp", $"bucket")
+      .agg(max($"maxrho").as("maxrho"))
+      .as[(String, Long, Long)].collect().toSet
+    val whole = regTable(orders).as[(String, Long, Long)].collect().toSet
+    assert(merged == whole && whole.nonEmpty)
+  }
+
+  test("table checksum detects cross-row value swaps (non-linearity)") {
+    import spark.implicits._
+    // swap two custkeys between rows: per-column sums are unchanged, so a
+    // LINEAR row hash would sum to the identical checksum — the avalanche
+    // mix must break the cancellation
+    def checksum(df: org.apache.spark.sql.DataFrame): Long = {
+      val base = pmod($"k1" * 1000003L + $"k2" * 8191L, lit(Sketches.P))
+      df.select(Sketches.hllMix(base).as("h"))
+        .agg((sum($"h".cast("decimal(38,0)")) % Sketches.P).cast("long"))
+        .as[Long].head()
+    }
+    val orig = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k1", "k2")
+    val swapped = Seq((1L, 20L), (2L, 10L), (3L, 30L)).toDF("k1", "k2")
+    assert(checksum(orig) != checksum(swapped),
+      "checksum failed to detect a cross-row swap")
   }
 
   test("salted join result is invariant to the salt width") {
