@@ -90,6 +90,59 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ewma fold matches a driver-side reference recursion on the same data") {
+    // the risky part of the distributed EWMA is the secondary sort + key
+    // transition handling, so cross-check the full Spark output against a
+    // plain in-memory recursion over identically-ordered rows
+    val d = sf()
+    val got = byName("q_ewma")
+      .select($"user_id", $"n_events", $"ewma_final", $"n_spikes")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rows = Tables.events(spark, d).filter($"user_id" < 40)
+      .select($"user_id", unix_micros($"ts"), $"event_id",
+        floor($"value" * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val ref = rows.groupBy(_._1).map { case (u, rs) =>
+      var s = 0L; var spikes = 0L; var n = 0L
+      rs.foreach { case (_, _, _, x) =>
+        if (n == 0) s = x
+        else {
+          if (math.abs(x - s) > 500) spikes += 1
+          s = math.floor((16.0 * x + 48.0 * s) / 64.0).toLong
+        }
+        n += 1
+      }
+      u -> ((n, s, spikes))
+    }
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    ref.foreach { case (u, (n, s, spikes)) =>
+      val (gn, gs, gsp) = (got(u)._1, got(u)._2, got(u)._3)
+      assert((gn, gs, gsp) == ((n, s, spikes)), s"user $u: got ${got(u)}, ref ($n,$s,$spikes)")
+    }
+  }
+
+  test("pagerank matches a driver-side power iteration on the same graph") {
+    val docs = Tables.documents(spark, sf())
+    val n = docs.count()
+    val got = graft.pipeline.Graphs.pageRank(docs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // reference: same integer recursion, dense driver-side
+    var ranks = Map.empty[Long, Long].withDefaultValue(1000000L)
+    val ids = (0L until n)
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      ids.foreach { src =>
+        val c = math.floor(ranks(src) * 850000.0 / 3000000.0).toLong
+        (1 to 3).foreach(j => contrib((src * 7 + j) % n) += c)
+      }
+      ranks = ids.map(i => i -> (150000L + contrib(i))).toMap.withDefaultValue(1000000L)
+    }
+    assert(got.size == n)
+    ids.foreach(i => assert(got(i) == ranks(i), s"node $i: got ${got(i)}, ref ${ranks(i)}"))
+  }
+
   test("kmeans: two obvious blobs separate; inertia never increases") {
     // 2 tight clusters around (0.1.., ) and (0.9..): ids 0,1 seed them
     val vecs = (0 until 20).map { i =>
