@@ -73,6 +73,36 @@ object Sessions {
       s"l.$key = r.$key AND r_ts >= l_ts - INTERVAL $lookback AND r_ts <= l_ts"))
   }
 
+  final case class EwmaEvent(user_id: Long, ts: Timestamp, event_id: Long, x: Long)
+  final case class EwmaSnapshot(user_id: Long, n_events: Long, ewma: Long, n_spikes: Long)
+
+  /** Streaming EWMA (α = 16/64) + spike counter — the continuous form of
+    * the batch q_ewma fold (operators/Windows): per-key state is ONE
+    * (s, n, spikes) triple regardless of history length, and the same
+    * integer recursion runs per micro-batch, so a single availableNow
+    * drop reproduces the batch result exactly (StreamingSpec proves it).
+    * Within a micro-batch rows sort by (ts, event_id); cross-batch order
+    * is arrival order, the inherent streaming contract. */
+  def ewmaStream(ds: Dataset[EwmaEvent]): Dataset[EwmaSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaSnapshot, EwmaSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[EwmaSnapshot]) =>
+          var st = state.getOption.getOrElse(EwmaSnapshot(key, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            st =
+              if (st.n_events == 0) EwmaSnapshot(key, 1L, r.x, 0L)
+              else EwmaSnapshot(key, st.n_events + 1,
+                math.floor((16.0 * r.x + 48.0 * st.ewma) / 64.0).toLong,
+                st.n_spikes + (if (math.abs(r.x - st.ewma) > 500) 1L else 0L))
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

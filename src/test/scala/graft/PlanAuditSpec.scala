@@ -165,4 +165,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"sketch build lost the combiner:\n${p.take(1500)}")
   }
+
+  test("hll registers aggregate BEFORE joining the bucket spine") {
+    // the raw-row side must reduce to ≤ groups·64 register rows via a
+    // partial max before any join — a join-then-aggregate shape would
+    // shuffle every input row (the regression the round-4 review caught)
+    for (q <- Seq("q_hll_distinct", "q_hll_by_group")) {
+      val p = plan(q)
+      assert(p.contains("partial_max") || p.contains("partial max"),
+        s"$q lost the register combiner:\n${p.take(1500)}")
+      val aggIdx = p.indexOf("partial_max")
+      val joinIdx = p.indexOf("Join")
+      assert(joinIdx >= 0 && aggIdx > joinIdx,
+        s"$q: register aggregation must sit below the spine join in the plan tree")
+    }
+  }
 }

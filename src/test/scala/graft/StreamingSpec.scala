@@ -169,6 +169,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.drop(100).forall(_.label == "forward"))
   }
 
+  test("streaming ewma after one availableNow drop equals the batch fold") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val inDir = s"$tmp/in"
+    Tables.events(spark, sf()).filter($"user_id" < 40)
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 100).cast("long").as("x"))
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Sessions.EwmaEvent]
+    val q = Sessions.ewmaStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ewma_stream")
+      .select($"user_id", $"n_events", $"ewma", $"n_spikes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_ewma")(spark, sf())
+      .select($"user_id", $"n_events", $"ewma_final", $"n_spikes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming count-min sketch equals the batch sketch (fixed state)") {
     import graft.pipeline.Sketches
     import org.apache.spark.sql.streaming.Trigger
