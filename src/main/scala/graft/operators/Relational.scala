@@ -359,6 +359,28 @@ object Relational {
         .orderBy(col("src"), col("k"))
     },
 
+    // SQL entry point: the identical engine surface through spark.sql over
+    // temp views — a reference user can paste ANSI SQL instead of building
+    // DataFrames, and Catalyst plans both identically (the oracle text IS
+    // the Spark query text here, modulo dialect-neutral syntax)
+    QueryDef.sql(
+      "q_sql_api",
+      """SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |WHERE d.n_chars >= 200
+        |GROUP BY d.lang, d.source
+        |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+          |FROM documents d
+          |WHERE d.n_chars >= 200
+          |GROUP BY d.lang, d.source
+          |ORDER BY d.lang, d.source""".stripMargin)
+    },
+
     // FULL OUTER join: per-nation high-balance customer vs supplier
     // counts — sparse sides leave unmatched rows in BOTH directions, which
     // the coalesced key + zero-fill must carry (pd.merge(how="outer"))
