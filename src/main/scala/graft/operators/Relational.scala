@@ -359,6 +359,34 @@ object Relational {
         .orderBy(col("src"), col("k"))
     },
 
+    // UNPIVOT/melt — the inverse reshape of q_pivot_event_types: wide
+    // per-language aggregates to long (lang, metric, value) rows. The
+    // oracle uses the portable UNION ALL expansion (identical semantics,
+    // no dialect-specific UNPIVOT syntax).
+    QueryDef.sql(
+      "q_unpivot",
+      """WITH wide AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, metric, value FROM (
+        |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+        |  UNION ALL SELECT lang, 'sum_chars', sum_chars FROM wide
+        |  UNION ALL SELECT lang, 'n_sources', n_sources FROM wide) t
+        |ORDER BY lang, metric""".stripMargin) { (s, d) =>
+      val wide = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+      wide.unpivot(
+          ids = Array(col("lang")),
+          values = Array(col("n_docs"), col("sum_chars"), col("n_sources")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("lang"), col("metric"))
+    },
+
     // SQL entry point: the identical engine surface through spark.sql over
     // temp views — a reference user can paste ANSI SQL instead of building
     // DataFrames, and Catalyst plans both identically (the oracle text IS
