@@ -359,6 +359,32 @@ object Relational {
         .orderBy(col("src"), col("k"))
     },
 
+    // explicit GROUPING SETS — the third grouping-sets form next to
+    // q_rollup/q_cube: per-lang totals, per-source totals, and the grand
+    // total in ONE pass (one shuffle, expanded map-side), never three
+    // scans unioned. Null-marker flags use IS NULL directly (lang/source
+    // are non-null columns) so both engines agree without depending on
+    // GROUPING() bit conventions.
+    QueryDef.sql(
+      "q_grouping_sets",
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(lang IS NULL AS BOOLEAN) AS is_total_lang,
+        |  CAST(source IS NULL AS BOOLEAN) AS is_total_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY is_total_lang, is_total_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |  (lang IS NULL) AS is_total_lang,
+          |  (source IS NULL) AS is_total_source
+          |FROM documents
+          |GROUP BY GROUPING SETS ((lang), (source), ())
+          |ORDER BY is_total_lang, is_total_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    },
+
     // UNPIVOT/melt — the inverse reshape of q_pivot_event_types: wide
     // per-language aggregates to long (lang, metric, value) rows. The
     // oracle uses the portable UNION ALL expansion (identical semantics,
