@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Geo.queries ++
       operators.BloomJoin.queries ++
+      operators.EventAnalytics.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the product-analytics
+  * operator family a serving engine runs next to the pipeline operators:
+  * transition matrices, funnels, cohort retention, and time-weighted
+  * averages. All window frames partition by user (high cardinality — never
+  * a global window), all aggregates are combiner-backed, and every value
+  * is integer-quantized per the determinism contract.
+  */
+object EventAnalytics {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Markov transition matrix: (event_type → next event_type) counts per
+    // user-ordered stream — LEAD over (user, time) then one combiner
+    // aggregate over the 25-cell matrix
+    QueryDef.sql(
+      "q_event_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Ordered funnel: users who viewed, then clicked AFTER the first view,
+    // then purchased AFTER that click — each stage joins on the previous
+    // stage's first-completion time (strict event ordering, not mere
+    // co-occurrence)
+    QueryDef.sql(
+      "q_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t0
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_after""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t0"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+    },
+
+    // Cohort retention: users grouped by first-activity week, counted as
+    // active per week offset — the (cohort × offset) retention matrix.
+    // Both stages are combiner-backed aggregates; the cohort table joins
+    // back by user key (no window over the corpus).
+    QueryDef.sql(
+      "q_retention_cohorts",
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+        |  FROM events)
+        |SELECT f.cohort AS cohort_week,
+        |  CAST(DATEDIFF('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM activity a JOIN firsts f USING (user_id)
+        |GROUP BY f.cohort, DATEDIFF('day', f.cohort, a.wk) / 7
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      activity.join(firsts, Seq("user_id"))
+        .groupBy(col("cohort").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Time-weighted average value per user-day (TWAP): each reading
+    // weights by its holding duration to the next reading the same day;
+    // the day's last reading carries no weight (half-open intervals).
+    // Weighted sums are exact int64; the final ratio is one double
+    // division + floor, identical both engines.
+    QueryDef.sql(
+      "q_twap",
+      """WITH seq AS (
+        |  SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS v_c, EPOCH_US(ts) AS t,
+        |    LEAD(EPOCH_US(ts)) OVER (
+        |      PARTITION BY user_id, DATE_TRUNC('day', ts) ORDER BY ts, event_id) AS t_next
+        |  FROM events)
+        |SELECT user_id, day,
+        |  CAST(SUM(v_c * (t_next - t)) AS BIGINT) AS sum_wv,
+        |  CAST(SUM(t_next - t) AS BIGINT) AS sum_dt,
+        |  CAST(FLOOR(SUM(v_c * (t_next - t)) * 1.0 / SUM(t_next - t)) AS BIGINT) AS twap_c
+        |FROM seq WHERE t_next IS NOT NULL
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d).select(
+        col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+        floor(col("value") * 100).cast("long").as("v_c"),
+        unix_micros(col("ts")).as("t"),
+        lead(unix_micros(col("ts")), 1).over(w).as("t_next"))
+      seq.filter(col("t_next").isNotNull)
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v_c") * (col("t_next") - col("t"))).as("sum_wv"),
+          sum(col("t_next") - col("t")).as("sum_dt"))
+        .select(col("user_id"), col("day"), col("sum_wv"), col("sum_dt"),
+          floor(col("sum_wv") * lit(1.0) / col("sum_dt")).cast("long").as("twap_c"))
+        .orderBy(col("user_id"), col("day"))
+    }
+  )
+}
