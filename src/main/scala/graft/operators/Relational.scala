@@ -374,13 +374,13 @@ object Relational {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY is_total_lang, is_total_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).createOrReplaceTempView("documents")
+      Tables.documents(s, d).createOrReplaceTempView("graft_gsets_documents")
       s.sql(
         """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           |  (lang IS NULL) AS is_total_lang,
           |  (source IS NULL) AS is_total_source
-          |FROM documents
+          |FROM graft_gsets_documents
           |GROUP BY GROUPING SETS ((lang), (source), ())
           |ORDER BY is_total_lang, is_total_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
     },
@@ -416,7 +416,7 @@ object Relational {
     // SQL entry point: the identical engine surface through spark.sql over
     // temp views — a reference user can paste ANSI SQL instead of building
     // DataFrames, and Catalyst plans both identically (the oracle text IS
-    // the Spark query text here, modulo dialect-neutral syntax)
+    // the Spark query text here, modulo the query-scoped view name)
     QueryDef.sql(
       "q_sql_api",
       """SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -425,11 +425,14 @@ object Relational {
         |WHERE d.n_chars >= 200
         |GROUP BY d.lang, d.source
         |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).createOrReplaceTempView("documents")
+      // query-scoped view name: registering plain "documents" on the
+      // shared session would be global mutable state — a concurrent
+      // builder could bind its sql() analysis to another sfDir's table
+      Tables.documents(s, d).createOrReplaceTempView("graft_sql_api_documents")
       s.sql(
         """SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
-          |FROM documents d
+          |FROM graft_sql_api_documents d
           |WHERE d.n_chars >= 200
           |GROUP BY d.lang, d.source
           |ORDER BY d.lang, d.source""".stripMargin)

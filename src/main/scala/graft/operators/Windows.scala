@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** One EWMA step (α = 16/64): returns (next smoothed value, spiked?)
+    * given the prior smoothed value. THE single definition of the
+    * recursion — the batch fold (q_ewma) and the streaming form
+    * (streaming.Sessions.ewmaStream) both call it, so the stream==batch
+    * contract cannot drift; callers handle first-row seeding (s₁ = x₁). */
+  def ewmaStep(s: Long, x: Long): (Long, Boolean) =
+    (math.floor((16.0 * x + 48.0 * s) / 64.0).toLong, math.abs(x - s) > 500)
+
   val queries: Seq[QueryDef] = Seq(
 
     // W1: FIRST_VALUE over partition (build_frame_db.py:173-187), with a
@@ -347,8 +355,9 @@ object Windows {
             if (u != cur) { flush(); cur = u; n = 0L; sAcc = 0L; spikes = 0L }
             if (n == 0) sAcc = x
             else {
-              if (math.abs(x - sAcc) > 500) spikes += 1
-              sAcc = math.floor((16.0 * x + 48.0 * sAcc) / 64.0).toLong
+              val (s2, spiked) = ewmaStep(sAcc, x)
+              if (spiked) spikes += 1
+              sAcc = s2
             }
             n += 1
           }

@@ -91,12 +91,20 @@ object Sessions {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[EwmaSnapshot]) =>
           var st = state.getOption.getOrElse(EwmaSnapshot(key, 0L, 0L, 0L))
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          // MICROSECOND ordering: Timestamp.getTime is millisecond-only,
+          // which would order same-millisecond events differently than the
+          // batch fold's unix_micros sort — recover the microsecond from
+          // getNanos so stream == batch holds at any timestamp density
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
             st =
               if (st.n_events == 0) EwmaSnapshot(key, 1L, r.x, 0L)
-              else EwmaSnapshot(key, st.n_events + 1,
-                math.floor((16.0 * r.x + 48.0 * st.ewma) / 64.0).toLong,
-                st.n_spikes + (if (math.abs(r.x - st.ewma) > 500) 1L else 0L))
+              else {
+                val (s2, spiked) = graft.operators.Windows.ewmaStep(st.ewma, r.x)
+                EwmaSnapshot(key, st.n_events + 1, s2,
+                  st.n_spikes + (if (spiked) 1L else 0L))
+              }
           }
           state.update(st)
           Iterator(st)

@@ -174,7 +174,7 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(q)
       assert(p.contains("partial_max") || p.contains("partial max"),
         s"$q lost the register combiner:\n${p.take(1500)}")
-      val aggIdx = p.indexOf("partial_max")
+      val aggIdx = math.max(p.indexOf("partial_max"), p.indexOf("partial max"))
       val joinIdx = p.indexOf("Join")
       assert(joinIdx >= 0 && aggIdx > joinIdx,
         s"$q: register aggregation must sit below the spine join in the plan tree")
