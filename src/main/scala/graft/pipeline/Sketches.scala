@@ -34,41 +34,51 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   val P = 2147483647L
-  /** Count-Min geometry: depth 4 × width 256. */
+  /** Default Count-Min geometry: depth 4 × width 256. Both are SCALE
+    * dials: width grows with the heavy-hitter count to keep collision
+    * inflation bounded (error ≈ N/width per row), depth sharpens the min
+    * (error probability ≈ (1/2)^depth-ish). Every operator takes them as
+    * parameters — SketchesSpec runs a non-default geometry. */
   val CmDepth = 4
   val CmWidth = 256
-  private val cmA = (0 until CmDepth).map(i => 104729L * (i + 1) + 12345L)
-  private val cmB = (0 until CmDepth).map(i => 7919L * (i + 1) + 271L)
+  private def cmA(depth: Int) = (0 until depth).map(i => 104729L * (i + 1) + 12345L)
+  private def cmB(depth: Int) = (0 until depth).map(i => 7919L * (i + 1) + 271L)
 
   /** Count-Min bucket of `key` for hash row i. */
-  private def cmBucket(key: Column, i: Column): Column = {
+  private def cmBucket(key: Column, i: Column, depth: Int, width: Int): Column = {
     // coefficient lookup by row id, as a CASE chain (fixed tiny depth)
-    val a = cmA.zipWithIndex.tail.foldLeft(when(i === 0, cmA.head)) {
+    val as = cmA(depth); val bs = cmB(depth)
+    val a = as.zipWithIndex.tail.foldLeft(when(i === 0, as.head)) {
       case (acc, (v, j)) => acc.when(i === j, v)
     }
-    val b = cmB.zipWithIndex.tail.foldLeft(when(i === 0, cmB.head)) {
+    val b = bs.zipWithIndex.tail.foldLeft(when(i === 0, bs.head)) {
       case (acc, (v, j)) => acc.when(i === j, v)
     }
-    pmod(pmod(key * a + b, lit(P)), lit(CmWidth))
+    pmod(pmod(key * a + b, lit(P)), lit(width))
   }
 
-  private def cmBucketSql(key: String, i: String): String = {
-    val a = (0 until CmDepth).map(j => s"WHEN $j THEN ${cmA(j)}").mkString(" ")
-    val b = (0 until CmDepth).map(j => s"WHEN $j THEN ${cmB(j)}").mkString(" ")
-    s"(($key * (CASE $i $a END) + (CASE $i $b END)) % $P) % $CmWidth"
+  private def cmBucketSql(key: String, i: String,
+      depth: Int = CmDepth, width: Int = CmWidth): String = {
+    val a = (0 until depth).map(j => s"WHEN $j THEN ${cmA(depth)(j)}").mkString(" ")
+    val b = (0 until depth).map(j => s"WHEN $j THEN ${cmB(depth)(j)}").mkString(" ")
+    s"(($key * (CASE $i $a END) + (CASE $i $b END)) % $P) % $width"
   }
 
-  /** The 1024-row Count-Min table (i, bucket, cnt) of a key column. */
-  def countMin(rows: DataFrame, key: Column): DataFrame =
-    rows.select(key.as("k"), explode(sequence(lit(0), lit(CmDepth - 1))).as("i"))
-      .groupBy(col("i"), cmBucket(col("k"), col("i")).as("bucket"))
+  /** The depth×width-row Count-Min table (i, bucket, cnt) of a key column. */
+  def countMin(rows: DataFrame, key: Column,
+      depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
+    require(depth >= 1 && width >= 2, s"geometry $depth×$width")
+    rows.select(key.as("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .groupBy(col("i"), cmBucket(col("k"), col("i"), depth, width).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Point estimates for `keys` (column `k`) against a Count-Min table:
-    * min over the 4 rows' counters. Never underestimates. */
-  def cmEstimate(cms: DataFrame, keys: DataFrame): DataFrame =
-    keys.select(col("k"), explode(sequence(lit(0), lit(CmDepth - 1))).as("i"))
-      .withColumn("bucket", cmBucket(col("k"), col("i")))
+    * min over the rows' counters. Never underestimates. */
+  def cmEstimate(cms: DataFrame, keys: DataFrame,
+      depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
+    keys.select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("bucket", cmBucket(col("k"), col("i"), depth, width))
       .join(cms, Seq("i", "bucket"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))

@@ -23,6 +23,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min holds its one-sided guarantee at a non-default geometry") {
+    // geometry is the scale dial — prove the family is generic in it, not
+    // hard-wired to 4×256 (the LshGeometrySpec discipline)
+    val li = Tables.lineitem(spark, sf())
+    val (depth, width) = (6, 64)
+    val cms = Sketches.countMin(li, col("l_partkey"), depth, width)
+    assert(cms.count() <= depth.toLong * width)
+    val exact = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("exact"))
+    val joined = Sketches.cmEstimate(cms, exact.select($"k"), depth, width)
+      .join(exact, Seq("k")).select($"exact", $"est").as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (ex, est) => assert(est >= ex) }
+  }
+
   test("count-min is mergeable: sketch(a ∪ b) == sketch(a) + sketch(b)") {
     val li = Tables.lineitem(spark, sf())
     val a = li.filter($"l_orderkey" % 2 === 0)
