@@ -181,6 +181,45 @@ object Analytics {
         .orderBy(col("source"), col("rk"))
     },
 
+    // ID-gap detection (data-quality sweep): find missing key ranges in a
+    // sequence. The oracle uses the textbook global LEAD; the Spark plan
+    // is the SCALE formulation — fixed-width key buckets so the per-row
+    // window partitions by bucket (key-local), and only the per-bucket
+    // aggregates (max_k/1024 rows) see a global window for the boundary
+    // gaps. Identical output: in-bucket LEAD finds interior gaps, the
+    // bucket-aggregate LEAD finds gaps spanning bucket edges (gap runs
+    // here are ≤ 5 keys, so no bucket is ever fully empty).
+    QueryDef.sql(
+      "q_id_gaps",
+      """WITH present AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE (o_orderkey % 97) >= 5),
+        |nxt AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM present)
+        |SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+        |  CAST(nk - 1 AS BIGINT) AS gap_end,
+        |  CAST(nk - k - 1 AS BIGINT) AS gap_len
+        |FROM nxt WHERE nk IS NOT NULL AND nk > k + 1
+        |ORDER BY gap_start""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val present = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(97)) >= 5)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") / 1024).cast("long").as("bucket"))
+      val wB = Window.partitionBy(col("bucket")).orderBy(col("k"))
+      val internal = present.withColumn("nk", lead(col("k"), 1).over(wB))
+        .filter(col("nk") > col("k") + 1)
+        .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"))
+      val buckets = present.groupBy(col("bucket"))
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      val wG = Window.orderBy(col("bucket")) // bucket AGGREGATES only — tiny
+      val boundary = buckets.withColumn("next_mn", lead(col("mn"), 1).over(wG))
+        .filter(col("next_mn") > col("mx") + 1)
+        .select((col("mx") + 1).as("gap_start"), (col("next_mn") - 1).as("gap_end"))
+      internal.unionByName(boundary)
+        .select(col("gap_start").cast("long"), col("gap_end").cast("long"),
+          (col("gap_end") - col("gap_start") + 1).cast("long").as("gap_len"))
+        .orderBy(col("gap_start"))
+    },
+
     // feature standardization: per-language z-score of document length.
     // Mean/variance come from EXACT integer sums (n, Σx, Σx²) so both
     // engines derive the identical doubles through the identical algebraic

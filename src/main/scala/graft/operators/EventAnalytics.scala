@@ -138,6 +138,83 @@ object EventAnalytics {
         .select(col("user_id"), col("day"), col("sum_wv"), col("sum_dt"),
           floor(col("sum_wv") * lit(1.0) / col("sum_dt")).cast("long").as("twap_c"))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // Interval-union coverage: each event opens a 5-minute activity
+    // interval; overlapping intervals merge and the covered time per user
+    // is the union length. The running-max-end island trick — all windows
+    // partition by user, so the merge is key-local at any scale.
+    QueryDef.sql(
+      "q_interval_union",
+      """WITH iv AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS s,
+        |    EPOCH_US(ts) + 300000000 AS e
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |y AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, s, e,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM y),
+        |isl AS (
+        |  SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+        |  FROM z GROUP BY user_id, island)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 300000000L).as("e"))
+      val x = iv.withColumn("prev_max",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      val y = x.withColumn("is_new",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+      val z = y.withColumn("island",
+        sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      z.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("e1") - col("s0")).as("covered_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // Week-over-week growth: LAG over the pre-aggregated weekly series
+    // (the window sees one row per (type, week), never raw events),
+    // growth quantized from one exact double division
+    QueryDef.sql(
+      "q_wow_growth",
+      """WITH wk AS (
+        |  SELECT event_type, CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, DATE_TRUNC('week', ts)),
+        |g AS (
+        |  SELECT event_type, week, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM wk)
+        |SELECT event_type, week, n, COALESCE(prev, 0) AS prev_n,
+        |  CASE WHEN prev IS NULL THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(FLOOR((n - prev) * 1000000.0 / prev) AS BIGINT) END AS growth_q6
+        |FROM g ORDER BY event_type, week""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      wk.withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("week"), col("n"),
+          coalesce(col("prev"), lit(0L)).as("prev_n"),
+          when(col("prev").isNull, lit(null).cast("long"))
+            .otherwise(floor((col("n") - col("prev")) * lit(1000000.0) / col("prev"))
+              .cast("long")).as("growth_q6"))
+        .orderBy(col("event_type"), col("week"))
     }
   )
 }
