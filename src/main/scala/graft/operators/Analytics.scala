@@ -220,6 +220,68 @@ object Analytics {
         .orderBy(col("gap_start"))
     },
 
+    // Robust statistics: per-type LOWER median and MAD (median absolute
+    // deviation), with the |x − med| > 5·MAD outlier count. The lower
+    // median is an exact positional pick (row_number == (n+1)/2, integer
+    // division) — no interpolation, no doubles, so both engines agree by
+    // construction. EXACT medians inherently sort each key's rows on one
+    // reducer — correct here where the key space is bounded (5 types);
+    // the unbounded-key scale path is approx_percentile (SketchSpec),
+    // which is mergeable. Same trade the reference makes for its exact
+    // summary stats.
+    QueryDef.sql(
+      "q_robust_stats",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, x AS med_c FROM (
+        |    SELECT event_type, x,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM v) t
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+        |dev AS (
+        |  SELECT v.event_type, v.event_id, v.x, ABS(v.x - m.med_c) AS ad, m.med_c
+        |  FROM v JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, ad AS mad_c FROM (
+        |    SELECT event_type, ad,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) t
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT))
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(d.med_c) AS med_c, MAX(md.mad_c) AS mad_c,
+        |  CAST(SUM(CASE WHEN d.ad > 5 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+          outName: String) = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
+        val wN = Window.partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wN))
+          .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long"))
+          .select(col("event_type"), col(valueCol).as(outName))
+      }
+      val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("x"))
+      val med = lowerMedian(v, "x", "med_c")
+      val dev = v.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("event_id"), col("x"),
+          abs(col("x") - col("med_c")).as("ad"), col("med_c"))
+      val mad = lowerMedian(dev, "ad", "mad_c")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med_c")).as("med_c"),
+          max(col("mad_c")).as("mad_c"),
+          sum(when(col("ad") > col("mad_c") * 5, 1).otherwise(0)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
     // feature standardization: per-language z-score of document length.
     // Mean/variance come from EXACT integer sums (n, Σx, Σx²) so both
     // engines derive the identical doubles through the identical algebraic
