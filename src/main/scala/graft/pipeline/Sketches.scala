@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * oracle is possible); these two sketches instead use engine-neutral
   * integer arithmetic, so the full build → query path hash-matches DuckDB:
   *
-  *   - Count-Min: 4 hash rows × 256 counters as a 1024-row aggregate.
-  *     Build is one combiner-backed groupBy over (row, bucket) — mergeable
-  *     by construction (counters add), estimate = min over rows. The
-  *     sketch never exceeds 1024 rows regardless of input size.
+  *   - Count-Min: depth hash rows × width counters (default 4×256) as a
+  *     depth·width-row aggregate. Build is one combiner-backed groupBy
+  *     over (row, bucket) — mergeable by construction (counters add),
+  *     estimate = min over rows. The sketch never exceeds depth·width
+  *     rows regardless of input size, and the geometry travels WITH the
+  *     sketch ([[CmSketch]]) so build and probe cannot disagree.
   *   - HyperLogLog: 64 buckets, rho = leading-zero rank of the hashed
   *     suffix, estimate = α·m²/Σ2^(−maxrho). All 2^(−rho) terms are exact
   *     dyadic doubles (built by integer shift, never `pow`), so the sum is
@@ -59,27 +61,36 @@ object Sketches {
 
   private def cmBucketSql(key: String, i: String,
       depth: Int = CmDepth, width: Int = CmWidth): String = {
-    val a = (0 until depth).map(j => s"WHEN $j THEN ${cmA(depth)(j)}").mkString(" ")
-    val b = (0 until depth).map(j => s"WHEN $j THEN ${cmB(depth)(j)}").mkString(" ")
+    val as = cmA(depth); val bs = cmB(depth)
+    val a = (0 until depth).map(j => s"WHEN $j THEN ${as(j)}").mkString(" ")
+    val b = (0 until depth).map(j => s"WHEN $j THEN ${bs(j)}").mkString(" ")
     s"(($key * (CASE $i $a END) + (CASE $i $b END)) % $P) % $width"
   }
 
-  /** The depth×width-row Count-Min table (i, bucket, cnt) of a key column. */
+  /** A Count-Min sketch table plus the geometry it was built with — the
+    * probe side MUST hash with the same (depth, width), so the geometry
+    * travels with the table instead of being re-supplied (a mismatched
+    * probe would miss the join and silently return 0 — an underestimate
+    * from an estimator whose contract is one-sided error). */
+  final case class CmSketch(table: DataFrame, depth: Int, width: Int)
+
+  /** The depth×width-row Count-Min sketch (i, bucket, cnt) of a key column. */
   def countMin(rows: DataFrame, key: Column,
-      depth: Int = CmDepth, width: Int = CmWidth): DataFrame = {
+      depth: Int = CmDepth, width: Int = CmWidth): CmSketch = {
     require(depth >= 1 && width >= 2, s"geometry $depth×$width")
-    rows.select(key.as("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
-      .groupBy(col("i"), cmBucket(col("k"), col("i"), depth, width).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    CmSketch(
+      rows.select(key.as("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+        .groupBy(col("i"), cmBucket(col("k"), col("i"), depth, width).as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      depth, width)
   }
 
-  /** Point estimates for `keys` (column `k`) against a Count-Min table:
+  /** Point estimates for `keys` (column `k`) against a Count-Min sketch:
     * min over the rows' counters. Never underestimates. */
-  def cmEstimate(cms: DataFrame, keys: DataFrame,
-      depth: Int = CmDepth, width: Int = CmWidth): DataFrame =
-    keys.select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
-      .withColumn("bucket", cmBucket(col("k"), col("i"), depth, width))
-      .join(cms, Seq("i", "bucket"), "left")
+  def cmEstimate(cms: CmSketch, keys: DataFrame): DataFrame =
+    keys.select(col("k"), explode(sequence(lit(0), lit(cms.depth - 1))).as("i"))
+      .withColumn("bucket", cmBucket(col("k"), col("i"), cms.depth, cms.width))
+      .join(cms.table, Seq("i", "bucket"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
@@ -142,9 +153,10 @@ object Sketches {
       val heavy = li.groupBy(col("l_partkey").as("k"))
         .agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("k")).limit(10)
-      // the sketch is FIXED-SIZE (1024 rows) → broadcast; the 10-key probe
-      // side is tiny → broadcast into the estimate join
-      cmEstimate(broadcast(cms), broadcast(heavy).select(col("k")))
+      // the sketch is FIXED-SIZE (depth·width rows) → broadcast; the
+      // 10-key probe side is tiny → broadcast into the estimate join
+      cmEstimate(cms.copy(table = broadcast(cms.table)),
+          broadcast(heavy).select(col("k")))
         .join(broadcast(heavy), Seq("k"))
         .select(col("k"), col("exact"), col("est"))
         .orderBy(col("exact").desc, col("k"))

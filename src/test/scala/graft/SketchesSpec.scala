@@ -29,9 +29,9 @@ class SketchesSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sf())
     val (depth, width) = (6, 64)
     val cms = Sketches.countMin(li, col("l_partkey"), depth, width)
-    assert(cms.count() <= depth.toLong * width)
+    assert(cms.table.count() <= depth.toLong * width)
     val exact = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("exact"))
-    val joined = Sketches.cmEstimate(cms, exact.select($"k"), depth, width)
+    val joined = Sketches.cmEstimate(cms, exact.select($"k"))
       .join(exact, Seq("k")).select($"exact", $"est").as[(Long, Long)].collect()
     assert(joined.nonEmpty)
     joined.foreach { case (ex, est) => assert(est >= ex) }
@@ -41,10 +41,10 @@ class SketchesSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sf())
     val a = li.filter($"l_orderkey" % 2 === 0)
     val b = li.filter($"l_orderkey" % 2 =!= 0)
-    val merged = Sketches.countMin(a, col("l_partkey"))
-      .unionByName(Sketches.countMin(b, col("l_partkey")))
+    val merged = Sketches.countMin(a, col("l_partkey")).table
+      .unionByName(Sketches.countMin(b, col("l_partkey")).table)
       .groupBy($"i", $"bucket").agg(sum($"cnt").as("cnt"))
-    val whole = Sketches.countMin(li, col("l_partkey"))
+    val whole = Sketches.countMin(li, col("l_partkey")).table
     val diff = merged.join(whole.withColumnRenamed("cnt", "cnt2"),
         Seq("i", "bucket"), "full")
       .filter(coalesce($"cnt", lit(-1L)) =!= coalesce($"cnt2", lit(-2L)))

@@ -205,13 +205,13 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.parquet(inDir)
     val schema = spark.read.parquet(inDir).schema
     val in = spark.readStream.schema(schema).parquet(inDir)
-    val q = Sketches.countMin(in, $"user_id")
+    val q = Sketches.countMin(in, $"user_id").table
       .writeStream.outputMode("complete").format("memory")
       .queryName("cms_stream").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val streamed = spark.table("cms_stream")
       .as[(Int, Long, Long)].collect().toSet
-    val batch = Sketches.countMin(spark.read.parquet(inDir), $"user_id")
+    val batch = Sketches.countMin(spark.read.parquet(inDir), $"user_id").table
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.size <= 4 * 256)
