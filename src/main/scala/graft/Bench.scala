@@ -68,7 +68,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full JSON to a repo file: the driver's stdout capture
+    // window has truncated the one-line JSON two rounds running (BENCH_r05
+    // parsed:null), which hides per-query regressions. File beats pipe.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -152,16 +152,21 @@ object FrameSolver {
   }
 
   /** Query form over the events table: each user's event sequence becomes a
-    * track (isLand := event_type = 'error'), solved into frames. Not
-    * SQL-expressible (sequential DP) → rows-only driver check; correctness
-    * is pinned by FrameSolverSpec's brute-force comparison. */
+    * track of uniform water (isLand := false), so the query is the PURE DP —
+    * badness recursion, overlap-1 walk, infeasible-track fallback — which a
+    * DuckDB recursive CTE replicates exactly (the q_frame_dp oracle in
+    * operators/Geo). The land-indicator smoothing path is pinned separately
+    * by FrameSolverSpec (brute-force + ScalaCheck) and runs in full inside
+    * q_catalog_build. Note the n<minF fallback still flows through
+    * smoothing, which floods a short all-water track to land — the oracle
+    * mirrors that (is_land = TRUE on the infeasible branch). */
   def frameQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val tracks = Tables.events(s, d)
       .withColumn("pos", row_number().over(w))
       .select(col("user_id").as("key"), col("pos"),
-        (col("event_type") === "error").as("isLand"))
+        lit(false).as("isLand"))
     solveFrames(tracks)
       .orderBy(col("key"), col("frame_id"))
   }

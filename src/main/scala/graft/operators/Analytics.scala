@@ -222,13 +222,15 @@ object Analytics {
 
     // Robust statistics: per-type LOWER median and MAD (median absolute
     // deviation), with the |x − med| > 5·MAD outlier count. The lower
-    // median is an exact positional pick (row_number == (n+1)/2, integer
+    // median is an exact positional pick (position (n+1)/2, integer
     // division) — no interpolation, no doubles, so both engines agree by
-    // construction. EXACT medians inherently sort each key's rows on one
-    // reducer — correct here where the key space is bounded (5 types);
-    // the unbounded-key scale path is approx_percentile (SketchSpec),
-    // which is mergeable. Same trade the reference makes for its exact
-    // summary stats.
+    // construction. Scale path: x is already quantized to integer cents,
+    // so the Spark side computes the median from a VALUE HISTOGRAM —
+    // groupBy(event_type, x).count() (map-side combined, bounded by
+    // distinct values, not rows) followed by a cumulative positional pick
+    // over the tiny histogram. No per-key raw-row sort anywhere; the only
+    // window runs over the histogram. Equal values are interchangeable,
+    // so the picked value is identical to the oracle's row_number plan.
     QueryDef.sql(
       "q_robust_stats",
       """WITH v AS (
@@ -258,13 +260,21 @@ object Analytics {
         |FROM dev d JOIN mad md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Exact lower median via quantized-value histogram: the histogram
+      // groupBy is map-side combined and its size is bounded by DISTINCT
+      // values per key, so no reducer ever sorts raw rows. The positional
+      // pick selects the unique histogram row whose cumulative count
+      // first reaches position (n+1)/2.
       def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
           outName: String) = {
-        val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
-        val wN = Window.partitionBy(col("event_type"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wN))
-          .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long"))
+        val hist = df.groupBy(col("event_type"), col(valueCol))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        val wAll = Window.partitionBy(col("event_type"))
+        hist
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("pos", floor((sum(col("c")).over(wAll) + 1) / 2.0).cast("long"))
+          .filter(col("cum") - col("c") < col("pos") && col("pos") <= col("cum"))
           .select(col("event_type"), col(valueCol).as(outName))
       }
       val v = Tables.events(s, d).select(col("event_type"), col("event_id"),

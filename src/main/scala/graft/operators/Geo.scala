@@ -199,8 +199,76 @@ object Geo {
     },
 
     // DP frame solver over per-user event tracks (frames.py:124-211
-    // semantics; flatMapGroups, key-local)
-    QueryDef.rowsOnly("q_frame_dp")((s, d) => FrameSolver.frameQuery(s, d)),
+    // semantics; flatMapGroups, key-local). The oracle replays the exact
+    // badness recursion as a recursive CTE: dp(i) = min over frame sizes
+    // 5..10 of dp(j) + ⌊|size−9|⌋³ (= 64,27,8,1,0,1), computed BACKWARD
+    // with the 9-slot dp window carried as columns w1..w9 (w_k = dp(i+k)),
+    // ties broken to the smallest j exactly like the Scala loop; then a
+    // forward recursive walk re-emits the overlap-1 slices (end =
+    // min(bj+1, n)). Infeasible tracks (n < 5, dp(0) = ∞ sentinel 1e12)
+    // fall back to one undersized frame, land-flagged because indicator
+    // smoothing floods a short all-water track (FrameSolver.frameQuery).
+    QueryDef.sql(
+      "q_frame_dp",
+      """WITH RECURSIVE nn AS (
+        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |dp AS (
+        |  SELECT key, n, n AS i, CAST(0 AS BIGINT) AS best,
+        |    CAST(-1 AS BIGINT) AS bj,
+        |    CAST(1000000000000 AS BIGINT) AS w1, CAST(1000000000000 AS BIGINT) AS w2,
+        |    CAST(1000000000000 AS BIGINT) AS w3, CAST(1000000000000 AS BIGINT) AS w4,
+        |    CAST(1000000000000 AS BIGINT) AS w5, CAST(1000000000000 AS BIGINT) AS w6,
+        |    CAST(1000000000000 AS BIGINT) AS w7, CAST(1000000000000 AS BIGINT) AS w8,
+        |    CAST(1000000000000 AS BIGINT) AS w9
+        |  FROM nn
+        |  UNION ALL
+        |  SELECT key, n, i,
+        |    LEAST(c4, c5, c6, c7, c8, c9) AS best,
+        |    CASE LEAST(c4, c5, c6, c7, c8, c9)
+        |      WHEN c4 THEN i + 4 WHEN c5 THEN i + 5 WHEN c6 THEN i + 6
+        |      WHEN c7 THEN i + 7 WHEN c8 THEN i + 8 ELSE i + 9 END AS bj,
+        |    w1, w2, w3, w4, w5, w6, w7, w8, w9
+        |  FROM (
+        |    SELECT key, n, i - 1 AS i,
+        |      CASE WHEN i + 3 <= n AND w3 < 1000000000000
+        |        THEN w3 + 64 ELSE 1000000000000 END AS c4,
+        |      CASE WHEN i + 4 <= n AND w4 < 1000000000000
+        |        THEN w4 + 27 ELSE 1000000000000 END AS c5,
+        |      CASE WHEN i + 5 <= n AND w5 < 1000000000000
+        |        THEN w5 + 8 ELSE 1000000000000 END AS c6,
+        |      CASE WHEN i + 6 <= n AND w6 < 1000000000000
+        |        THEN w6 + 1 ELSE 1000000000000 END AS c7,
+        |      CASE WHEN i + 7 <= n AND w7 < 1000000000000
+        |        THEN w7 ELSE 1000000000000 END AS c8,
+        |      CASE WHEN i + 8 <= n AND w8 < 1000000000000
+        |        THEN w8 + 1 ELSE 1000000000000 END AS c9,
+        |      best AS w1, w1 AS w2, w2 AS w3, w3 AS w4, w4 AS w5,
+        |      w5 AS w6, w6 AS w7, w7 AS w8, w8 AS w9
+        |    FROM dp WHERE i > 0) s),
+        |walk AS (
+        |  SELECT key, n, CAST(0 AS BIGINT) AS k FROM nn
+        |  UNION ALL
+        |  SELECT w.key, w.n, d.bj AS k
+        |  FROM walk w JOIN dp d ON d.key = w.key AND d.i = w.k
+        |  WHERE w.k < w.n AND d.best < 1000000000000),
+        |feas AS (
+        |  SELECT w.key, w.k AS "start", LEAST(d.bj + 1, w.n) AS "end",
+        |    FALSE AS is_land
+        |  FROM walk w JOIN dp d ON d.key = w.key AND d.i = w.k
+        |  WHERE w.k < w.n AND d.best < 1000000000000),
+        |infeas AS (
+        |  SELECT nn.key, CAST(0 AS BIGINT) AS "start", nn.n AS "end",
+        |    TRUE AS is_land
+        |  FROM nn JOIN dp d ON d.key = nn.key AND d.i = 0
+        |  WHERE d.best >= 1000000000000),
+        |allf AS (
+        |  SELECT * FROM feas UNION ALL SELECT * FROM infeas)
+        |SELECT key,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start") AS BIGINT) AS frame_id,
+        |  "start", "end", is_land, "end" - "start" AS n_bursts
+        |FROM allf ORDER BY key, frame_id""".stripMargin)(
+      (s, d) => FrameSolver.frameQuery(s, d)),
 
     // Reference-date sweep (reference_dates.py:105-157 semantics). The
     // per-key sequential state (emit when accumulated days ≥ refs·interval

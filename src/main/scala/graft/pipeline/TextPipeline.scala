@@ -239,14 +239,15 @@ object TextPipeline {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Size the loop's shuffle width to the PROBLEM, not the session
-    // default: the vertex set is the near-dup fraction (usually orders of
-    // magnitude below the corpus), and each propagation round is several
-    // chained tiny jobs whose latency — not data — dominates when
-    // partitions are near-empty. ~2M edge rows per partition; the count
-    // also forces the edge persist once, outside everything.
+    // CONTRACTION width comes from the cluster: defaultParallelism tracks
+    // total cores (32 locally, executors×cores on a cluster), which is the
+    // useful parallelism for the one pass that touches every edge. An
+    // earlier edges.count()-based sizing cost a full counting pass over
+    // the edge set before any work; the persist is now forced by the
+    // contraction pass itself, which computes and caches in the same job.
+    // The LOOP width is sized separately below, from the quotient graph.
     val parts = partsOverride.getOrElse(
-      math.max(1, math.min(4096, (edges.count() / 2000000L + 1).toInt)))
+      math.max(1, math.min(4096, sess.sparkContext.defaultParallelism)))
 
     // PHASE 1 — partition-local contraction. One union-find sweep per edge
     // partition maps every locally-connected subgraph to its min-id root
@@ -297,17 +298,25 @@ object TextPipeline {
     // quotient edges: original edges mapped through φ, self-loops dropped.
     // Connectivity is preserved (each original path maps to a φ-path), so
     // quotient components are exactly the images of original components.
-    val qEdges = edges
+    val qEdges0 = edges
       .join(phi.select(col("doc_id").as("a"), col("lroot").as("ra")), Seq("a"))
       .join(phi.select(col("doc_id").as("b"), col("lroot").as("rb")), Seq("b"))
       .filter(col("ra") =!= col("rb"))
       .select(col("ra").as("a"), col("rb").as("b")).distinct()
-      .repartition(parts, col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LOOP width from the quotient SIZE: each propagation round is several
+    // chained tiny jobs whose latency — not data — dominates when its
+    // partitions are near-empty, and after contraction the quotient is
+    // orders of magnitude below the corpus (often zero). The count forces
+    // the persisted quotient the loop needs anyway — one job over the
+    // contracted graph, never a pass over the full edge set.
+    val loopParts = partsOverride.getOrElse(
+      math.max(1, math.min(4096, (qEdges0.count() / 2000000L + 1).toInt)))
+    val qEdges = qEdges0.repartition(loopParts, col("a"))
 
     // PHASE 2 — min-label propagation over the quotient graph only.
     var labels = qEdges.select(col("a").as("doc_id")).distinct()
-      .repartition(parts, col("doc_id"))
+      .repartition(loopParts, col("doc_id"))
       .select(col("doc_id"), col("doc_id").as("lbl"), lit(false).as("chg"))
       .localCheckpoint(true)
     var iter = 0
@@ -330,7 +339,7 @@ object TextPipeline {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (least(col("lbl"), coalesce(col("nlbl"), col("lbl"))) =!= col("lbl")).as("chg"))
-        .repartition(parts, col("doc_id"))
+        .repartition(loopParts, col("doc_id"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).isEmpty
       labels = next
@@ -351,7 +360,7 @@ object TextPipeline {
       .join(vertexLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
       .localCheckpoint(true) // pin the result before releasing the caches
-    edges.unpersist(); phi.unpersist(); qEdges.unpersist()
+    edges.unpersist(); phi.unpersist(); qEdges0.unpersist()
     out
   }
 

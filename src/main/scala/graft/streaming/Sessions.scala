@@ -111,6 +111,45 @@ object Sessions {
       }
   }
 
+  final case class CmRowState(counters: Array[Long])
+  final case class CmCell(i: Int, bucket: Int, cnt: Long)
+
+  /** Stateful streaming Count-Min (the flatMapGroupsWithState analog of
+    * the batch `Sketches.countMin`): state is one width-length counter
+    * array PER HASH ROW — depth groups, each holding `width` longs, so
+    * total state is exactly the sketch (depth·width counters) no matter
+    * how many events stream through. Each micro-batch folds its increments
+    * into the row's counters and emits the row's current non-zero cells;
+    * counters are monotone non-decreasing, so the latest snapshot per
+    * (i, bucket) — equivalently max(cnt) — IS the merged sketch, and a
+    * single availableNow drop reproduces `Sketches.countMin` exactly
+    * (StreamingSpec proves stream == batch). Hashing is shared with the
+    * batch build (`Sketches.cmBucket`), so build and probe cannot diverge. */
+  def countMinStream(events: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int = graft.pipeline.Sketches.CmDepth,
+      width: Int = graft.pipeline.Sketches.CmWidth): Dataset[CmCell] = {
+    require(depth >= 1 && width >= 2, s"geometry $depth×$width")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(key.as("k"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("k"))
+      .select(col("i").cast("int"),
+        graft.pipeline.Sketches.cmBucket(col("k"), col("i"), depth, width)
+          .cast("int").as("bucket"))
+      .as[(Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmRowState, CmCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (i, rows, state: GroupState[CmRowState]) =>
+          val ctr = state.getOption.map(_.counters)
+            .getOrElse(Array.fill(width)(0L))
+          rows.foreach { case (_, b) => ctr(b) += 1L }
+          state.update(CmRowState(ctr))
+          ctr.iterator.zipWithIndex
+            .collect { case (c, b) if c > 0 => CmCell(i, b, c) }
+      }
+  }
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

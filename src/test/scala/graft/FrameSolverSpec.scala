@@ -73,6 +73,20 @@ class FrameSolverSpec extends AnyFunSuite {
     assert(slices.map(_.end).max == 40)
   }
 
+  test("infeasible all-water track (n < 5) floods to one undersized land slice") {
+    // smoothing smears every short water run; on a track shorter than minF
+    // the whole indicator floods to land and the DP falls back to a single
+    // undersized frame — the contract the q_frame_dp oracle's infeasible
+    // branch mirrors (is_land = TRUE, slice = [0, n))
+    for (n <- 1 to 4) {
+      val slices = FrameSolver.landOptimizedSlices(Array.fill(n)(false))
+      assert(slices == Seq(FrameSlice(0, n, true)), s"n=$n → $slices")
+    }
+    // n = 5 is feasible and stays water
+    assert(FrameSolver.landOptimizedSlices(Array.fill(5)(false)) ==
+      Seq(FrameSlice(0, 5, false)))
+  }
+
   test("frameToBurstRows expands triplets 1-based") {
     val rows = FrameSolver.frameToBurstRows(Seq(FrameSlice(0, 2, true)))
     // bursts 1..2 → ogc fids 1,2,3 and 4,5,6, frame id 1

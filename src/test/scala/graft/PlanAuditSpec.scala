@@ -78,6 +78,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("robust-stats medians come from a value histogram, not a raw-row sort") {
+    // the round-5 weak spot: row_number over partitionBy(event_type)
+    // serialized every row of a type onto one reducer; the positional pick
+    // must now run over the groupBy(event_type, x) histogram — no
+    // row_number anywhere, and the histogram aggregate keeps its map-side
+    // combine (partial_count)
+    val p = plan("q_robust_stats")
+    assert(!p.contains("row_number"), s"raw-row positional sort crept back:\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"histogram aggregate lost map-side combine:\n${p.take(2000)}")
+  }
+
   test("embedding dots stay whole-array (no element explosion in the pair stage)") {
     // the round-3 rewrite: candidate pairs carry raw arrays through the
     // join and one codegen'd qdot computes each dot — a regression back to

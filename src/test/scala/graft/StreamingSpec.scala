@@ -216,4 +216,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.size <= 4 * 256)
   }
+
+  test("stateful streaming count-min (flatMapGroupsWithState) merges across micro-batches") {
+    import graft.pipeline.Sketches
+    import org.apache.spark.sql.streaming.Trigger
+    // two parquet files + maxFilesPerTrigger=1 force TWO micro-batches, so
+    // the pass only holds if the second batch's increments merged into the
+    // first's counter state — the stateful property under test. Counters
+    // are monotone, so max(cnt) per cell across the append snapshots is
+    // the final sketch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-state").toString
+    val inDir = s"$tmp/in"
+    val users = Tables.events(spark, sf()).select($"user_id")
+    users.filter($"user_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    users.filter($"user_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = Sessions.countMinStream(in, $"user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cms_stateful").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_stateful")
+      .groupBy($"i", $"bucket").agg(max($"cnt").as("cnt"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (i, b, c) => (i, b.toLong, c) }.toSet
+    val batch = Sketches.countMin(spark.read.parquet(inDir), $"user_id").table
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.size <= 4 * 256)
+  }
 }

@@ -7,6 +7,7 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -37,8 +38,16 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GRAFT_CHECK_SKIP=q_a,q_b: skip oracles that are superlinear in DuckDB
+    # on clone-heavy rehearsal data (e.g. the recursive transitive closure)
+    # — the ENGINE side still ran; only the oracle replay is skipped
+    skip = set(filter(None,
+                      os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (GRAFT_CHECK_SKIP)")
+            continue
         try:
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]

@@ -2,12 +2,14 @@
 """Build a scaled clone of a testdata sf dir for scale rehearsals
 (dev tool only — the shipped Scala library does not depend on this).
 
-Clones documents/embeddings 8x, lineitem/orders 5x, events 3x (key-offset
-so keys stay unique; document text is cloned VERBATIM — the dedup worst
-case, identical copies maximize LSH/band collisions). Dimensions copy
-as-is. Run the differential against the result:
+Clones documents/embeddings Nx, lineitem/orders ~5N/8x, events ~3N/8x
+(key-offset so keys stay unique; document text is cloned VERBATIM — the
+dedup worst case, identical copies maximize LSH/band collisions).
+Dimensions copy as-is. N defaults to 8 (the round-4 rehearsal geometry);
+pass a third argument to scale further. Run the differential against the
+result:
 
-    python3 tools/make_rehearsal.py /root/testdata/sf0.01 /tmp/rehearsal
+    python3 tools/make_rehearsal.py /root/testdata/sf0.01 /tmp/rehearsal [N]
     sbt "runMain graft.Verify /tmp/rehearsal /tmp/verify_rehearsal"
     python3 tools/check.py /tmp/rehearsal /tmp/verify_rehearsal
 """
@@ -16,18 +18,23 @@ import sys
 
 import duckdb
 
-CLONES = {
-    "documents": ("doc_id", 8, 10_000_000),
-    "embeddings": ("vec_id", 8, 10_000_000),
-    "lineitem": ("l_orderkey", 5, 100_000_000),
-    "orders": ("o_orderkey", 5, 100_000_000),
-    "events": ("event_id", 3, 100_000_000),
-}
 COPY = ["region", "nation", "customer", "supplier", "part"]
+
+
+def clones(n):
+    scale = lambda k: max(1, round(k * n / 8))
+    return {
+        "documents": ("doc_id", scale(8), 10_000_000),
+        "embeddings": ("vec_id", scale(8), 10_000_000),
+        "lineitem": ("l_orderkey", scale(5), 100_000_000),
+        "orders": ("o_orderkey", scale(5), 100_000_000),
+        "events": ("event_id", scale(3), 100_000_000),
+    }
 
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
+    CLONES = clones(int(sys.argv[3]) if len(sys.argv) > 3 else 8)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in COPY:
