@@ -58,6 +58,18 @@ object Bench {
     // distinct-gram table internally) outside any timed region
     graft.pipeline.TextPipeline.minhashSignatures(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // Settle before the timed loop: the minhash materialization is the
+    // heaviest job in the run and its GC/cleaner residue billed 4.5× to
+    // whichever query ran first two rounds running. One full GC HERE —
+    // measured: the first timed query runs ~25% faster with it, because
+    // it stops paying the materialization's garbage (this is NOT the
+    // per-query GC the note above rejects: once, outside any timed
+    // region, is cleanup; per-query shrinks the heap 127 times). Then a
+    // beat for the ContextCleaner, and the warmup query once more untimed
+    // so the first timed query starts from a steady-state heap.
+    System.gc()
+    Thread.sleep(500)
+    SparkEntry.queries.get("q_agg_pricing").foreach(fn => runOnce("warmup2", fn))
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (dev loop)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

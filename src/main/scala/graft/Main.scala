@@ -82,20 +82,33 @@ object Main {
     table(spark, dir, "frames")
 
   /** §3.1 build → persisted catalog. The NA flag is a spatial-join flag
-    * exactly like the land flag (build_frame_db.py:653-655); absent a
-    * North-America shape it is false (the flag never gates the build). */
+    * exactly like the land flag (build_frame_db.py:653-655 loads a
+    * multi-shape North-America boundary); the boundary file holds one WKT
+    * per line and routes through the broadcast STRtree join — the same J7
+    * path the land flag uses — so a many-polygon coastline probes an index
+    * instead of paying shapes×frames exact intersect calls. Absent a
+    * North-America file the flag is false (it never gates the build). */
   private def create(spark: SparkSession, burstMap: String, landWktFile: String,
       outDir: String, naWktFile: Option[String]): Unit = {
     def readWkt(p: String): String =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8).trim
     val r = CatalogBuild.build(spark.read.parquet(burstMap), readWkt(landWktFile))
-    val naFlag = naWktFile match {
-      case Some(p) => GeoFunctions.stIntersects(col("geom"), lit(readWkt(p)))
-      case None => lit(false)
+    val framesNa = naWktFile match {
+      case Some(p) =>
+        val shapes = readWkt(p).split('\n').map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+        val naFids = graft.operators.SpatialJoin.broadcastSpatialJoin(
+            r.frames.select(col("fid").as("id"), col("geom").as("wkt")), shapes)
+          .select(col("id").as("fid")).distinct()
+          .withColumn("is_north_america", lit(true))
+        // frame set is ≤46k rows and the hit set smaller — broadcast the flag
+        r.frames.join(broadcast(naFids), Seq("fid"), "left")
+          .withColumn("is_north_america",
+            coalesce(col("is_north_america"), lit(false)))
+      case None => r.frames.withColumn("is_north_america", lit(false))
     }
-    r.frames
-      .withColumn("is_north_america", naFlag)
+    framesNa
       .withColumn("e", GeoFunctions.stEnvelope(col("geom")))
       .withColumn("bb_xmin", col("e._1")).withColumn("bb_ymin", col("e._2"))
       .withColumn("bb_xmax", col("e._3")).withColumn("bb_ymax", col("e._4"))
@@ -105,7 +118,24 @@ object Main {
     r.burstIdMap.write.mode("overwrite").parquet(s"$outDir/burst_id_map")
   }
 
-  /** Deterministic JSON-lines print: small serving results only. */
-  private def printJson(df: DataFrame): Unit =
-    df.toJSON.collect().foreach(println)
+  /** Hard cap on rows printed by [[printJson]] — serving results are
+    * human-sized; anything above this means the caller pointed the CLI at
+    * an unfiltered fact table and collecting it would OOM the driver.
+    * System property so specs can lower it without a million-row fixture. */
+  private[graft] def maxJsonRows: Int =
+    sys.props.get("graft.cli.maxJsonRows").map(_.toInt).getOrElse(100000)
+
+  /** Deterministic JSON-lines print: small serving results only. The
+    * `limit(cap + 1)` bounds what ever reaches the driver, and the +1
+    * sentinel row distinguishes "exactly at the cap" from "over it" so the
+    * failure is loud instead of a silent truncation. */
+  private def printJson(df: DataFrame): Unit = {
+    val cap = maxJsonRows
+    val rows = df.limit(cap + 1).toJSON.collect()
+    if (rows.length > cap)
+      throw new IllegalArgumentException(
+        s"result exceeds $cap rows — refusing to collect onto the " +
+          "driver; narrow the query (bbox/fids/date range)")
+    rows.foreach(println)
+  }
 }

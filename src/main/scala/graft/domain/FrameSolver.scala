@@ -152,21 +152,29 @@ object FrameSolver {
   }
 
   /** Query form over the events table: each user's event sequence becomes a
-    * track of uniform water (isLand := false), so the query is the PURE DP —
-    * badness recursion, overlap-1 walk, infeasible-track fallback — which a
-    * DuckDB recursive CTE replicates exactly (the q_frame_dp oracle in
-    * operators/Geo). The land-indicator smoothing path is pinned separately
-    * by FrameSolverSpec (brute-force + ScalaCheck) and runs in full inside
-    * q_catalog_build. Note the n<minF fallback still flows through
-    * smoothing, which floods a short all-water track to land — the oracle
-    * mirrors that (is_land = TRUE on the infeasible branch). */
+    * track whose land indicator is `event_type = 'error'` (~20% of rows),
+    * so the query exercises the FULL pipeline — indicator smoothing, per-run
+    * split, badness-DP recursion, overlap-1 walk, infeasible-run fallback —
+    * and the DuckDB oracle (operators/Geo) replicates all of it. Smoothing's
+    * iterative fixpoint has a closed form the oracle exploits: phase A is an
+    * OR of smear intervals [e−minF/2, e+minF/2] around each ORIGINAL short
+    * land run's exclusive end e (the Scala foreach walks runs computed once
+    * on the raw indicator, and smears only set true, so sequential mutation
+    * ≡ interval OR); phase B's while-loop shrinks each still-short water run
+    * by minF/2 from the right per pass without ever changing another water
+    * run's extent (the smear only touches the run's own tail and the
+    * already-land run after it), so every water run shorter than minF
+    * floods COMPLETELY and the fixpoint ≡ "flood all short water runs of
+    * the phase-A indicator" — both phases are window-function-expressible.
+    * The n<minF fallback emits one undersized frame carrying its run's land
+    * flag. */
   def frameQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val tracks = Tables.events(s, d)
       .withColumn("pos", row_number().over(w))
       .select(col("user_id").as("key"), col("pos"),
-        lit(false).as("isLand"))
+        (col("event_type") === lit("error")).as("isLand"))
     solveFrames(tracks)
       .orderBy(col("key"), col("frame_id"))
   }

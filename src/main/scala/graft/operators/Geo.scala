@@ -22,6 +22,40 @@ object Geo {
   private def synthLat(k: org.apache.spark.sql.Column) =
     ((k * 47) % 180 - 90 + lit(0.25)).cast("double")
 
+  /** land polygon paired with [[burstGridFixture]] (the q_catalog_build
+    * fixture; MainSpec reuses both to oracle the CLI against direct
+    * Catalog calls on the same build). */
+  val catalogFixtureLandWkt = "POLYGON ((0 5, 40 5, 40 15, 0 15, 0 5))"
+
+  /** ESA-style burst grid synthesized from the supplier table WITHOUT a
+    * driver-side action: suppkeys are 1..N, so (s_suppkey−1)·3 + subswath
+    * enumerates the same 3·min(N,400)-row id space the old range(count·3)
+    * produced. */
+  def burstGridFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= 400)
+      .select((col("s_suppkey").cast("long") - 1).as("sk"),
+        explode(sequence(lit(0L), lit(2L))).as("sw"))
+      .select((col("sk") * 3 + col("sw")).as("i"))
+      .select(
+        (col("i") + 1).cast("int").as("OGC_FID"),
+        (col("i") / 3 + 1).cast("long").as("burst_id"),
+        ((col("i") / 3) / 27 + 1).cast("int").as("relative_orbit_number"),
+        concat(lit("IW"), (col("i") % 3 + 1)).as("subswath_name"),
+        lit("ASCENDING").as("orbit_pass"),
+        format_string("POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8),
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
+          (col("i") / 3) % 27 * lit(0.8),
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
+          (col("i") / 3) % 27 * lit(0.8) + 0.8,
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8) + 0.8,
+          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
+          (col("i") / 3) % 27 * lit(0.8)).as("geom"))
+
   val queries: Seq[QueryDef] = Seq(
 
     // UTM zone + EPSG assignment incl. Norway/Svalbard exceptions
@@ -198,23 +232,67 @@ object Geo {
         .orderBy(col("poly_id"))
     },
 
-    // DP frame solver over per-user event tracks (frames.py:124-211
-    // semantics; flatMapGroups, key-local). The oracle replays the exact
-    // badness recursion as a recursive CTE: dp(i) = min over frame sizes
-    // 5..10 of dp(j) + ⌊|size−9|⌋³ (= 64,27,8,1,0,1), computed BACKWARD
-    // with the 9-slot dp window carried as columns w1..w9 (w_k = dp(i+k)),
-    // ties broken to the smallest j exactly like the Scala loop; then a
-    // forward recursive walk re-emits the overlap-1 slices (end =
-    // min(bj+1, n)). Infeasible tracks (n < 5, dp(0) = ∞ sentinel 1e12)
-    // fall back to one undersized frame, land-flagged because indicator
-    // smoothing floods a short all-water track (FrameSolver.frameQuery).
+    // DP frame solver over per-user event tracks (frames.py:77-236
+    // semantics; flatMapGroups, key-local), land = (event_type = 'error').
+    // The oracle replays the FULL pipeline:
+    //  (1) SMOOTHING as a window-function prepass. The Scala fixpoint has a
+    //      closed form (see FrameSolver.frameQuery): phase A ORs the smear
+    //      interval [e−2, e+2] (0-idx; 1-idx rn ∈ [e−1, e+3]) around each
+    //      ORIGINAL land run shorter than 5, where e = exclusive run end;
+    //      phase B completely floods every water run of the phase-A
+    //      indicator still shorter than 5 (each while-pass shrinks such a
+    //      run by 2 from the right and never alters another water run, so
+    //      short ⇒ fully flooded).
+    //  (2) The badness DP per (key, final run): dp(i) = min over frame
+    //      sizes 5..10 of dp(j) + ⌊|size−9|⌋³ (= 64,27,8,1,0,1), computed
+    //      BACKWARD with the 9-slot dp window carried as columns w1..w9
+    //      (w_k = dp(i+k)), ties broken to the smallest j exactly like the
+    //      Scala loop; then a forward recursive walk re-emits the overlap-1
+    //      slices (end = min(bj+1, n)), offset by the run's absolute start.
+    //      Infeasible runs (n < 5, dp(0) = ∞ sentinel 1e12) fall back to
+    //      one undersized frame carrying the run's own land flag.
     QueryDef.sql(
       "q_frame_dp",
-      """WITH RECURSIVE nn AS (
-        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM events GROUP BY user_id),
+      """WITH RECURSIVE pos AS (
+        |  SELECT user_id AS key,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    (event_type = 'error') AS land0
+        |  FROM events),
+        |r0 AS (
+        |  SELECT key, rn, land0,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land0 ORDER BY rn) AS g0
+        |  FROM pos),
+        |shortland AS (
+        |  SELECT key, MAX(rn) AS e FROM r0 WHERE land0
+        |  GROUP BY key, g0 HAVING COUNT(*) < 5),
+        |i1 AS (
+        |  SELECT p.key, p.rn,
+        |    (p.land0 OR EXISTS (SELECT 1 FROM shortland s
+        |       WHERE s.key = p.key AND p.rn BETWEEN s.e - 1 AND s.e + 3)) AS land1
+        |  FROM pos p),
+        |r1 AS (
+        |  SELECT key, rn, land1,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land1 ORDER BY rn) AS g1
+        |  FROM i1),
+        |runlen AS (
+        |  SELECT key, land1, g1, COUNT(*) AS len
+        |  FROM r1 GROUP BY key, land1, g1),
+        |i2 AS (
+        |  SELECT r.key, r.rn, (r.land1 OR l.len < 5) AS land
+        |  FROM r1 r JOIN runlen l
+        |    ON l.key = r.key AND l.land1 = r.land1 AND l.g1 = r.g1),
+        |r2 AS (
+        |  SELECT key, rn, land,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land ORDER BY rn) AS g2
+        |  FROM i2),
+        |nn AS (
+        |  SELECT key, land,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY MIN(rn)) AS BIGINT) AS run_id,
+        |    CAST(MIN(rn) - 1 AS BIGINT) AS run_start,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r2 GROUP BY key, land, g2),
         |dp AS (
-        |  SELECT key, n, n AS i, CAST(0 AS BIGINT) AS best,
+        |  SELECT key, run_id, n, n AS i, CAST(0 AS BIGINT) AS best,
         |    CAST(-1 AS BIGINT) AS bj,
         |    CAST(1000000000000 AS BIGINT) AS w1, CAST(1000000000000 AS BIGINT) AS w2,
         |    CAST(1000000000000 AS BIGINT) AS w3, CAST(1000000000000 AS BIGINT) AS w4,
@@ -223,14 +301,14 @@ object Geo {
         |    CAST(1000000000000 AS BIGINT) AS w9
         |  FROM nn
         |  UNION ALL
-        |  SELECT key, n, i,
+        |  SELECT key, run_id, n, i,
         |    LEAST(c4, c5, c6, c7, c8, c9) AS best,
         |    CASE LEAST(c4, c5, c6, c7, c8, c9)
         |      WHEN c4 THEN i + 4 WHEN c5 THEN i + 5 WHEN c6 THEN i + 6
         |      WHEN c7 THEN i + 7 WHEN c8 THEN i + 8 ELSE i + 9 END AS bj,
         |    w1, w2, w3, w4, w5, w6, w7, w8, w9
         |  FROM (
-        |    SELECT key, n, i - 1 AS i,
+        |    SELECT key, run_id, n, i - 1 AS i,
         |      CASE WHEN i + 3 <= n AND w3 < 1000000000000
         |        THEN w3 + 64 ELSE 1000000000000 END AS c4,
         |      CASE WHEN i + 4 <= n AND w4 < 1000000000000
@@ -247,25 +325,29 @@ object Geo {
         |      w5 AS w6, w6 AS w7, w7 AS w8, w8 AS w9
         |    FROM dp WHERE i > 0) s),
         |walk AS (
-        |  SELECT key, n, CAST(0 AS BIGINT) AS k FROM nn
+        |  SELECT key, run_id, n, CAST(0 AS BIGINT) AS k FROM nn
         |  UNION ALL
-        |  SELECT w.key, w.n, d.bj AS k
-        |  FROM walk w JOIN dp d ON d.key = w.key AND d.i = w.k
+        |  SELECT w.key, w.run_id, w.n, d.bj AS k
+        |  FROM walk w JOIN dp d
+        |    ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
         |  WHERE w.k < w.n AND d.best < 1000000000000),
         |feas AS (
-        |  SELECT w.key, w.k AS "start", LEAST(d.bj + 1, w.n) AS "end",
-        |    FALSE AS is_land
-        |  FROM walk w JOIN dp d ON d.key = w.key AND d.i = w.k
+        |  SELECT w.key, nn.run_start + w.k AS "start",
+        |    nn.run_start + LEAST(d.bj + 1, w.n) AS "end", nn.land AS is_land
+        |  FROM walk w
+        |  JOIN dp d ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
+        |  JOIN nn ON nn.key = w.key AND nn.run_id = w.run_id
         |  WHERE w.k < w.n AND d.best < 1000000000000),
         |infeas AS (
-        |  SELECT nn.key, CAST(0 AS BIGINT) AS "start", nn.n AS "end",
-        |    TRUE AS is_land
-        |  FROM nn JOIN dp d ON d.key = nn.key AND d.i = 0
+        |  SELECT nn.key, nn.run_start AS "start",
+        |    nn.run_start + nn.n AS "end", nn.land AS is_land
+        |  FROM nn JOIN dp d
+        |    ON d.key = nn.key AND d.run_id = nn.run_id AND d.i = 0
         |  WHERE d.best >= 1000000000000),
         |allf AS (
         |  SELECT * FROM feas UNION ALL SELECT * FROM infeas)
         |SELECT key,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start") AS BIGINT) AS frame_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start", "end") AS BIGINT) AS frame_id,
         |  "start", "end", is_land, "end" - "start" AS n_bursts
         |FROM allf ORDER BY key, frame_id""".stripMargin)(
       (s, d) => FrameSolver.frameQuery(s, d)),
@@ -308,33 +390,8 @@ object Geo {
     // jpl-id → triplet dissolve (geometry union agg) → land flag → DP frame
     // optimization → frame assembly → EPSG → snapped UTM bbox
     QueryDef.rowsOnly("q_catalog_build") { (s, d) =>
-      // fixture sized by the supplier table WITHOUT a driver-side action:
-      // suppkeys are 1..N, so (s_suppkey−1)·3 + subswath enumerates the
-      // same 3·min(N,400)-row id space the old range(count·3) produced
-      val grid = Tables.supplier(s, d)
-        .filter(col("s_suppkey") <= 400)
-        .select((col("s_suppkey").cast("long") - 1).as("sk"),
-          explode(sequence(lit(0L), lit(2L))).as("sw"))
-        .select((col("sk") * 3 + col("sw")).as("i"))
-        .select(
-        (col("i") + 1).cast("int").as("OGC_FID"),
-        (col("i") / 3 + 1).cast("long").as("burst_id"),
-        ((col("i") / 3) / 27 + 1).cast("int").as("relative_orbit_number"),
-        concat(lit("IW"), (col("i") % 3 + 1)).as("subswath_name"),
-        lit("ASCENDING").as("orbit_pass"),
-        format_string("POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8),
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
-          (col("i") / 3) % 27 * lit(0.8),
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
-          (col("i") / 3) % 27 * lit(0.8) + 0.8,
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8) + 0.8,
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8)).as("geom"))
       val r = graft.domain.CatalogBuild.build(
-        grid, "POLYGON ((0 5, 40 5, 40 15, 0 15, 0 5))")
+        burstGridFixture(s, d), catalogFixtureLandWkt)
       r.frames.select(col("fid"), col("epsg"), col("is_land"),
           col("relative_orbit_number"), col("n_bursts"),
           col("xmin"), col("ymin"), col("xmax"), col("ymax"))

@@ -239,15 +239,27 @@ object TextPipeline {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // CONTRACTION width comes from the cluster: defaultParallelism tracks
-    // total cores (32 locally, executors×cores on a cluster), which is the
-    // useful parallelism for the one pass that touches every edge. An
-    // earlier edges.count()-based sizing cost a full counting pass over
-    // the edge set before any work; the persist is now forced by the
-    // contraction pass itself, which computes and caches in the same job.
-    // The LOOP width is sized separately below, from the quotient graph.
+    // CONTRACTION width sized by the DATA, via a count that doubles as the
+    // cache materialization. Contraction quality is how much of a component
+    // lands in one partition: a tiny edge set scattered 32 ways contracts
+    // far less per partition, leaving a deep quotient graph whose
+    // propagation rounds' chained-job latency never amortizes (round 6
+    // shipped exactly that — defaultParallelism sizing — and measured a
+    // 2.2× regression). Nor can the input's own partition count stand in
+    // for size: `edges` exits a shuffle, so it is shuffle.partitions wide
+    // whether it holds 4k or 40B edges, and reading it off the plan under
+    // AQE eagerly runs the upstream stages WITHOUT filling the persist —
+    // measured 7.4 s isolated, the worst of the three. The count() here is
+    // NOT an extra pass over the big input: it is the action that
+    // materializes the MEMORY_AND_DISK persist which the contraction pass
+    // (and the two φ-joins) then read back, so its marginal cost over any
+    // alternative first-action is the count itself — nothing. ~2M edges
+    // per partition keeps a partition's union-find map comfortably in one
+    // task's memory at 100 TB scale while letting small graphs (the common
+    // near-dup case: edges ≪ corpus) contract in ONE partition, which
+    // empties the quotient graph and the loop below runs zero rounds.
     val parts = partsOverride.getOrElse(
-      math.max(1, math.min(4096, sess.sparkContext.defaultParallelism)))
+      math.max(1, math.min(4096, (edges.count() / 2000000L + 1).toInt)))
 
     // PHASE 1 — partition-local contraction. One union-find sweep per edge
     // partition maps every locally-connected subgraph to its min-id root

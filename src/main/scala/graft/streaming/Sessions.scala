@@ -115,20 +115,27 @@ object Sessions {
   final case class CmCell(i: Int, bucket: Int, cnt: Long)
 
   /** Stateful streaming Count-Min (the flatMapGroupsWithState analog of
-    * the batch `Sketches.countMin`): state is one width-length counter
-    * array PER HASH ROW — depth groups, each holding `width` longs, so
-    * total state is exactly the sketch (depth·width counters) no matter
-    * how many events stream through. Each micro-batch folds its increments
-    * into the row's counters and emits the row's current non-zero cells;
-    * counters are monotone non-decreasing, so the latest snapshot per
-    * (i, bucket) — equivalently max(cnt) — IS the merged sketch, and a
-    * single availableNow drop reproduces `Sketches.countMin` exactly
-    * (StreamingSpec proves stream == batch). Hashing is shared with the
-    * batch build (`Sketches.cmBucket`), so build and probe cannot diverge. */
+    * the batch `Sketches.countMin`): total state is exactly the sketch
+    * (depth·width counters) no matter how many events stream through.
+    * State is keyed by (hash row, bucket SHARD) — depth·shards groups,
+    * each holding ~width/shards longs — not by row alone, which would cap
+    * shuffle parallelism at `depth` (= 4) reducers; sharding spreads the
+    * per-batch fold across depth·shards cores while keeping state size
+    * unchanged. Each micro-batch folds its increments into the shard's
+    * counters and emits ONLY the cells it touched (not the full non-zero
+    * snapshot — per-batch output is O(batch), not O(width)); counters are
+    * monotone non-decreasing and an untouched cell's last emission already
+    * carries its final value, so max(cnt) per (i, bucket) across the
+    * append stream IS the merged sketch, and a single availableNow drop
+    * reproduces `Sketches.countMin` exactly (StreamingSpec proves
+    * stream == batch). Hashing is shared with the batch build
+    * (`Sketches.cmBucket`), so build and probe cannot diverge. */
   def countMinStream(events: DataFrame, key: org.apache.spark.sql.Column,
       depth: Int = graft.pipeline.Sketches.CmDepth,
-      width: Int = graft.pipeline.Sketches.CmWidth): Dataset[CmCell] = {
+      width: Int = graft.pipeline.Sketches.CmWidth,
+      shards: Int = 8): Dataset[CmCell] = {
     require(depth >= 1 && width >= 2, s"geometry $depth×$width")
+    require(shards >= 1 && shards <= width, s"shards $shards vs width $width")
     val spark = events.sparkSession
     import spark.implicits._
     events.select(key.as("k"))
@@ -137,16 +144,54 @@ object Sessions {
         graft.pipeline.Sketches.cmBucket(col("k"), col("i"), depth, width)
           .cast("int").as("bucket"))
       .as[(Int, Int)]
-      .groupByKey(_._1)
+      .groupByKey { case (i, b) => i * shards + b % shards }
       .flatMapGroupsWithState[CmRowState, CmCell](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (i, rows, state: GroupState[CmRowState]) =>
+        (sk, rows, state: GroupState[CmRowState]) =>
+          val i = sk / shards
+          val shard = sk % shards
+          // buckets b ∈ [0, width) with b % shards == shard, stored at
+          // local index b / shards
+          val shardWidth = (width - shard + shards - 1) / shards
           val ctr = state.getOption.map(_.counters)
-            .getOrElse(Array.fill(width)(0L))
-          rows.foreach { case (_, b) => ctr(b) += 1L }
+            .getOrElse(Array.fill(shardWidth)(0L))
+          val touched = new java.util.BitSet(shardWidth)
+          rows.foreach { case (_, b) =>
+            val j = b / shards; ctr(j) += 1L; touched.set(j)
+          }
           state.update(CmRowState(ctr))
-          ctr.iterator.zipWithIndex
-            .collect { case (c, b) if c > 0 => CmCell(i, b, c) }
+          Iterator.range(0, shardWidth)
+            .filter(touched.get)
+            .map(j => CmCell(i, j * shards + shard, ctr(j)))
+      }
+  }
+
+  final case class DocKey(key: String, doc_id: Long)
+  final case class Kept(key: String, doc_id: Long)
+
+  /** Streaming exact dedup, first-seen-wins (the stateful analogue of the
+    * batch q_dedup_keep hash-groupBy: TextPipeline exact dedup, keeper =
+    * min doc_id per content key): the FIRST arrival of each key is emitted,
+    * every later re-delivery is dropped. Within a micro-batch ties break
+    * to the smallest doc_id (so a single availableNow drop of an id-ordered
+    * file reproduces the batch keeper set exactly — StreamingSpec proves
+    * it); across micro-batches first arrival wins, the inherent streaming
+    * contract. State per distinct key is a single marker — the same O(keys)
+    * footprint the batch groupBy's shuffle pays — with no watermark bound,
+    * because EXACT dedup must remember every key forever (the bounded
+    * variant is [[dedupStream]]). */
+  def firstSeenStream(docs: Dataset[DocKey]): Dataset[Kept] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(Kept(key, rows.minBy(_.doc_id).doc_id))
+          }
       }
   }
 

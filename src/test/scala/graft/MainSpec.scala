@@ -99,4 +99,93 @@ class MainSpec extends SparkSpec {
       .forall(identity) && granules.size == 2)
     assert(granules.forall(!_.contains(".SAFE")))
   }
+
+  test("printJson guard refuses to collect past the row cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli-guard").toString
+    val burstMapDir = s"$tmp/burst_map"
+    grid().write.parquet(burstMapDir)
+    val landFile = java.nio.file.Paths.get(s"$tmp/land.wkt")
+    java.nio.file.Files.writeString(landFile,
+      "POLYGON ((9 3.5, 14 3.5, 14 11.5, 9 11.5, 9 3.5))")
+    val catDir = s"$tmp/catalog"
+    Main.run(spark, List("create", burstMapDir, landFile.toString, catDir))
+    val nFrames = spark.read.parquet(s"$catDir/frames").count()
+    assert(nFrames > 1)
+    // a planet-sized probe hits every frame; with the cap below it, the
+    // CLI must fail loud instead of silently pulling them onto the driver
+    System.setProperty("graft.cli.maxJsonRows", "1")
+    try {
+      val e = intercept[IllegalArgumentException](capture(Main.run(spark,
+        List("intersect", catDir, "--bbox", "-180,-90,180,90"))))
+      assert(e.getMessage.contains("exceeds 1 rows"))
+    } finally System.clearProperty("graft.cli.maxJsonRows")
+    // and with the default cap the same probe serves fine
+    val all = capture(Main.run(spark,
+      List("intersect", catDir, "--bbox", "-180,-90,180,90")))
+    assert(all.size == nFrames)
+  }
+
+  test("create routes a multi-shape North-America boundary through the STRtree join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli-na").toString
+    val burstMapDir = s"$tmp/burst_map"
+    grid().write.parquet(burstMapDir)
+    val landFile = java.nio.file.Paths.get(s"$tmp/land.wkt")
+    java.nio.file.Files.writeString(landFile,
+      "POLYGON ((9 3.5, 14 3.5, 14 11.5, 9 11.5, 9 3.5))")
+    // two disjoint shapes, one WKT per line (build_frame_db.py:653-655
+    // loads a multi-shape NA boundary): one over track 1's lon band
+    // (~10-13), one over track 2's (~20-23) but only low latitudes
+    val naFile = java.nio.file.Paths.get(s"$tmp/na.wkt")
+    java.nio.file.Files.writeString(naFile,
+      """POLYGON ((9 0, 14 0, 14 20, 9 20, 9 0))
+        |POLYGON ((19 0, 24 0, 24 3, 19 3, 19 0))""".stripMargin)
+    val catDir = s"$tmp/catalog"
+    Main.run(spark, List("create", burstMapDir, landFile.toString, catDir,
+      naFile.toString))
+    val frames = spark.read.parquet(s"$catDir/frames")
+    // every track-1 frame intersects shape 1; track-2 frames only if their
+    // bbox dips below lat 3 (burst rows start at y = 0.8) — both shapes
+    // must have contributed hits or the multi-shape routing is broken
+    val na = frames.filter($"is_north_america").select($"fid").as[Int].collect().toSet
+    val t1 = frames.filter($"relative_orbit_number" === 1)
+      .select($"fid").as[Int].collect().toSet
+    val t2low = frames.filter($"relative_orbit_number" === 2 && $"bb_ymin" < 3)
+      .select($"fid").as[Int].collect().toSet
+    assert(t1.nonEmpty && t2low.nonEmpty)
+    assert(na == (t1 ++ t2low))
+  }
+
+  test("CLI lookup/intersect agree with direct Catalog calls on the sf0.01 build") {
+    val d = sf("sf0.01")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cli-oracle").toString
+    val burstMapDir = s"$tmp/burst_map"
+    graft.operators.Geo.burstGridFixture(spark, d).write.parquet(burstMapDir)
+    val landFile = java.nio.file.Paths.get(s"$tmp/land.wkt")
+    java.nio.file.Files.writeString(landFile,
+      graft.operators.Geo.catalogFixtureLandWkt)
+    val catDir = s"$tmp/catalog"
+    Main.run(spark, List("create", burstMapDir, landFile.toString, catDir))
+    val frames = spark.read.parquet(s"$catDir/frames")
+    val fb = spark.read.parquet(s"$catDir/frames_bursts")
+    val bim = spark.read.parquet(s"$catDir/burst_id_map")
+    val fids = frames.select($"fid").orderBy($"fid").as[Int].collect()
+    assert(fids.length > 4)
+    // lookup: every frame's CLI JSON == the library call's JSON, verbatim
+    fids.foreach { fid =>
+      val cli = capture(Main.run(spark, List("lookup", catDir, fid.toString)))
+      val direct = Catalog.lookup(frames, fb, bim, fid.toLong).toJSON.collect().toSeq
+      assert(cli == direct, s"lookup($fid) diverged")
+    }
+    // intersect: a probe crossing several frames, both CLI forms vs direct
+    val (xmin, ymin, xmax, ymax) = (1.5, 0.5, 18.0, 13.0)
+    val direct = Catalog.intersect(frames,
+        Catalog.bboxWkt(xmin, ymin, xmax, ymax), (xmin, ymin, xmax, ymax))
+      .select($"fid", $"epsg", $"is_land", $"orbit_pass")
+      .toJSON.collect().toSeq
+    val cli = capture(Main.run(spark,
+      List("intersect", catDir, "--bbox", s"$xmin,$ymin,$xmax,$ymax")))
+    val cliWkt = capture(Main.run(spark, List("intersect", catDir, "--wkt",
+      Catalog.bboxWkt(xmin, ymin, xmax, ymax))))
+    assert(direct.nonEmpty && cli == direct && cliWkt == direct)
+  }
 }

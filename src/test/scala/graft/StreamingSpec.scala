@@ -246,4 +246,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.size <= 4 * 256)
   }
+
+  test("streaming first-seen exact dedup equals the batch keeper set") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-firstseen").toString
+    val inDir = s"$tmp/in"
+    val docs = Tables.documents(spark, sf())
+      .select(lower(substring($"text", 1, 40)).as("key"),
+        $"doc_id".cast("long").as("doc_id"))
+    // two micro-batches split by id, ascending across them (files process
+    // in write order): each key's min doc_id lives in the earliest batch
+    // where the key appears, so first-seen == the batch min-id keeper —
+    // and duplicate keys in the SECOND file exercise the cross-batch drop
+    docs.filter($"doc_id" < 250).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50) // distinct mtimes pin the file processing order
+    docs.filter($"doc_id" >= 250).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir).as[Sessions.DocKey]
+    val q = Sessions.firstSeenStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("first_seen").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("first_seen").as[(String, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_dedup_keep")(spark, sf())
+      .select($"norm_key", $"kept_doc_id").as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // state is one marker per distinct key, nothing per re-delivery
+    assert(streamed.size == batch.size)
+  }
 }

@@ -43,10 +43,11 @@ def main():
     # — the ENGINE side still ran; only the oracle replay is skipped
     skip = set(filter(None,
                       os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name} (GRAFT_CHECK_SKIP)")
+            n_skip += 1
             continue
         try:
             exp = con.execute(sql)
@@ -80,8 +81,12 @@ def main():
                     print(f"  oracle: {x}\n  spark : {y}")
                 if len(a) != len(b):
                     print(f"  row-count mismatch {len(a)-1} vs {len(b)-1}")
-    print(f"\n{n_pass} pass / {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    # skips are REDUCED COVERAGE, not passes: surface them in the summary
+    # so a skipped superlinear oracle can't be mistaken for a full
+    # differential run (nonzero skips → distinct exit code 2)
+    tail = f" / {n_skip} SKIPPED (reduced coverage)" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{tail}")
+    sys.exit(1 if n_fail else (2 if n_skip else 0))
 
 
 if __name__ == "__main__":

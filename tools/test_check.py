@@ -37,7 +37,16 @@ def main():
                   open(f"{tmp}/oracle_sql.json", "w"))
         rc, out = run_check(sf_dir, tmp)
         assert rc == 0 and "PASS q_fake" in out, f"harness failed a correct result!\n{out}"
-    print("check.py meta-test OK (fails on mismatch, passes on match)")
+
+        # a skipped query is REDUCED COVERAGE, never a clean pass: the
+        # summary must say so and the exit code must be distinct (2)
+        env = dict(os.environ, GRAFT_CHECK_SKIP="q_fake")
+        r = subprocess.run([sys.executable, "tools/check.py", sf_dir, tmp],
+                           capture_output=True, text=True, env=env)
+        assert r.returncode == 2 and "1 SKIPPED (reduced coverage)" in r.stdout, \
+            f"skip not surfaced as reduced coverage!\n{r.stdout}"
+    print("check.py meta-test OK (fails on mismatch, passes on match, "
+          "flags skips)")
 
 
 if __name__ == "__main__":
