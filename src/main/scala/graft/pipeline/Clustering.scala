@@ -146,6 +146,98 @@ object Clustering {
         .orderBy(col("cid"))
     },
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): k-means
+    // partitions the embedding space, then near-duplicates are pruned
+    // WITHIN each cluster only — the clustering is what makes semantic
+    // dedup tractable at corpus scale, shrinking the candidate space from
+    // O(n²) global to Σ O(|cluster|²) with |cluster| ≈ n/k (k grows with
+    // n, and a production run caps cluster size by splitting outliers, so
+    // the per-cluster quadratic is bounded). Keeper policy is the greedy
+    // keep-lowest-id: a vector is dropped iff some LOWER-id member of its
+    // cluster sits above the cosine threshold — deterministic, and equal
+    // to SemDeDup's "keep one representative per near-dup neighborhood".
+    // Assignment is the q_ann_ivf broadcast pattern (8 whole-array
+    // centroids, one codegen'd dot each, argmax via min(struct)); the
+    // within-cluster pair join is cluster-key-partitioned, never global.
+    QueryDef.sql(
+      "q_semdedup",
+      s"""WITH $qvSql,
+         |cent AS (SELECT vec_id AS cid, i, qe FROM qe WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT v.vec_id, c.cid, CAST(SUM(v.qe*c.qe) AS BIGINT) AS dot
+         |  FROM qe v JOIN cent c ON v.i = c.i
+         |  GROUP BY v.vec_id, c.cid),
+         |assigned AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+         |  FROM dots),
+         |members AS (SELECT vec_id, cid AS cluster FROM assigned WHERE rn = 1),
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT m1.cluster, m1.vec_id AS v1, m2.vec_id AS v2,
+         |    CAST(SUM(a.qe*b.qe) AS BIGINT) AS dot
+         |  FROM members m1 JOIN members m2
+         |    ON m1.cluster = m2.cluster AND m1.vec_id < m2.vec_id
+         |  JOIN qe a ON a.vec_id = m1.vec_id
+         |  JOIN qe b ON b.vec_id = m2.vec_id AND b.i = a.i
+         |  GROUP BY m1.cluster, m1.vec_id, m2.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT cluster, v2 AS vec_id
+         |  FROM pairs JOIN norms n1 ON n1.vec_id = v1
+         |             JOIN norms n2t ON n2t.vec_id = v2
+         |  WHERE FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2t.n2) * 1000000) >= 300000)
+         |SELECT m.cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(COUNT(dr.vec_id) AS BIGINT) AS n_dropped,
+         |  CAST(COUNT(*) - COUNT(dr.vec_id) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN m.vec_id ELSE 0 END) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM members m LEFT JOIN dropped dr
+         |  ON dr.cluster = m.cluster AND dr.vec_id = m.vec_id
+         |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.QDot.qdot
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
+      val members = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), qdot(col("embedding"), col("ce")).as("dot"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // each member row carries its own squared norm (one codegen'd pass,
+      // computed once per vector, never joined or broadcast — a norm
+      // TABLE would grow with the corpus)
+      val withVec = members.join(emb, Seq("vec_id"))
+        .withColumn("n2", qdot(col("embedding"), col("embedding")))
+      // pair arrays cluster-locally; each dot is one codegen'd pass over
+      // the two unsafe arrays — no per-element join, no element shuffle
+      val dropped = withVec
+        .select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"),
+          col("n2").as("n21"))
+        .join(withVec
+            .select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"),
+              col("n2").as("n22")),
+          Seq("cluster"))
+        .filter(col("v1") < col("v2"))
+        .select(col("cluster"), col("v1"), col("v2"),
+          qdot(col("e1"), col("e2")).as("dot"), col("n21"), col("n22"))
+        .filter(floor(col("dot") / sqrt(col("n21").cast("double") * col("n22")) * 1000000)
+          >= 300000)
+        .select(col("cluster"), col("v2").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1L))
+      members.join(dropped, Seq("cluster", "vec_id"), "left")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          count(col("is_dropped")).as("n_dropped"),
+          (count(lit(1)) - count(col("is_dropped"))).as("n_kept"),
+          sum(when(col("is_dropped").isNull, col("vec_id")).otherwise(lit(0L)))
+            .cast("long").as("kept_id_sum"))
+        .orderBy(col("cluster"))
+    },
+
     // Product quantization: the 64-dim vector splits into 4 blocks of 16;
     // each block is coded by its nearest sub-codebook entry (codebook =
     // the first 4 vectors' blocks — the fixed-codebook assign stage, as

@@ -305,6 +305,53 @@ object Corpus {
         .orderBy(col("n_shared_grams").desc, col("doc_id"))
     },
 
+    // N-gram novelty decay: per document, the fraction of its DISTINCT
+    // token 8-grams that first occur in it (first = lowest doc_id — the
+    // ingest-order stand-in). The curve of novelty against position is
+    // what corpus curators watch to decide when more of a source stops
+    // adding information. One combiner-backed min per gram, one
+    // gram-partitioned join back, one count per doc — no pairwise
+    // anything; the gram table is the same inverted-index shape the
+    // decontamination op already scales by.
+    QueryDef.sql(
+      "q_gram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 6),
+        |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS gram
+        |  FROM toks WHERE LEN(tk) >= 8),
+        |first_seen AS (
+        |  SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(FLOOR(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_q6
+        |FROM g JOIN first_seen f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 8)
+      val g = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 7),
+            i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("gram"))
+        .distinct()
+      val firstSeen = g.groupBy(col("gram"))
+        .agg(min(col("doc_id")).cast("long").as("first_doc"))
+      val novel = sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+      g.join(firstSeen, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          novel.cast("long").as("n_novel"),
+          floor(novel * lit(1000000.0) / count(lit(1))).cast("long").as("novelty_q6"))
+        .orderBy(col("doc_id"))
+    },
+
     // Source-mixture sampling: per-source keep rates (‰, derived from the
     // source id) applied via the Knuth multiplicative hash of doc_id —
     // NEVER rand(): resampling a 100 TB corpus must be reproducible and
@@ -332,6 +379,64 @@ object Corpus {
           count(lit(1)).as("n_docs"),
           kept.cast("long").as("n_kept"),
           floor(kept * lit(1000000.0) / count(lit(1))).cast("long").as("kept_ratio_q6"))
+        .orderBy(col("source"))
+    },
+
+    // Temperature-scaled mixture sampling (the multilingual p_i ∝ c_i^α
+    // rule, α = 0.5): low-resource sources are UP-weighted relative to
+    // their raw share, high-resource ones down-weighted, within a fixed
+    // post-sampling budget B = ⌊total/2⌋. Integer-exact cross-engine:
+    // w_i = ⌊√c_i·10⁶⌋ (IEEE sqrt is correctly rounded, floor pins it),
+    // rate_i‰ = min(999, ⌊(w_i·B·1000) / (Σw·c_i)⌋) — the numerator stays
+    // in exact 64-bit integers, the one division is double with both
+    // operands exact below 2⁵³ — and the keep decision reuses the Knuth
+    // multiplicative doc hash (NEVER rand(): resampling must be
+    // reproducible and join-stable). Only the per-source count table
+    // (#sources rows) is broadcast; the corpus is touched by one
+    // combiner-backed groupBy and one broadcast-join pass.
+    QueryDef.sql(
+      "q_mixture_temperature",
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(SUM(wt) AS BIGINT) AS s_wt,
+        |    CAST(FLOOR(SUM(n_docs) / 2) AS BIGINT) AS budget
+        |  FROM w),
+        |rates AS (
+        |  SELECT source, n_docs, wt,
+        |    CAST(FLOOR(wt * 1000000.0 / s_wt) AS BIGINT) AS share_q6,
+        |    LEAST(999, CAST(FLOOR((wt * budget * 1000)
+        |      / (CAST(s_wt AS DOUBLE) * n_docs)) AS BIGINT)) AS rate_permille
+        |  FROM w CROSS JOIN tot)
+        |SELECT r.source, r.n_docs, r.wt, r.share_q6, r.rate_permille,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761) % 1000 < r.rate_permille
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN rates r USING (source)
+        |GROUP BY r.source, r.n_docs, r.wt, r.share_q6, r.rate_permille
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt",
+          floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+      val tot = counts.agg(sum(col("wt")).as("s_wt"),
+        floor(sum(col("n_docs")) / 2).cast("long").as("budget"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("wt"),
+          floor(col("wt") * lit(1000000.0) / col("s_wt")).cast("long").as("share_q6"),
+          least(lit(999), floor((col("wt") * col("budget") * 1000)
+            / (col("s_wt").cast("double") * col("n_docs"))).cast("long"))
+            .as("rate_permille"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"), col("n_docs"), col("wt"), col("share_q6"),
+          col("rate_permille"))
+        .agg(sum(when(pmod(col("doc_id") * 2654435761L, lit(1000))
+            < col("rate_permille"), 1).otherwise(0)).cast("long").as("n_kept"))
         .orderBy(col("source"))
     },
 
@@ -364,6 +469,17 @@ object Corpus {
     // MinHash family, not instead of it), then exact Levenshtein over the
     // 40-char prefixes scores each candidate pair. Both engines ship the
     // same classic DP levenshtein.
+    //
+    // Scale shape (learned from the 32× rehearsal, where a single task
+    // burned 15+ min in levenshteinDistance): the DP runs per DISTINCT
+    // string pair, never per doc pair. Duplicate-heavy corpora make doc
+    // blocks quadratically larger while adding no new strings — at 32×,
+    // 33.2M doc pairs collapse to 25.5k distinct-string pairs (1300×).
+    // Identical-prefix doc pairs are emitted as distance 0 directly (no
+    // DP), different-string verdicts are joined back to their doc sets,
+    // and TakeOrdered keeps the top 200 without a global sort. The oracle
+    // keeps the naive per-doc-pair SQL — same result through a different
+    // computation is exactly what the differential should pin.
     QueryDef.sql(
       "q_edit_distance",
       """WITH np AS (
@@ -380,12 +496,30 @@ object Corpus {
       val np = Tables.documents(s, d).select(col("doc_id"),
         lower(substring(col("text"), 1, 40)).as("p40"),
         lower(substring(col("text"), 1, 8)).as("b8"))
-      val cand = np.as("a")
-        .join(np.as("b"), col("a.b8") === col("b.b8") && col("a.doc_id") < col("b.doc_id"))
+      // identical prefixes: distance 0 by definition — a (b8, p40)-keyed
+      // self-join, no DP; duplicate-heavy groups only generate rows here
+      val zero = np.as("a")
+        .join(np.as("b"), col("a.b8") === col("b.b8")
+          && col("a.p40") === col("b.p40") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          levenshtein(col("a.p40"), col("b.p40")).as("edit_dist"))
-      cand.filter(col("edit_dist") <= 10)
-        .select(col("doc1"), col("doc2"), col("edit_dist").cast("long").as("edit_dist"))
+          lit(0L).as("edit_dist"))
+      // the DP runs once per distinct ORDERED string pair within a block
+      val strs = np.select(col("b8"), col("p40")).distinct()
+      val verdicts = strs.as("x")
+        .join(strs.as("y"), col("x.b8") === col("y.b8") && col("x.p40") < col("y.p40"))
+        .select(col("x.b8").as("b8"), col("x.p40").as("pa"), col("y.p40").as("pb"),
+          levenshtein(col("x.p40"), col("y.p40")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+      // expand surviving string pairs back to their doc sets; least/greatest
+      // restores the doc1 < doc2 orientation the naive join emits
+      val diff = verdicts
+        .join(np.select(col("b8"), col("p40").as("pa"), col("doc_id").as("da")),
+          Seq("b8", "pa"))
+        .join(np.select(col("b8"), col("p40").as("pb"), col("doc_id").as("db")),
+          Seq("b8", "pb"))
+        .select(least(col("da"), col("db")).as("doc1"),
+          greatest(col("da"), col("db")).as("doc2"), col("edit_dist"))
+      zero.unionByName(diff)
         .orderBy(col("edit_dist"), col("doc1"), col("doc2"))
         .limit(200)
     }

@@ -166,6 +166,60 @@ object Sessions {
       }
   }
 
+  final case class MgState(keys: Array[Long], cnts: Array[Long], dec: Long,
+      batch: Long)
+  final case class MgEntry(shard: Int, batch: Long, key: Long, est: Long,
+      max_err: Long)
+
+  /** Streaming heavy hitters via Misra–Gries summaries: per key-shard,
+    * state is AT MOST `capacity` (key, count) pairs plus one decrement
+    * counter — fixed regardless of stream length, the property that makes
+    * it the continuous analogue of the batch q_countmin_heavy top-k. The
+    * classic guarantee holds per shard: for every key,
+    * est ≤ true_count ≤ est + dec, and any key whose shard count exceeds
+    * shardTotal/(capacity+1) is guaranteed resident (StreamingSpec asserts
+    * both against exact batch counts). Sharding by key hash spreads the
+    * fold across reducers AND keeps the guarantee exact per shard, since
+    * a key's every occurrence lands in the same shard; summaries are also
+    * mergeable across shards at read time (estimates add, errors add).
+    * Each micro-batch emits the shard's full summary stamped with a batch
+    * sequence number — ≤ capacity rows, so output stays O(capacity), and
+    * the latest batch per shard IS the summary (append-mode friendly). */
+  def heavyHittersStream(events: DataFrame, key: org.apache.spark.sql.Column,
+      capacity: Int = 16, shards: Int = 8): Dataset[MgEntry] = {
+    require(capacity >= 1 && shards >= 1, s"capacity=$capacity shards=$shards")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(key.cast("long").as("k")).as[Long]
+      .groupByKey(k => (math.floorMod(k, shards.toLong)).toInt)
+      .flatMapGroupsWithState[MgState, MgEntry](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(
+            MgState(Array.empty, Array.empty, 0L, 0L))
+          val m = scala.collection.mutable.LongMap[Long]()
+          st.keys.iterator.zip(st.cnts.iterator).foreach { case (k, c) => m(k) = c }
+          var dec = st.dec
+          rows.foreach { k =>
+            if (m.contains(k)) m(k) += 1L
+            else if (m.size < capacity) m(k) = 1L
+            else {
+              // decrement-all: drops every resident by 1 and charges the
+              // shared error counter — the Misra–Gries step that caps the
+              // summary at `capacity` entries
+              dec += 1L
+              m.keysIterator.toArray.foreach { rk =>
+                m(rk) -= 1L; if (m(rk) <= 0L) m.remove(rk)
+              }
+            }
+          }
+          val batch = st.batch + 1L
+          val entries = m.toArray.sortBy(_._1)
+          state.update(MgState(entries.map(_._1), entries.map(_._2), dec, batch))
+          entries.iterator.map { case (k, c) => MgEntry(shard, batch, k, c, dec) }
+      }
+  }
+
   final case class DocKey(key: String, doc_id: Long)
   final case class Kept(key: String, doc_id: Long)
 

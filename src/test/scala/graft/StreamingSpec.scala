@@ -247,6 +247,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 4 * 256)
   }
 
+  test("streaming Misra-Gries heavy hitters honor the error bound vs exact counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    val inDir = s"$tmp/in"
+    val users = Tables.events(spark, sf()).select($"user_id")
+    // two micro-batches so the summary must carry state across them
+    users.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    users.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val capacity = 8
+    val q = Sessions.heavyHittersStream(in, $"user_id", capacity = capacity, shards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mg_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.table("mg_stream")
+      .as[Sessions.MgEntry].collect()
+    // the LATEST batch per shard is the summary
+    val lastBatch = all.groupBy(_.shard).map { case (s, es) => s -> es.map(_.batch).max }
+    val summary = all.filter(e => e.batch == lastBatch(e.shard))
+    assert(summary.nonEmpty)
+    assert(summary.groupBy(_.shard).values.forall(_.length <= capacity))
+    val exact = spark.read.parquet(inDir).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    val shardTotals = exact.groupBy { case (k, _) => math.floorMod(k, 4L).toInt }
+      .map { case (s, m) => s -> m.values.sum }
+    // Misra-Gries guarantee, both sides: est never overcounts, and the
+    // shared decrement counter bounds the undercount
+    summary.foreach { e =>
+      assert(e.est <= exact(e.key), s"overcount on ${e.key}")
+      assert(exact(e.key) <= e.est + e.max_err, s"undercount beyond bound on ${e.key}")
+    }
+    // any key heavier than shardTotal/(capacity+1) must be resident
+    exact.foreach { case (k, n) =>
+      val s = math.floorMod(k, 4L).toInt
+      if (n > shardTotals(s) / (capacity + 1))
+        assert(summary.exists(e => e.shard == s && e.key == k),
+          s"heavy key $k (n=$n) missing from shard $s summary")
+    }
+  }
+
   test("streaming first-seen exact dedup equals the batch keeper set") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstseen").toString
