@@ -150,36 +150,43 @@ object Clustering {
     // partitions the embedding space, then near-duplicates are pruned
     // WITHIN each cluster only — the clustering is what makes semantic
     // dedup tractable at corpus scale, shrinking the candidate space from
-    // O(n²) global to Σ O(|cluster|²) with |cluster| ≈ n/k (k grows with
-    // n, and a production run caps cluster size by splitting outliers, so
-    // the per-cluster quadratic is bounded). Keeper policy is the greedy
-    // keep-lowest-id: a vector is dropped iff some LOWER-id member of its
-    // cluster sits above the cosine threshold — deterministic, and equal
-    // to SemDeDup's "keep one representative per near-dup neighborhood".
-    // Assignment is the q_ann_ivf broadcast pattern (8 whole-array
-    // centroids, one codegen'd dot each, argmax via min(struct)); the
-    // within-cluster pair join is cluster-key-partitioned, never global.
+    // O(n²) global to Σ O(|cluster|²) with |cluster| ≈ n/k (a production
+    // run grows k with n and splits outlier clusters, so the per-cluster
+    // quadratic stays bounded; with the fixed k=8 codebook this query
+    // demonstrates, the differential runs on the deterministic
+    // vec_id < 4096 slice — the same bounded-slice convention as
+    // q_crossmodal_dedup — so cluster size cannot grow with the corpus
+    // and the oracle replay stays linear-ish at any SF). Keeper policy is
+    // the greedy keep-lowest-id: a vector is dropped iff some LOWER-id
+    // member of its cluster sits above the cosine threshold —
+    // deterministic, and equal to SemDeDup's "keep one representative per
+    // near-dup neighborhood". Assignment is the q_ann_ivf broadcast
+    // pattern (8 whole-array centroids, one codegen'd dot each, argmax
+    // via min(struct)); the within-cluster pair join is
+    // cluster-key-partitioned, never global.
     QueryDef.sql(
       "q_semdedup",
       s"""WITH $qvSql,
-         |cent AS (SELECT vec_id AS cid, i, qe FROM qe WHERE vec_id < 8),
+         |slice AS (SELECT vec_id, i, qe FROM qe WHERE vec_id < 4096),
+         |cent AS (SELECT vec_id AS cid, i, qe FROM slice WHERE vec_id < 8),
          |dots AS (
          |  SELECT v.vec_id, c.cid, CAST(SUM(v.qe*c.qe) AS BIGINT) AS dot
-         |  FROM qe v JOIN cent c ON v.i = c.i
+         |  FROM slice v JOIN cent c ON v.i = c.i
          |  GROUP BY v.vec_id, c.cid),
          |assigned AS (
          |  SELECT vec_id, cid,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
          |  FROM dots),
          |members AS (SELECT vec_id, cid AS cluster FROM assigned WHERE rn = 1),
-         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2
+         |          FROM slice GROUP BY vec_id),
          |pairs AS (
          |  SELECT m1.cluster, m1.vec_id AS v1, m2.vec_id AS v2,
          |    CAST(SUM(a.qe*b.qe) AS BIGINT) AS dot
          |  FROM members m1 JOIN members m2
          |    ON m1.cluster = m2.cluster AND m1.vec_id < m2.vec_id
-         |  JOIN qe a ON a.vec_id = m1.vec_id
-         |  JOIN qe b ON b.vec_id = m2.vec_id AND b.i = a.i
+         |  JOIN slice a ON a.vec_id = m1.vec_id
+         |  JOIN slice b ON b.vec_id = m2.vec_id AND b.i = a.i
          |  GROUP BY m1.cluster, m1.vec_id, m2.vec_id),
          |dropped AS (
          |  SELECT DISTINCT cluster, v2 AS vec_id
@@ -198,6 +205,7 @@ object Clustering {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.QDot.qdot
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 4096)
       val cent = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
