@@ -120,7 +120,7 @@ object EventAnalytics {
         |SELECT user_id, day,
         |  CAST(SUM(v_c * (t_next - t)) AS BIGINT) AS sum_wv,
         |  CAST(SUM(t_next - t) AS BIGINT) AS sum_dt,
-        |  CAST(FLOOR(SUM(v_c * (t_next - t)) * 1.0 / SUM(t_next - t)) AS BIGINT) AS twap_c
+        |  CAST(FLOOR(SUM(v_c * (t_next - t)) * CAST(1.0 AS DOUBLE) / SUM(t_next - t)) AS BIGINT) AS twap_c
         |FROM seq WHERE t_next IS NOT NULL
         |GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin) { (s, d) =>
@@ -202,7 +202,7 @@ object EventAnalytics {
         |  FROM wk)
         |SELECT event_type, week, n, COALESCE(prev, 0) AS prev_n,
         |  CASE WHEN prev IS NULL THEN CAST(NULL AS BIGINT)
-        |       ELSE CAST(FLOOR((n - prev) * 1000000.0 / prev) AS BIGINT) END AS growth_q6
+        |       ELSE CAST(FLOOR((n - prev) * CAST(1000000.0 AS DOUBLE) / prev) AS BIGINT) END AS growth_q6
         |FROM g ORDER BY event_type, week""".stripMargin) { (s, d) =>
       val wk = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("week", col("ts")).cast("date").as("week"))

@@ -113,7 +113,7 @@ object Clustering {
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |    FROM d1) WHERE rn = 1),
          |e1 AS (
-         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe)*1.0/COUNT(*)) AS BIGINT) AS qc
+         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe) * CAST(1.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
          |  FROM m1 m JOIN qe u USING (vec_id) GROUP BY m.cid, u.i),
          |c1 AS (SELECT cid, LIST(qc ORDER BY i) AS cq FROM e1 GROUP BY cid),
          |d2 AS (
@@ -126,7 +126,7 @@ object Clustering {
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |    FROM d2) WHERE rn = 1),
          |e2 AS (
-         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe)*1.0/COUNT(*)) AS BIGINT) AS qc
+         |  SELECT m.cid, u.i, CAST(FLOOR(SUM(u.qe) * CAST(1.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
          |  FROM m2 m JOIN qe u USING (vec_id) GROUP BY m.cid, u.i)
          |SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(m.dist) AS BIGINT) AS inertia,

@@ -54,7 +54,7 @@ object Corpus {
          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
          |scored AS (
          |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
-         |    tf.tf * CAST(FLOOR((n.n_docs - df.df + 0.5) * 1000000.0 / (df.df + 0.5)) AS BIGINT)
+         |    tf.tf * CAST(FLOOR((n.n_docs - df.df + 0.5) * CAST(1000000.0 AS DOUBLE) / (df.df + 0.5)) AS BIGINT)
          |      AS score
          |  FROM tf JOIN df USING (t) CROSS JOIN n),
          |ranked AS (
@@ -123,12 +123,12 @@ object Corpus {
          |    CAST(SUM(wlen * cnt) AS BIGINT) AS sum_len
          |  FROM tc GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
-         |  CAST(FLOOR(n_distinct * 1000000.0 / n_tokens) AS BIGINT) AS distinct_ratio_q6,
-         |  CAST(FLOOR(top_cnt * 1000000.0 / n_tokens) AS BIGINT) AS top_share_q6,
-         |  CAST(FLOOR(sum_len * 1000000.0 / n_tokens) AS BIGINT) AS mean_wlen_q6,
+         |  CAST(FLOOR(n_distinct * CAST(1000000.0 AS DOUBLE) / n_tokens) AS BIGINT) AS distinct_ratio_q6,
+         |  CAST(FLOOR(top_cnt * CAST(1000000.0 AS DOUBLE) / n_tokens) AS BIGINT) AS top_share_q6,
+         |  CAST(FLOOR(sum_len * CAST(1000000.0 AS DOUBLE) / n_tokens) AS BIGINT) AS mean_wlen_q6,
          |  CAST(n_tokens >= 20
-         |    AND FLOOR(n_distinct * 1000000.0 / n_tokens) >= 200000
-         |    AND FLOOR(top_cnt * 1000000.0 / n_tokens) <= 200000 AS BOOLEAN) AS keep
+         |    AND FLOOR(n_distinct * CAST(1000000.0 AS DOUBLE) / n_tokens) >= 200000
+         |    AND FLOOR(top_cnt * CAST(1000000.0 AS DOUBLE) / n_tokens) <= 200000 AS BOOLEAN) AS keep
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
       val tc = tokRows(s, d).groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("cnt"), length(col("t")).cast("long").as("wlen"))
@@ -330,7 +330,7 @@ object Corpus {
         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_novel,
         |  CAST(FLOOR(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-        |    * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_q6
+        |    * CAST(1000000.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS novelty_q6
         |FROM g JOIN first_seen f USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
@@ -366,7 +366,7 @@ object Corpus {
         |SELECT source, CAST(MAX(rate) AS BIGINT) AS target_permille,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(FLOOR(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
+        |  CAST(FLOOR(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) * CAST(1000000.0 AS DOUBLE) / COUNT(*)) AS BIGINT)
         |    AS kept_ratio_q6
         |FROM rated GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val rated = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -409,7 +409,7 @@ object Corpus {
         |  FROM w),
         |rates AS (
         |  SELECT source, n_docs, wt,
-        |    CAST(FLOOR(wt * 1000000.0 / s_wt) AS BIGINT) AS share_q6,
+        |    CAST(FLOOR(wt * CAST(1000000.0 AS DOUBLE) / s_wt) AS BIGINT) AS share_q6,
         |    LEAST(999, CAST(FLOOR((wt * budget * 1000)
         |      / (CAST(s_wt AS DOUBLE) * n_docs)) AS BIGINT)) AS rate_permille
         |  FROM w CROSS JOIN tot)

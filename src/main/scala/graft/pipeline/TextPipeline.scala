@@ -527,7 +527,7 @@ object TextPipeline {
            |  GROUP BY a.doc_id, b.doc_id),
            |exact AS (
            |  SELECT doc1, doc2,
-           |    CAST(FLOOR(shared * 1000000.0 / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
+           |    CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
            |  FROM inter JOIN sizes s1 ON s1.doc_id = doc1
            |             JOIN sizes s2 ON s2.doc_id = doc2
            |  ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 20)
@@ -620,7 +620,7 @@ object TextPipeline {
          |  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc1, doc2, shared,
-         |  CAST(FLOOR(shared * 1000000.0 / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
+         |  CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / (s1.n + s2.n - shared)) AS BIGINT) AS jaccard_q6
          |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
          |           JOIN sizes s2 ON s2.doc_id = doc2
          |ORDER BY jaccard_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
@@ -669,13 +669,13 @@ object TextPipeline {
          |  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc1, doc2, shared,
-         |  CAST(FLOOR(shared * 1000000.0 / s1.n) AS BIGINT) AS cont12_q6,
-         |  CAST(FLOOR(shared * 1000000.0 / s2.n) AS BIGINT) AS cont21_q6
+         |  CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / s1.n) AS BIGINT) AS cont12_q6,
+         |  CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / s2.n) AS BIGINT) AS cont21_q6
          |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
          |           JOIN sizes s2 ON s2.doc_id = doc2
          |ORDER BY GREATEST(
-         |    CAST(FLOOR(shared * 1000000.0 / s1.n) AS BIGINT),
-         |    CAST(FLOOR(shared * 1000000.0 / s2.n) AS BIGINT)) DESC, doc1, doc2
+         |    CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / s1.n) AS BIGINT),
+         |    CAST(FLOOR(shared * CAST(1000000.0 AS DOUBLE) / s2.n) AS BIGINT)) DESC, doc1, doc2
          |LIMIT 100""".stripMargin) { (s, d) =>
       val dgAll = distinctGrams(s, d).select(col("doc_id"), col("g"))
       val rareGrams = dgAll.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -105,6 +105,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(pDedup.contains("qdot"), "q_dedup_embedding verify stage lost qdot")
   }
 
+  test("edit-distance DP runs over distinct strings, zero-pairs skip it") {
+    // the 32×-rehearsal hotspot: levenshtein per DOC pair pinned one task
+    // for 15+ min on clone-heavy data (33.2M doc pairs vs 25.5k distinct
+    // string pairs). The DP must sit above a join of two DISTINCT string
+    // sets (aggregates), and the identical-prefix branch must emit its 0
+    // without any levenshtein call
+    val p = plan("q_edit_distance")
+    // one DP stage only — it surfaces twice (Filter + Project recompute the
+    // same expression); the doc-pair regression would show levenshtein fed
+    // directly by the raw np⋈np join with no Union/zero branch
+    assert(countOccurrences(p, "levenshtein") <= 2,
+      s"levenshtein beyond the single distinct-pair stage:\n${p.take(2000)}")
+    assert(p.contains("Union") && p.contains("0 AS edit_dist"),
+      s"identical-prefix zero branch missing:\n${p.take(2000)}")
+    // both join inputs of the DP stage deduplicate first → the plan keeps
+    // (at least) the two HashAggregate pairs of the strs.distinct() sides
+    assert(countOccurrences(p, "HashAggregate") >= 4,
+      s"distinct-string collapse lost its aggregates:\n${p.take(2000)}")
+  }
+
   test("heavy-hitters window runs over pre-aggregated rows only") {
     val p = plan("q_frequent_ngrams")
     assert(p.contains("partial_count") || p.contains("partial count"),

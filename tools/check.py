@@ -43,8 +43,14 @@ def main():
     # — the ENGINE side still ran; only the oracle replay is skipped
     skip = set(filter(None,
                       os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    # GRAFT_CHECK_ONLY=q_a,q_b: restrict to a subset (dev loop / resuming a
+    # long rehearsal check); queries outside the subset are not counted
+    only = set(filter(None,
+                      os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name} (GRAFT_CHECK_SKIP)")
             n_skip += 1
