@@ -141,6 +141,29 @@ object TextPipeline {
       signaturesOf(distinctGrams(s, d)).write.mode("overwrite").parquet(p)
     }
 
+  /** Row-LOCAL MinHash signature (doc_id, h0..h15): the whole signature
+    * computes inside one row — grams as a transform over positions, hm via
+    * the same codegen'd gramHash5, h_i = array_min over (hm·a_i+b_i) mod P
+    * — so it runs on a STREAMING frame (no aggregation, which Append-mode
+    * streams cannot do pre-watermark) and on any batch frame without the
+    * shuffle [[signaturesOf]] pays. min is multiplicity-invariant, so the
+    * raw positional gram array gives bit-identical signatures to the
+    * distinct-gram aggregate (StreamingSpec pins stream == batch). Batch
+    * pipelines should still prefer the memoized [[minhashSignatures]]
+    * table, which four queries share. */
+  def rowLocalSignatures(docs: DataFrame): DataFrame = {
+    val t = normText(col("text"))
+    val gh = transform(sequence(lit(1), length(col("t")) - 4),
+      i => graft.functions.GramHash.gramHash5(col("t").substr(i, lit(5))))
+    docs.select(col("doc_id"), t.as("t"))
+      .filter(length(col("t")) >= 5)
+      .withColumn("gh", gh)
+      .select(col("doc_id") +: (0 until 16).map { i =>
+        array_min(transform(col("gh"),
+          h => (h * minhashA(i) + minhashB(i)) % P)).as(s"h$i")
+      }: _*)
+  }
+
   /** MinHash-LSH band geometry. The defaults (4 bands × 4 rows over the
     * 16-hash signature) suit the test corpus; the (bands, rowsPerBand)
     * pair is the similarity-threshold dial (t ≈ (1/b)^(1/r)) AND the

