@@ -362,6 +362,75 @@ object Analytics {
           floor(expr("percentile(n_chars, 0.90d)")).cast("long").as("p90"),
           max(col("n_chars")).cast("long").as("mx"))
         .orderBy(col("lang"))
+    },
+
+    // 2-D skyline (Pareto frontier): parts maximizing p_size while
+    // minimizing price. The engine's formulation is the SCALE one —
+    // per-size group-min (combiner-backed, one shuffle on ~50 keys), a
+    // window over that tiny per-size table for the cumulative min of
+    // strictly-larger sizes, then a broadcast semi-join back; never a
+    // pairwise dominance scan. The oracle is the textbook quadratic
+    // NOT EXISTS (DuckDB's IEJoin keeps it tractable at oracle scale) —
+    // two independent formulations of the same frontier.
+    QueryDef.sql(
+      "q_skyline",
+      """WITH pp AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT p_partkey, p_size, price_c
+        |FROM pp p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pp q
+        |  WHERE q.p_size >= p.p_size AND q.price_c <= p.price_c
+        |    AND (q.p_size > p.p_size OR q.price_c < p.price_c))
+        |ORDER BY p_size, p_partkey""".stripMargin) { (s, d) =>
+      val pp = Tables.part(s, d).select(
+        col("p_partkey"),
+        col("p_size").cast("long").as("p_size"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+      val perSize = pp.groupBy(col("p_size")).agg(min(col("price_c")).as("min_c"))
+      // tiny table (distinct sizes): global window is deliberate and safe
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val skySizes = perSize
+        .withColumn("better", min(col("min_c")).over(w))
+        // skyline size: its min price strictly undercuts every larger size
+        .filter(col("better").isNull || col("min_c") < col("better"))
+        .select(col("p_size"), col("min_c").as("price_c"))
+      pp.join(broadcast(skySizes), Seq("p_size", "price_c"), "left_semi")
+        .select(col("p_partkey"), col("p_size"), col("price_c"))
+        .orderBy(col("p_size"), col("p_partkey"))
+    },
+
+    // Incremental aggregation (materialized-view maintenance): partial
+    // sum/count states computed separately over the base snapshot and the
+    // delta batch, then MERGED — never a re-scan of the base. The oracle
+    // recomputes from scratch; merged-partials == full-recompute is the
+    // algebraic property the op exists to provide. avg derives from the
+    // merged integer states (exact floor division on both engines).
+    QueryDef.sql(
+      "q_incremental_agg",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_c
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_c"))
+      val base = partials(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      val delta = partials(orders.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      base.unionByName(delta)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("sum_c"), expr("sum_c div n").as("avg_c"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }
   )
 }

@@ -366,6 +366,55 @@ object Windows {
         }
         .toDF("user_id", "n_events", "ewma_final", "n_spikes")
         .orderBy(col("user_id"))
+    },
+
+    // SCD Type-2 dimension build from a changelog: collapse each user's
+    // event stream into validity intervals of consecutive equal
+    // event_type (gaps-and-islands via the row_number difference), then
+    // close each interval with the next interval's start (LEAD) and the
+    // warehouse high-date sentinel on the current row. Every window
+    // partitions by user_id — per-key state only, no global ordering.
+    QueryDef.sql(
+      "q_scd2",
+      """WITH numbered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS island
+        |  FROM events),
+        |intervals AS (
+        |  SELECT user_id, event_type, MIN(ts) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM numbered GROUP BY user_id, event_type, island),
+        |versioned AS (
+        |  SELECT user_id, event_type, valid_from, n_events,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |    COALESCE(LEAD(valid_from) OVER w,
+        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM intervals
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type))
+        |SELECT user_id, version, event_type, valid_from, valid_to,
+        |  CAST(valid_to = TIMESTAMP '9999-12-31 00:00:00' AS BIGINT) AS is_current,
+        |  n_events
+        |FROM versioned ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byTimeInType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_type"))
+      val hi = to_timestamp(lit("9999-12-31 00:00:00"))
+      Tables.events(s, d)
+        .withColumn("island",
+          row_number().over(byTime) - row_number().over(byTimeInType))
+        .groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("version", row_number().over(byStart).cast("long"))
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byStart), hi))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          (col("valid_to") === hi).cast("long").as("is_current"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 }

@@ -65,6 +65,96 @@ object Graphs {
     ranks.select(col("doc_id"), col("r").as("rank_q6"))
   }
 
+  /** Undirected simple edge set from the directed link graph: canonical
+    * (a < b) orientation, self-loops dropped, parallel edges collapsed. */
+  def undirectedEdges(docs: DataFrame): DataFrame =
+    syntheticEdges(docs)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Triangle + wedge census with the global clustering coefficient —
+    * the standard graph-health probe for a link/near-dup graph.
+    *
+    * Degree-ordered orientation (each undirected edge directed from its
+    * lower-(degree, id) endpoint): every triangle then has exactly one
+    * apex whose two out-edges cover it, so the wedge self-join counts
+    * each triangle once, and — the scale property — out-degree is
+    * bounded by O(√m) on ANY graph, so the wedge join never explodes on
+    * a high-degree hub the way a naive neighbor self-join does (the
+    * hub's edges point INTO it and generate no wedges at the hub).
+    * Both joins shuffle on a vertex key; no all-pairs step anywhere.
+    *
+    * Input: undirected simple edges (a < b). Output: one row
+    * (n_vertices, n_edges, n_wedges, n_triangles, clustering_q6) where
+    * clustering_q6 = floor(3e6 · triangles / wedges). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ue = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ue.select(col("a").as("v"))
+      .unionAll(ue.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oriented = ue
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val e3 = oriented.as("e3")
+    val tri = e1
+      .join(e2, col("e1.u") === col("e2.u") && col("e1.w") =!= col("e2.w"))
+      .join(e3, col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = ue.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+    sums.crossJoin(tri).select(
+      col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      floor((lit(3000000L) * col("n_triangles")).cast("double") /
+        col("n_wedges").cast("double")).cast("long").as("clustering_q6"))
+  }
+
+  /** Frontier BFS over the directed link graph from `source`: per-round
+    * (edges ⋈ frontier on src) → distinct → anti-join vs the visited set,
+    * the textbook distributed BFS. The edge list is materialized once and
+    * every round's join shuffles only the frontier against it; the
+    * visited set is eagerly checkpointed so round N+1's plan stays O(1).
+    * Returns (doc_id, hop = shortest distance ≤ maxHop). */
+  def bfsHops(docs: DataFrame, source: Long, maxHop: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxHop >= 1)
+    val edges = syntheticEdges(docs)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var reached = docs.sparkSession.range(1)
+      .select(lit(source).as("doc_id"), lit(0L).as("hop"))
+    var frontier = reached.select(col("doc_id"))
+    for (h <- 1 to maxHop) {
+      frontier = edges
+        .join(frontier.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(reached, Seq("doc_id"), "left_anti")
+      reached = reached
+        .unionByName(frontier.select(col("doc_id"), lit(h.toLong).as("hop")))
+      // a shallow unroll stays one static plan (6 extra eager jobs cost
+      // more than they save); deep traversals cut lineage per round
+      if (maxHop > 4 && h < maxHop) {
+        frontier = frontier.localCheckpoint(true)
+        reached = reached.localCheckpoint(true)
+      }
+    }
+    reached
+  }
+
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.doc_id, 150000 + COALESCE(SUM(c.c), 0) AS r
@@ -94,6 +184,70 @@ object Graphs {
       pageRank(Tables.documents(s, d), iters = 3)
         .orderBy(col("rank_q6").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // triangle/wedge census + global clustering coefficient, degree-ordered
+    // orientation (engine) vs naive canonical-order triple join (oracle —
+    // correct but no hub bound; fine at oracle scale)
+    QueryDef.sql(
+      "q_triangle_count",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |deg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+         |  GROUP BY v),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM ue e1 JOIN ue e2 ON e1.a = e2.a AND e1.b < e2.b
+         |       JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ue) AS n_edges,
+         |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  tri.n_triangles,
+         |  CAST(FLOOR(CAST(3000000 * tri.n_triangles AS DOUBLE) /
+         |    CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)) AS BIGINT)
+         |    AS clustering_q6
+         |FROM tri""".stripMargin) { (s, d) =>
+      triangleStats(undirectedEdges(Tables.documents(s, d)))
+    },
+
+    // 3-hop BFS reachability from doc 0; per-hop frontier census.
+    // Oracle unrolls the frontier recurrence with EXCEPT.
+    QueryDef.sql(
+      "q_bfs_reach",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS v),
+         |f1 AS (
+         |  SELECT DISTINCT e.dst AS v FROM e0 e JOIN d0 ON e.src = d0.v
+         |  EXCEPT SELECT v FROM d0),
+         |f2 AS (
+         |  SELECT DISTINCT e.dst AS v FROM e0 e JOIN f1 ON e.src = f1.v
+         |  EXCEPT (SELECT v FROM d0 UNION SELECT v FROM f1)),
+         |f3 AS (
+         |  SELECT DISTINCT e.dst AS v FROM e0 e JOIN f2 ON e.src = f2.v
+         |  EXCEPT (SELECT v FROM d0 UNION SELECT v FROM f1 UNION SELECT v FROM f2)),
+         |hops AS (
+         |  SELECT CAST(0 AS BIGINT) AS hop, v FROM d0
+         |  UNION ALL SELECT 1, v FROM f1
+         |  UNION ALL SELECT 2, v FROM f2
+         |  UNION ALL SELECT 3, v FROM f3)
+         |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(v) AS BIGINT) AS sum_ids
+         |FROM hops GROUP BY hop ORDER BY hop""".stripMargin) { (s, d) =>
+      bfsHops(Tables.documents(s, d), source = 0L, maxHop = 3)
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("hop"))
     }
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.pipeline.Graphs
+import org.apache.spark.sql.functions._
+
+/** Triangle census + BFS against brute-force answers on graphs small
+  * enough to enumerate, plus the skyline/incremental-agg invariants the
+  * oracle can't phrase (dominance checked pairwise in Scala). */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) =
+    pairs.toDF("a", "b")
+
+  test("triangleStats counts a known graph exactly") {
+    // K4 on {0,1,2,3} (4 triangles, 12 wedges) plus a pendant 3-4
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val g = edgesDf(k4 :+ (3L, 4L))
+    val row = Graphs.triangleStats(g).collect().head
+    assert(row.getAs[Long]("n_vertices") == 5)
+    assert(row.getAs[Long]("n_edges") == 7)
+    // wedges: deg(0..2)=3 → 3 each, deg(3)=4 → 6, deg(4)=1 → 0
+    assert(row.getAs[Long]("n_wedges") == 15)
+    assert(row.getAs[Long]("n_triangles") == 4)
+    // clustering = 3·4/15 = 0.8
+    assert(row.getAs[Long]("clustering_q6") == 800000L)
+  }
+
+  test("triangleStats matches brute force on the synthetic doc graph") {
+    val docs = Tables.documents(spark, sf())
+    val ue = Graphs.undirectedEdges(docs)
+    val edges = ue.as[(Long, Long)].collect().toSet
+    val byV = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+    val naive = edges.toSeq.map { case (a, b) =>
+      (byV(a) & byV(b)).count(c => c > b)
+    }.sum
+    val row = Graphs.triangleStats(ue).collect().head
+    assert(row.getAs[Long]("n_triangles") == naive.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+  }
+
+  test("bfsHops hop labels are consistent shortest distances") {
+    val hops = Graphs.bfsHops(Tables.documents(spark, sf()), 0L, 3)
+      .as[(Long, Long)].collect()
+    assert(hops.count(_._2 == 0L) == 1 && hops.exists(h => h._1 == 0L && h._2 == 0L))
+    assert(hops.map(_._2).max <= 3L)
+    // frontier growth: out-degree 3 caps hop h at 3^h new nodes
+    val perHop = hops.groupBy(_._2).view.mapValues(_.length).toMap
+    for (h <- 1L to 3L; n <- perHop.get(h)) assert(n <= math.pow(3, h.toDouble).toInt)
+    // every hop-h node has an in-edge from some hop-(h-1) node
+    val edges = Graphs.syntheticEdges(Tables.documents(spark, sf()))
+      .as[(Long, Long)].collect().groupMap(_._2)(_._1)
+    val hopOf = hops.toMap
+    for ((v, h) <- hops if h > 0)
+      assert(edges(v).exists(src => hopOf.get(src).exists(_ == h - 1)),
+        s"node $v at hop $h has no predecessor at hop ${h - 1}")
+  }
+
+  test("skyline output is exactly the non-dominated set") {
+    val pp = Tables.part(spark, sf())
+      .select($"p_partkey".as[Long], $"p_size".cast("long").as[Long],
+        floor($"p_retailprice" * 100).cast("long").as[Long])
+      .collect()
+    val sky = SparkEntry.queries("q_skyline")(spark, sf())
+      .select($"p_partkey").as[Long].collect().toSet
+    def dominated(p: (Long, Long, Long)) = pp.exists(q =>
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3))
+    val want = pp.filterNot(dominated).map(_._1).toSet
+    assert(sky == want)
+  }
+
+  test("incremental merge equals full recompute") {
+    val full = Tables.orders(spark, sf())
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("sum_c"))
+      .select($"o_orderstatus", $"o_orderpriority", $"n", $"sum_c",
+        expr("sum_c div n").as("avg_c"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+      .collect()
+    val merged = SparkEntry.queries("q_incremental_agg")(spark, sf()).collect()
+    assert(merged.toSeq == full.toSeq)
+  }
+}
