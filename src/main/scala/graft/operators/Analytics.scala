@@ -431,6 +431,121 @@ object Analytics {
         .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
           col("sum_c"), expr("sum_c div n").as("avg_c"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // Time-series gap fill with linear interpolation: weekly per-type
+    // spine (integer week index — exact on both engines), missing weeks
+    // synthesized per key between its first and last observation, values
+    // interpolated between the bracketing observations. The spine is a
+    // per-key sequence() explode (rows ∝ series length, never a global
+    // calendar cross join); neighbor lookup is IGNORE NULLS window
+    // arithmetic partitioned by the series key — per-key state only.
+    // Interpolation divides two exact integers as doubles and floors:
+    // one correctly-rounded IEEE division on each engine.
+    QueryDef.sql(
+      "q_gapfill_interpolate",
+      """WITH base AS (
+        |  SELECT event_type, EPOCH_US(ts) // 604800000000 AS wk,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |weekly AS (
+        |  SELECT event_type, wk,
+        |    CAST(SUM(x) // COUNT(*) AS BIGINT) AS v_c
+        |  FROM base GROUP BY event_type, wk),
+        |span AS (
+        |  SELECT event_type, MIN(wk) AS w0, MAX(wk) AS w1
+        |  FROM weekly GROUP BY event_type),
+        |spine AS (
+        |  SELECT s.event_type, u.wk
+        |  FROM span s CROSS JOIN UNNEST(RANGE(s.w0, s.w1 + 1)) AS u(wk)),
+        |joined AS (
+        |  SELECT sp.event_type, sp.wk, w.v_c FROM spine sp
+        |  LEFT JOIN weekly w ON w.event_type = sp.event_type AND w.wk = sp.wk),
+        |ctx AS (
+        |  SELECT event_type, wk, v_c,
+        |    LAST_VALUE(v_c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN v_c IS NOT NULL THEN wk END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+        |    FIRST_VALUE(v_c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN v_c IS NOT NULL THEN wk END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY wk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+        |  FROM joined)
+        |SELECT event_type, CAST(wk AS BIGINT) AS wk,
+        |  CASE WHEN v_c IS NOT NULL THEN v_c
+        |       ELSE CAST(FLOOR(CAST(pv AS DOUBLE) +
+        |         CAST((nv - pv) * (wk - pw) AS DOUBLE) / CAST(nw - pw AS DOUBLE))
+        |         AS BIGINT) END AS v_filled_c,
+        |  CAST(v_c IS NULL AS BIGINT) AS is_filled
+        |FROM ctx ORDER BY event_type, wk""".stripMargin) { (s, d) =>
+      val wkUs = 604800000000L
+      val base = Tables.events(s, d).select(col("event_type"),
+        expr(s"unix_micros(ts) div $wkUs").as("wk"),
+        floor(col("value") * 100).cast("long").as("x"))
+      val weekly = base.groupBy(col("event_type"), col("wk"))
+        .agg(expr("sum(x) div count(1)").as("v_c"))
+      val spine = weekly.groupBy(col("event_type"))
+        .agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+        .select(col("event_type"),
+          explode(sequence(col("w0"), col("w1"))).as("wk"))
+      val joined = spine.join(weekly, Seq("event_type", "wk"), "left")
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsWk = when(col("v_c").isNotNull, col("wk"))
+      joined
+        .withColumn("pv", last(col("v_c"), ignoreNulls = true).over(wPrev))
+        .withColumn("pw", last(obsWk, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v_c"), ignoreNulls = true).over(wNext))
+        .withColumn("nw", first(obsWk, ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("wk").cast("long").as("wk"),
+          when(col("v_c").isNotNull, col("v_c"))
+            .otherwise(floor(col("pv").cast("double") +
+              ((col("nv") - col("pv")) * (col("wk") - col("pw"))).cast("double") /
+                (col("nw") - col("pw")).cast("double")).cast("long"))
+            .as("v_filled_c"),
+          col("v_c").isNull.cast("long").as("is_filled"))
+        .orderBy(col("event_type"), col("wk"))
+    },
+
+    // Cumulative-share corpus trim (the "keep the biggest docs until 80%
+    // of the bytes" curation cut): per-source ranking by size with an
+    // EXACT integer share test — a doc is kept while the chars BEFORE it
+    // cover < 80% of the source total (cum_before·5 < total·4, no
+    // doubles anywhere). One per-key window over pre-projected rows plus
+    // a combiner-backed per-source rollup.
+    QueryDef.sql(
+      "q_cumshare_cut",
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS total_chars
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  CAST(MAX(total_chars) AS BIGINT) AS total_chars
+        |FROM ranked
+        |WHERE COALESCE(cum_before, 0) * 5 < total_chars * 4
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("source"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum_before", sum(col("n_chars")).over(wCum))
+        .withColumn("total_chars", sum(col("n_chars")).over(wAll))
+        .filter(coalesce(col("cum_before"), lit(0L)) * 5 < col("total_chars") * 4)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"),
+          max(col("total_chars")).as("total_chars"))
+        .orderBy(col("source"))
     }
   )
 }

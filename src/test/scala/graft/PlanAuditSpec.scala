@@ -212,4 +212,36 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: register aggregation must sit below the spine join in the plan tree")
     }
   }
+
+  test("skyline semi-joins back through a broadcast, never a dominance scan") {
+    val p = plan("q_skyline")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"skyline sizes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise dominance scan leaked into the plan:\n$p")
+  }
+
+  test("triangle census joins stay equi-hash — no cartesian anywhere") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangle plan:\n$p")
+    // wedge closure is an equi-join on (u, w)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash join:\n$p")
+  }
+
+  test("incremental merge keeps map-side partial aggregation on both branches") {
+    val p = plan("q_incremental_agg")
+    assert(countOccurrences(p, "partial_count|partial count") >= 1 ||
+      p.contains("partial_"), s"no partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("gap fill and cumshare windows partition by their series key") {
+    // neither query may fall into a global (unpartitioned) window
+    for (q <- Seq("q_gapfill_interpolate", "q_cumshare_cut")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+      assert(!windows.contains("windowspecdefinition(,"),
+        s"$q has an unpartitioned window:\n$windows")
+    }
+  }
 }
