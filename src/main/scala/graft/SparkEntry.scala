@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Geo.queries ++
       operators.BloomJoin.queries ++
       operators.EventAnalytics.queries ++
+      operators.Quality.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++

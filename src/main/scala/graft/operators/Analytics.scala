@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Exact LOWER median of `valueCol` per `event_type` via a
+    * quantized-value histogram: the histogram groupBy is map-side
+    * combined and its size is bounded by DISTINCT values per key, so no
+    * reducer ever sorts raw rows. The positional pick selects the unique
+    * histogram row whose cumulative count first reaches position
+    * (n+1)/2. Shared by q_robust_stats and q_anomaly_rows. */
+  private def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      outName: String) = {
+    val hist = df.groupBy(col("event_type"), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("pos", floor((sum(col("c")).over(wAll) + 1) / 2.0).cast("long"))
+      .filter(col("cum") - col("c") < col("pos") && col("pos") <= col("cum"))
+      .select(col("event_type"), col(valueCol).as(outName))
+  }
+
+  /** (event_type, event_id, x = cents-quantized value) projection plus
+    * per-type median and MAD columns — the shared robust-stats core. */
+  private def robustDeviations(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("x"))
+    val med = lowerMedian(v, "x", "med_c")
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("x"),
+        abs(col("x") - col("med_c")).as("ad"), col("med_c"))
+    val mad = lowerMedian(dev, "ad", "mad_c")
+    dev.join(broadcast(mad), Seq("event_type"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // rolling 24-hour event count / value sum per user (RANGE frame over
@@ -259,37 +291,52 @@ object Analytics {
         |  CAST(SUM(CASE WHEN d.ad > 5 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // Exact lower median via quantized-value histogram: the histogram
-      // groupBy is map-side combined and its size is bounded by DISTINCT
-      // values per key, so no reducer ever sorts raw rows. The positional
-      // pick selects the unique histogram row whose cumulative count
-      // first reaches position (n+1)/2.
-      def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
-          outName: String) = {
-        val hist = df.groupBy(col("event_type"), col(valueCol))
-          .agg(count(lit(1)).as("c"))
-        val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
-        val wAll = Window.partitionBy(col("event_type"))
-        hist
-          .withColumn("cum", sum(col("c")).over(wCum))
-          .withColumn("pos", floor((sum(col("c")).over(wAll) + 1) / 2.0).cast("long"))
-          .filter(col("cum") - col("c") < col("pos") && col("pos") <= col("cum"))
-          .select(col("event_type"), col(valueCol).as(outName))
-      }
-      val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
-        floor(col("value") * 100).cast("long").as("x"))
-      val med = lowerMedian(v, "x", "med_c")
-      val dev = v.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), col("event_id"), col("x"),
-          abs(col("x") - col("med_c")).as("ad"), col("med_c"))
-      val mad = lowerMedian(dev, "ad", "mad_c")
-      dev.join(broadcast(mad), Seq("event_type"))
+      robustDeviations(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("med_c")).as("med_c"),
           max(col("mad_c")).as("mad_c"),
           sum(when(col("ad") > col("mad_c") * 5, 1).otherwise(0)).as("n_outliers"))
         .orderBy(col("event_type"))
+    },
+
+    // The anomaly FLAG TABLE a pipeline actually consumes downstream:
+    // the outlier rows themselves (|x − med| > 5·MAD), worst-first.
+    // Same histogram-median core as q_robust_stats (shared code), so the
+    // summary and the listing cannot disagree.
+    QueryDef.sql(
+      "q_anomaly_rows",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, x AS med_c FROM (
+        |    SELECT event_type, x,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM v) t
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+        |dev AS (
+        |  SELECT v.event_type, v.event_id, v.x, ABS(v.x - m.med_c) AS ad, m.med_c
+        |  FROM v JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, ad AS mad_c FROM (
+        |    SELECT event_type, ad,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) t
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT))
+        |SELECT d.event_type, d.event_id, d.x, d.ad, d.med_c, md.mad_c
+        |FROM dev d JOIN mad md USING (event_type)
+        |WHERE d.ad > 5 * md.mad_c
+        |ORDER BY d.ad DESC, d.event_type, d.event_id
+        |LIMIT 200""".stripMargin) { (s, d) =>
+      robustDeviations(s, d)
+        .filter(col("ad") > col("mad_c") * 5)
+        .select(col("event_type"), col("event_id"), col("x"), col("ad"),
+          col("med_c"), col("mad_c"))
+        .orderBy(col("ad").desc, col("event_type"), col("event_id"))
+        .limit(200)
     },
 
     // feature standardization: per-language z-score of document length.

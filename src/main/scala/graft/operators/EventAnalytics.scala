@@ -215,6 +215,41 @@ object EventAnalytics {
             .otherwise(floor((col("n") - col("prev")) * lit(1000000.0) / col("prev"))
               .cast("long")).as("growth_q6"))
         .orderBy(col("event_type"), col("week"))
+    },
+
+    // Rolling 7-day distinct active users. Sliding DISTINCT does not
+    // decompose into window partials, so the scale formulation is the
+    // CONTRIBUTION EXPANSION: reduce to one row per (day, user) first
+    // (combiner-backed), then each such row contributes to the ≤7 target
+    // days whose trailing window covers it — a bounded ×7 explode over the
+    // REDUCED rows, never the raw stream — and a per-target-day distinct
+    // count. Window edges keep their partial windows on both engines.
+    QueryDef.sql(
+      "q_rolling_dau",
+      """WITH du AS (
+        |  SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+        |contrib AS (
+        |  SELECT du.day + o AS tday, du.user_id
+        |  FROM du CROSS JOIN UNNEST(RANGE(0, 7)) AS u(o))
+        |SELECT CAST(c.tday AS BIGINT) AS day,
+        |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS dau7
+        |FROM contrib c CROSS JOIN span
+        |WHERE c.tday BETWEEN span.d0 AND span.d1
+        |GROUP BY c.tday ORDER BY day""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val du = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $dayUs").as("day"), col("user_id"))
+        .distinct()
+      val span = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      du.select(explode(sequence(col("day"), col("day") + 6)).as("tday"),
+          col("user_id"))
+        .crossJoin(broadcast(span))
+        .filter(col("tday").between(col("d0"), col("d1")))
+        .groupBy(col("tday").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
+        .orderBy(col("day"))
     }
   )
 }

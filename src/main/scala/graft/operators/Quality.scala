@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint report (the Deequ/dbt-test shape):
+  * null checks, domain/range checks, uniqueness, and cross-table
+  * referential integrity, evaluated in one pass per table and emitted as
+  * a single (check, n_violations, n_checked) report table — the artifact
+  * a pipeline gates a load on.
+  *
+  * Scale posture: per-table checks are ONE aggregate scan each (every
+  * predicate a conditional count — map-side combined, no row ever
+  * shuffles); referential checks are key-grouped anti-join counts; the
+  * final report is a union of per-check one-row aggregates, so the
+  * report cost is the cost of scanning each table once plus two keyed
+  * anti joins.
+  */
+object Quality {
+
+  private def check(name: String, violations: org.apache.spark.sql.Column,
+      df: DataFrame): DataFrame =
+    df.agg(sum(when(violations, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+
+  /** Anti-join referential check: rows of `child` whose `childKey` has no
+    * match in `parent.parentKey`. */
+  private def orphans(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(child.agg(count(lit(1)).as("n_checked")))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q_dq_report",
+      """WITH checks AS (
+        |  SELECT 'documents_empty_text' AS check_name,
+        |    CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    CAST(COUNT(*) AS BIGINT) AS n_checked FROM documents
+        |  UNION ALL
+        |  SELECT 'documents_nchars_mismatch',
+        |    CAST(SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'events_negative_value',
+        |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_price',
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey',
+        |    CAST((SELECT COUNT(*) FROM lineitem l
+        |          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_duplicate_orderkey',
+        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |          (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+        |          WHERE c > 1) AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT))
+        |SELECT check_name, n_violations, n_checked
+        |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+      dqReport(s, d).orderBy(col("check_name"))
+    }
+  )
+
+  /** The full report as a composable DataFrame (also the q_dq_report
+    * builder). */
+  def dqReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val events = Tables.events(s, d)
+    val orders = Tables.orders(s, d)
+    val dupKeys = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .crossJoin(orders.agg(count(lit(1)).as("n_checked")))
+      .select(lit("orders_duplicate_orderkey").as("check_name"),
+        col("n_violations"), col("n_checked"))
+    check("documents_empty_text", length(col("text")) === 0, docs)
+      .unionByName(check("documents_nchars_mismatch",
+        length(col("text")) =!= col("n_chars"), docs))
+      .unionByName(check("events_negative_value", col("value") < 0, events))
+      .unionByName(check("orders_nonpositive_price", col("o_totalprice") <= 0, orders))
+      .unionByName(orphans("orders_orphan_custkey", orders, "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(orphans("lineitem_orphan_orderkey", Tables.lineitem(s, d),
+        "l_orderkey", orders, "o_orderkey"))
+      .unionByName(dupKeys)
+  }
+}

@@ -249,6 +249,18 @@ object Sessions {
       }
   }
 
+  /** Bounded-state streaming dedup: duplicate keys arriving within the
+    * watermark horizon are dropped, and — unlike [[firstSeenStream]],
+    * whose one-marker-per-key state grows with distinct keys forever —
+    * a key's state is RECLAIMED once the event-time watermark passes
+    * it. This is the production form for unbounded streams whose
+    * duplicates cluster in time (retries, at-least-once redelivery):
+    * state is bounded by keys-per-horizon, not keys-ever-seen. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], horizon: String): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class LshEdge(b: Int, sig_key: String, doc1: Long, doc2: Long)
 
   /** Streaming MinHash-LSH near-dup candidate edges: documents stream in,

@@ -362,4 +362,34 @@ class StreamingSpec extends SparkSpec {
     // state is one marker per distinct key, nothing per re-delivery
     assert(streamed.size == batch.size)
   }
+
+  test("watermarked dedup emits each key once and matches the batch key set") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wmdedup").toString
+    val inDir = s"$tmp/in"
+    val ev = Tables.events(spark, sf())
+      .select($"ts", $"user_id", $"event_type")
+    // duplicates of (user_id, event_type) spread across two micro-batches;
+    // the horizon exceeds the table's whole span, so every redelivery is
+    // inside the watermark window and must be dropped exactly like batch
+    // dropDuplicates on the same keys
+    ev.filter($"user_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    ev.filter($"user_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = Sessions.dedupWithinWatermark(in, "ts",
+        Seq("user_id", "event_type"), "3650 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("wm_dedup")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val batchKeys = ev.select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed.nonEmpty && streamed.toSet == batchKeys)
+    // exactly one survivor per key — no duplicate ever crosses the sink
+    assert(streamed.length == batchKeys.size)
+  }
 }
