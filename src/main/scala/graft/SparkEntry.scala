@@ -24,6 +24,7 @@ object SparkEntry {
       operators.BloomJoin.queries ++
       operators.EventAnalytics.queries ++
       operators.Quality.queries ++
+      operators.Cdc.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++

@@ -30,6 +30,23 @@ object Analytics {
       .select(col("event_type"), col(valueCol).as(outName))
   }
 
+  /** Exact lower p-quantile (p = num/den) per `event_type` via the same
+    * quantized-value histogram as [[lowerMedian]]: position
+    * (n−1)·num div den + 1 in value order. No reducer sorts raw rows. */
+  private def lowerQuantile(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      num: Int, den: Int, outName: String) = {
+    val hist = df.groupBy(col("event_type"), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("pos",
+        (floor(((sum(col("c")).over(wAll) - 1) * num) / den.toDouble) + 1).cast("long"))
+      .filter(col("cum") - col("c") < col("pos") && col("pos") <= col("cum"))
+      .select(col("event_type"), col(valueCol).as(outName))
+  }
+
   /** (event_type, event_id, x = cents-quantized value) projection plus
     * per-type median and MAD columns — the shared robust-stats core. */
   private def robustDeviations(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -337,6 +354,57 @@ object Analytics {
           col("med_c"), col("mad_c"))
         .orderBy(col("ad").desc, col("event_type"), col("event_id"))
         .limit(200)
+    },
+
+    // Winsorization: clamp each group's values into [p05, p95] — the
+    // outlier treatment a feature pipeline applies before aggregating
+    // heavy-tailed measures. Quantiles come from the histogram core
+    // (lowerQuantile — value-histogram positional pick, no raw-row
+    // sort); the clamped SUM is exact integer cents. The oracle derives
+    // the same positional quantiles via ROW_NUMBER — the value at a
+    // fixed rank in value order is tie-break-independent.
+    QueryDef.sql(
+      "q_winsorize",
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM v GROUP BY event_type),
+        |rk AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn
+        |  FROM v),
+        |lo AS (
+        |  SELECT rk.event_type, rk.x AS p05_c FROM rk JOIN n USING (event_type)
+        |  WHERE rk.rn = ((n.n - 1) * 5) // 100 + 1),
+        |hi AS (
+        |  SELECT rk.event_type, rk.x AS p95_c FROM rk JOIN n USING (event_type)
+        |  WHERE rk.rn = ((n.n - 1) * 95) // 100 + 1)
+        |SELECT v.event_type, n.n, lo.p05_c, hi.p95_c,
+        |  CAST(SUM(CASE WHEN v.x < lo.p05_c THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN v.x > hi.p95_c THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN v.x < lo.p05_c THEN lo.p05_c
+        |                WHEN v.x > hi.p95_c THEN hi.p95_c
+        |                ELSE v.x END) AS BIGINT) AS sum_w_c
+        |FROM v JOIN n USING (event_type)
+        |  JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY v.event_type, n.n, lo.p05_c, hi.p95_c
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("x"))
+      val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val lo = lowerQuantile(v, "x", 5, 100, "p05_c")
+      val hi = lowerQuantile(v, "x", 95, 100, "p95_c")
+      val bounds = broadcast(n.join(lo, Seq("event_type")).join(hi, Seq("event_type")))
+      val w = when(col("x") < col("p05_c"), col("p05_c"))
+        .when(col("x") > col("p95_c"), col("p95_c")).otherwise(col("x"))
+      v.join(bounds, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("p05_c"), col("p95_c"))
+        .agg(sum(when(col("x") < col("p05_c"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("x") > col("p95_c"), 1L).otherwise(0L)).as("n_high"),
+          sum(w).as("sum_w_c"))
+        .orderBy(col("event_type"))
     },
 
     // feature standardization: per-language z-score of document length.

@@ -38,6 +38,116 @@ object Corpus {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // Systematic probability-proportional-to-size sampling, stratified
+    // by source: k = 10 docs per stratum, selection probability ∝
+    // n_chars — the size-weighted corpus subsample a pipeline draws for
+    // eval/inspection. A row is chosen iff the k·cumw/W grid advances
+    // across its weight span: ⌊cumw·k/W⌋ > ⌊(cumw−w)·k/W⌋ — pure int64
+    // arithmetic, so the draw is reproducible, join-stable, and
+    // cross-engine exact (NEVER rand()). Prefix sums run per stratum
+    // (windows partitioned by source, never global), so reducer load is
+    // bounded by the largest stratum, not the corpus.
+    QueryDef.sql(
+      "q_pps_sample",
+      """WITH w AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, wt,
+        |    SUM(wt) OVER (PARTITION BY source ORDER BY doc_id) AS cumw,
+        |    SUM(wt) OVER (PARTITION BY source) AS w_tot
+        |  FROM w)
+        |SELECT source, doc_id, wt, CAST(cumw AS BIGINT) AS cumw,
+        |  CAST((cumw * 10) // w_tot AS BIGINT) AS sel_idx
+        |FROM c
+        |WHERE (cumw * 10) // w_tot > ((cumw - wt) * 10) // w_tot
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("wt"))
+      val c = w
+        .withColumn("cumw",
+          sum(col("wt")).over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .withColumn("w_tot", sum(col("wt")).over(Window.partitionBy(col("source"))))
+      c.filter(expr("(cumw * 10) div w_tot > ((cumw - wt) * 10) div w_tot"))
+        .select(col("source"), col("doc_id"), col("wt"), col("cumw"),
+          expr("(cumw * 10) div w_tot").as("sel_idx"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // Sparse-vector cosine similarity through the inverted index — the
+    // document-similarity engine of a retrieval/dedup pipeline, computed
+    // the only way it scales: score pairs BY TERM through the postings
+    // lists, never doc-by-doc. The term space is token 5-gram SHINGLES
+    // (single words are useless here — and at scale, stop-word-like:
+    // the hottest unigram of any corpus joins quadratically), and
+    // vectors live in the RARE-shingle subspace (2 ≤ df ≤ 20): the df
+    // cap bounds every posting self-join to df·(df−1)/2 ≤ 190 pairs per
+    // shingle, df ≥ 2 drops shingles that cannot contribute to a pair.
+    // Dot products are exact integer sums of tf products; cosine =
+    // dot / √(n1·n2) runs as two correctly-rounded IEEE ops (sqrt,
+    // divide) identical across engines, then floor-quantized. Norms are
+    // over the same rare subspace, so cosine is well-defined against
+    // the scored vectors.
+    QueryDef.sql(
+      "q_sparse_cosine_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 3),
+        |      i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS t
+        |  FROM toks WHERE LEN(tk) >= 5),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |vec AS (
+         |  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN df USING (t)
+         |  WHERE df.df BETWEEN 2 AND 20),
+         |norms AS (
+         |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+         |  FROM vec GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM vec a JOIN vec b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d.doc1, d.doc2, d.dot,
+         |  CAST(FLOOR(d.dot * CAST(1000000.0 AS DOUBLE)
+         |    / SQRT(CAST(n1.nsq * n2.nsq AS DOUBLE))) AS BIGINT) AS cos_q6
+         |FROM dots d
+         |JOIN norms n1 ON n1.doc_id = d.doc1
+         |JOIN norms n2 ON n2.doc_id = d.doc2
+         |ORDER BY cos_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val g = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 4),
+          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("t"))
+      val tf = g.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val vec = tf.join(dfreq.filter(col("df").between(2, 20)).select(col("t")),
+        Seq("t"))
+      val norms = vec.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+      val dots = vec.as("a")
+        .join(vec.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc1"), col("nsq").as("n1")), Seq("doc1"))
+        .join(norms.select(col("doc_id").as("doc2"), col("nsq").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("dot"),
+          floor(col("dot") * lit(1000000.0)
+            / sqrt((col("n1") * col("n2")).cast("double"))).cast("long").as("cos_q6"))
+        .orderBy(col("cos_q6").desc, col("doc1"), col("doc2"))
+        .limit(100)
+    },
+
     // TF-IDF top terms per document. tf = in-doc term count; idf = the
     // BM25 odds ratio (see scaladoc) quantized to q6; score = tf · idf_q6
     // (exact bigint). Ranking window runs over the PRE-AGGREGATED

@@ -128,6 +128,33 @@ object Sketches {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // EXACT distinct counting as mergeable state: Spark's native bitmap
+    // aggregate family (bitmap_bucket_number / bitmap_bit_position /
+    // bitmap_construct_agg / bitmap_count — codegen'd, SPARK-44154).
+    // Stage 1 builds one 32k-bit bitmap per (group, bucket) — the
+    // re-aggregatable intermediate a 100 TB profiling cube MATERIALIZES:
+    // partial bitmaps from new partitions OR-merge into it (bitmap_or_agg)
+    // without rescanning history, which COUNT(DISTINCT) can never do.
+    // Buckets partition the id space, so the final count is a plain SUM
+    // of per-bucket popcounts. The oracle is the one-shot
+    // COUNT(DISTINCT): the decomposed plan must agree exactly.
+    QueryDef.sql(
+      "q_bitmap_distinct",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val partials = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"),
+          count(lit(1)).as("n"))
+      partials.groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
     // Count-Min over lineitem part keys (key space >> width, so buckets
     // genuinely collide): estimates for the 10 heaviest keys vs their
     // exact counts — est ≥ exact always (the CMS one-sided guarantee,
@@ -291,6 +318,70 @@ object Sketches {
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("h").cast("decimal(38,0)")) % P).cast("long").as("checksum"),
           min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+    },
+
+    // Bucket-level divergence localization — the Merkle level-1 of table
+    // reconciliation: when two replicas' full checksums disagree
+    // (q_table_checksum), find WHICH key ranges differ without moving
+    // rows: one mixed-rowhash aggregate pass per replica down to 256
+    // per-bucket checksums, then a 256-row compare. Recursing into a
+    // divergent bucket is this same query filtered to it — log-depth
+    // localization of a handful of changed rows in a 100 TB table.
+    // Version B here perturbs ~0.1% of rows (key % 997) so a few known
+    // buckets diverge; each side tags rows and the two register tables
+    // pivot out of ONE grouped aggregate.
+    QueryDef.sql(
+      "q_bucket_diff",
+      s"""WITH rh AS (
+         |  SELECT 0 AS side, o_orderkey % 256 AS bucket,
+         |    (o_orderkey * 1000003 + o_custkey * 8191
+         |      + CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 131
+         |      + CAST(LENGTH(o_orderpriority) AS BIGINT)) % $P AS base
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 1, o_orderkey % 256,
+         |    (o_orderkey * 1000003 + o_custkey * 8191
+         |      + (CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+         |         + CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END) * 131
+         |      + CAST(LENGTH(o_orderpriority) AS BIGINT)) % $P
+         |  FROM orders),
+         |${hllMixCtes("rh", "base", "side, bucket,")},
+         |cks AS (
+         |  SELECT side, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(hv) % $P AS BIGINT) AS ck
+         |  FROM h GROUP BY side, bucket)
+         |SELECT bucket,
+         |  CAST(MAX(CASE WHEN side = 0 THEN n END) AS BIGINT) AS n_a,
+         |  CAST(MAX(CASE WHEN side = 1 THEN n END) AS BIGINT) AS n_b,
+         |  CAST(MAX(CASE WHEN side = 0 THEN ck END) AS BIGINT) AS ck_a,
+         |  CAST(MAX(CASE WHEN side = 1 THEN ck END) AS BIGINT) AS ck_b
+         |FROM cks GROUP BY bucket
+         |HAVING MAX(CASE WHEN side = 0 THEN ck END)
+         |    <> MAX(CASE WHEN side = 1 THEN ck END)
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def rows(side: Int, priceC: Column) = orders.select(
+        lit(side).as("side"),
+        pmod(col("o_orderkey"), lit(256)).as("bucket"),
+        hllMix(pmod(col("o_orderkey") * 1000003L + col("o_custkey") * 8191L
+          + priceC * 131L + length(col("o_orderpriority")).cast("long"),
+          lit(P))).as("hv"))
+      val priceA = floor(col("o_totalprice") * 100).cast("long")
+      val priceB = priceA +
+        when(pmod(col("o_orderkey"), lit(997)) === 0, 1L).otherwise(0L)
+      val cks = rows(0, priceA).unionByName(rows(1, priceB))
+        .groupBy(col("side"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          // decimal accumulator like q_table_checksum: a hot bucket past
+          // ~4.3e9 rows would overflow an int64 sum (ANSI throw)
+          (sum(col("hv").cast("decimal(38,0)")) % P).cast("long").as("ck"))
+      cks.groupBy(col("bucket"))
+        .agg(max(when(col("side") === 0, col("n"))).as("n_a"),
+          max(when(col("side") === 1, col("n"))).as("n_b"),
+          max(when(col("side") === 0, col("ck"))).as("ck_a"),
+          max(when(col("side") === 1, col("ck"))).as("ck_b"))
+        .filter(col("ck_a") =!= col("ck_b"))
+        .orderBy(col("bucket"))
     }
   )
 }

@@ -261,6 +261,23 @@ object Sessions {
     events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Hopping (sliding) event-time windows: per (key, window) counts and
+    * integer value sums over overlapping windows of `width` every
+    * `slide`. Each event lands in width/slide windows — state is bounded
+    * by open windows inside the watermark horizon, and a window is
+    * emitted (append mode) exactly once, when the watermark passes its
+    * end. The same call on a batch DataFrame computes the identical
+    * grouping — stream == batch is the spec's gate. The caller owns the
+    * watermark (runStream sets it), same contract as [[sessionWindows]]. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      width: String, slide: String): DataFrame =
+    events
+      .groupBy(col(keyCol), window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_v_c"))
+      .select(col(keyCol), col("w.start").as("w_start"), col("n_events"),
+        col("sum_v_c"))
+
   final case class LshEdge(b: Int, sig_key: String, doc1: Long, doc2: Long)
 
   /** Streaming MinHash-LSH near-dup candidate edges: documents stream in,

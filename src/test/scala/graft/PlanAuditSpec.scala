@@ -244,4 +244,41 @@ class PlanAuditSpec extends SparkSpec {
         s"$q has an unpartitioned window:\n$windows")
     }
   }
+
+  test("merge upsert plans as one keyed full-outer join, no cartesian") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), s"merge lost the full-outer shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-keyed join in merge plan:\n$p")
+  }
+
+  test("sparse cosine scores pairs through rare-term postings, never all-pairs") {
+    val p = plan("q_sparse_cosine_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan leaked into the cosine plan:\n$p")
+    // the df-capped vector table feeds an equi-join on the term column
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join on terms:\n$p")
+    // dot products aggregate with map-side combine
+    assert(p.contains("partial_sum"), s"dot aggregation lost map-side combine:\n$p")
+  }
+
+  test("bitmap distinct builds mergeable partials, not a distinct expansion") {
+    val p = plan("q_bitmap_distinct")
+    assert(p.contains("bitmap_construct_agg"), s"no bitmap aggregate:\n$p")
+    // stage-1 bitmaps aggregate with a map-side partial pass
+    assert(p.contains("partial_bitmap_construct_agg") || p.contains("partial_"),
+      s"bitmap build lost partial aggregation:\n$p")
+    // no expand-based distinct: the whole point is the mergeable form
+    assert(!p.contains("Expand"), s"fell back to expand distinct:\n$p")
+  }
+
+  test("winsorize quantiles come from the histogram, not a raw-row sort") {
+    val p = plan("q_winsorize")
+    // same invariant as q_robust_stats: positional pick over the
+    // aggregated value histogram — no row_number over raw rows, and the
+    // histogram aggregate keeps its map-side combine
+    assert(!p.contains("row_number"), s"raw-row rank sneaked in:\n$p")
+    assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
+  }
 }

@@ -363,6 +363,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size)
   }
 
+  test("sliding windows: streamed hop aggregates match batch on closed windows") {
+    val tmp = Files.createTempDirectory("graft-hop").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    Tables.events(spark, sf()).filter($"user_id" < 10)
+      .select($"event_type", $"ts", $"value")
+      .coalesce(1).write.parquet(inDir)
+
+    Sessions.runStream(spark, inDir, outDir, cp,
+      df => Sessions.slidingCounts(df, "ts", "event_type", "1 hour", "30 minutes"),
+      watermarkDelay = "0 seconds")
+
+    val streamed = spark.read.parquet(outDir)
+      .select($"event_type", $"w_start", $"n_events", $"sum_v_c")
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = Sessions.slidingCounts(spark.read.parquet(inDir), "ts",
+        "event_type", "1 hour", "30 minutes")
+      .select($"event_type", $"w_start", $"n_events", $"sum_v_c")
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+
+    // append mode holds windows still open at the final watermark: the
+    // streamed set is a subset of batch, covers every safely-closed
+    // window, and each event fans out into width/slide = 2 windows
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val maxTs = spark.read.parquet(inDir).agg(max($"ts")).as[java.sql.Timestamp].head()
+    val safe = batch.filter { case (_, start, _, _) =>
+      start.getTime < maxTs.getTime - 2L * 3600 * 1000 }
+    assert(safe.subsetOf(streamed))
+  }
+
   test("watermarked dedup emits each key once and matches the batch key set") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-wmdedup").toString
