@@ -217,6 +217,69 @@ object EventAnalytics {
         .orderBy(col("event_type"), col("week"))
     },
 
+    // Distribution-drift monitor: total-variation distance between
+    // consecutive weeks' event-type mixes — the alarm a training-data
+    // pipeline hangs on its source composition. TV = ½·Σ|p_i − q_i|
+    // computed from EXACT integer cross terms |n_i·M − m_i·N| (no
+    // per-row division), quantized once per week. The type×week spine
+    // fills absent types with 0 so a vanishing type registers as drift.
+    // Scale: everything runs over the #weeks × #types aggregate table,
+    // never raw events; windows partition by week or type.
+    QueryDef.sql(
+      "q_drift_weekly",
+      """WITH wk AS (
+        |  SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT w.week, t.event_type
+        |  FROM (SELECT DISTINCT week FROM wk) w
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM wk) t),
+        |f AS (
+        |  SELECT s.week, s.event_type, COALESCE(wk.n, 0) AS n
+        |  FROM spine s LEFT JOIN wk USING (week, event_type)),
+        |l AS (
+        |  SELECT week, event_type, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM f),
+        |d AS (
+        |  SELECT week, event_type, n, prev_n,
+        |    SUM(n) OVER (PARTITION BY week) AS n_cur,
+        |    SUM(prev_n) OVER (PARTITION BY week) AS n_prev
+        |  FROM l WHERE prev_n IS NOT NULL)
+        |SELECT week,
+        |  CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+        |  CAST(MAX(n_prev) AS BIGINT) AS n_prev,
+        |  CAST(SUM(ABS(n * n_prev - prev_n * n_cur)) AS BIGINT) AS s_abs,
+        |  CAST(FLOOR(SUM(ABS(n * n_prev - prev_n * n_cur))
+        |    * CAST(1000000.0 AS DOUBLE) / (2 * MAX(n_cur) * MAX(n_prev)))
+        |    AS BIGINT) AS tv_q6
+        |FROM d GROUP BY week ORDER BY week""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = wk.select(col("week")).distinct()
+        .crossJoin(broadcast(wk.select(col("event_type")).distinct()))
+      val f = spine.join(wk, Seq("week", "event_type"), "left")
+        .select(col("week"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      val l = f.withColumn("prev_n",
+          lag(col("n"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("week"))))
+        .filter(col("prev_n").isNotNull)
+      val wWeek = Window.partitionBy(col("week"))
+      val dd = l
+        .withColumn("n_cur", sum(col("n")).over(wWeek))
+        .withColumn("n_prev", sum(col("prev_n")).over(wWeek))
+      val sAbs = sum(abs(col("n") * col("n_prev") - col("prev_n") * col("n_cur")))
+      dd.groupBy(col("week"))
+        .agg(max(col("n_cur")).as("n_cur"), max(col("n_prev")).as("n_prev"),
+          sAbs.cast("long").as("s_abs"),
+          floor(sAbs * lit(1000000.0) / (lit(2) * max(col("n_cur")) * max(col("n_prev"))))
+            .cast("long").as("tv_q6"))
+        .orderBy(col("week"))
+    },
+
     // Rolling 7-day distinct active users. Sliding DISTINCT does not
     // decompose into window partials, so the scale formulation is the
     // CONTRIBUTION EXPANSION: reduce to one row per (day, user) first
