@@ -85,8 +85,13 @@ object Bench {
     // Also persist the full JSON to a repo file: the driver's stdout capture
     // window has truncated the one-line JSON two rounds running (BENCH_r05
     // parsed:null), which hides per-query regressions. File beats pipe.
+    // A BENCH_ONLY dev run must NOT masquerade as the full capture —
+    // unless the caller names an explicit out file, it stays stdout-only.
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+      val defaultOut =
+        if (only.isDefined) null else "bench_full_latest.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+      if (out != null)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

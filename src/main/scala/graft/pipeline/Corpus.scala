@@ -252,6 +252,10 @@ object Corpus {
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr, cos_q6
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // the union references scored twice; the shuffle ahead of the dot
+      // aggregation is reused across both branches (ReusedExchange —
+      // measured equal to an explicit persist, without pinning a pair
+      // table in executor memory at scale)
       val scored = sparseCosScored(s, d)
       val sym = scored.select(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("cos_q6"))
         .unionByName(scored.select(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("cos_q6")))
