@@ -78,32 +78,79 @@ object Corpus {
       |  JOIN norms n1 ON n1.doc_id = d.doc1
       |  JOIN norms n2 ON n2.doc_id = d.doc2)""".stripMargin
 
-  /** Spark side of [[sparseCosSql]]: all scored pairs (doc1 < doc2). */
+  /** Spark side of [[sparseCosSql]]: all scored pairs (doc1 < doc2).
+    *
+    * Scale shape (the q_edit_distance lesson, re-applied): duplicate-heavy
+    * corpora make doc-pair counts quadratic in the clone factor while the
+    * DISTINCT-text count stays flat — so the postings join runs between
+    * distinct-text REPRESENTATIVES only, and verdicts expand back through
+    * the doc↔rep map. Identical-text pairs never enter the join at all:
+    * within a clone set cosine is self-cosine by definition (dot = ‖v‖²),
+    * emitted directly. df keeps NAIVE semantics (clone multiplicity
+    * counts) by weighting each rep's postings with its copy count. The
+    * oracle keeps the naive per-doc SQL — same result through a different
+    * computation is exactly what the differential pins. Measured at the
+    * 32× rehearsal: 50 s naive → rep-collapsed runs on 1/32 of the
+    * vector data with zero clone-pair join fanout.
+    */
   private def sparseCosScored(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // distinct-text representatives and the doc→rep map (keyed by the
+    // actual text, not a hash: a hash collision would silently merge
+    // different vectors)
+    val reps = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val m = docs.join(reps, Seq("text")).select(col("doc_id"), col("rep"))
+    val repDocs = reps.select(col("rep"), col("text"), col("n_copies"))
+
+    val toks = repDocs
+      .select(col("rep"),
+        regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"),
+        col("n_copies"))
       .filter(size(col("tk")) >= 5)
-    val g = toks.select(col("doc_id"),
+    val g = toks.select(col("rep"), col("n_copies"),
       explode(transform(sequence(lit(1), size(col("tk")) - 4),
         i => concat_ws(" ", slice(col("tk"), i, lit(5))))).as("t"))
-    val tf = g.groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tf = g.groupBy(col("rep"), col("t"))
+      .agg(count(lit(1)).as("tf"), max(col("n_copies")).as("n_copies"))
+    // df = number of DOCS containing t (naive semantics): clone-weighted
+    val dfreq = tf.groupBy(col("t")).agg(sum(col("n_copies")).as("df"))
     val cap = Tables.documents(s, d)
       .agg(greatest(lit(20L), expr("count(*) div 25")).as("df_cap"))
     val rare = dfreq.crossJoin(broadcast(cap)) // 1-row cap — never a driver action
       .filter(col("df").between(lit(2), col("df_cap"))).select(col("t"))
-    val vec = tf.join(rare, Seq("t"))
-    val norms = vec.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("nsq"))
-    val dots = vec.as("a")
+    val vec = tf.select(col("rep"), col("t"), col("tf")).join(rare, Seq("t"))
+    val norms = vec.groupBy(col("rep")).agg(sum(col("tf") * col("tf")).as("nsq"))
+
+    // rep-level dots: postings join over DISTINCT vectors only
+    val dotsRep = vec.as("a")
       .join(vec.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        col("a.t") === col("b.t") && col("a.rep") < col("b.rep"))
+      .groupBy(col("a.rep").as("rep1"), col("b.rep").as("rep2"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("doc1"), col("nsq").as("n1")), Seq("doc1"))
-      .join(norms.select(col("doc_id").as("doc2"), col("nsq").as("n2")), Seq("doc2"))
+    val scoredRep = dotsRep
+      .join(norms.select(col("rep").as("rep1"), col("nsq").as("n1")), Seq("rep1"))
+      .join(norms.select(col("rep").as("rep2"), col("nsq").as("n2")), Seq("rep2"))
+
+    // expand cross-rep verdicts through the doc sets of both reps
+    val cross = scoredRep
+      .join(m.select(col("rep").as("rep1"), col("doc_id").as("da")), Seq("rep1"))
+      .join(m.select(col("rep").as("rep2"), col("doc_id").as("db")), Seq("rep2"))
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"),
+        col("dot"), col("n1"), col("n2"))
+    // identical-text pairs: dot = ‖v‖² by definition, no join needed
+    // (reps whose rare vector is empty have no norms row and, like the
+    // naive plan, produce no pair)
+    val within = m.as("x")
+      .join(m.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(norms.select(col("rep").as("nrep"), col("nsq")),
+        col("x.rep") === col("nrep"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        col("nsq").as("dot"), col("nsq").as("n1"), col("nsq").as("n2"))
+
+    cross.unionByName(within)
       .select(col("doc1"), col("doc2"), col("dot"),
         floor(col("dot") * lit(1000000.0)
           / sqrt((col("n1") * col("n2")).cast("double"))).cast("long").as("cos_q6"))

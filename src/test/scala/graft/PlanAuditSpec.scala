@@ -255,12 +255,15 @@ class PlanAuditSpec extends SparkSpec {
   test("sparse cosine scores pairs through rare-term postings, never all-pairs") {
     val p = plan("q_sparse_cosine_topk")
     // the only nested-loop joins allowed are copies of the 1-row df-cap
-    // broadcast, one per re-evaluation of the vec subtree (vec a, vec b,
-    // and the two norms join-backs); a data-sized nested loop would be
-    // the all-pairs leak this test exists to catch
+    // broadcast (a plain Cross with a single-row build side), one per
+    // re-evaluation of the vec subtree; a DATA-pair nested loop — the
+    // all-pairs leak this test exists to catch — would carry a join
+    // condition and plan as an Inner/LeftOuter BNLJ instead
     assert(!p.contains("CartesianProduct"), s"cartesian in cosine plan:\n$p")
-    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 4,
-      s"all-pairs scan leaked into the cosine plan:\n$p")
+    val bnlj = countOccurrences(p, "BroadcastNestedLoopJoin")
+    val capCross = countOccurrences(p, "BroadcastNestedLoopJoin BuildRight, Cross")
+    assert(bnlj == capCross,
+      s"non-cap nested-loop join leaked into the cosine plan:\n$p")
     // the df-capped vector table feeds an equi-join on the term column
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"no equi join on terms:\n$p")
