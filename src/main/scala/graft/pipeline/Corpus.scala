@@ -191,7 +191,11 @@ object Corpus {
         |JOIN sizes sa ON sa.source = c.src_a
         |JOIN sizes sb ON sb.source = c.src_b
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      // identical texts within a source add no distinct grams — collapse
+      // BEFORE tokenizing, so duplicate-heavy sources shingle each text
+      // once (the rep-collapse lesson, applied pre-explode)
       val toks = Tables.documents(s, d)
+        .select(col("source"), col("text")).distinct()
         .select(col("source"),
           regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
         .filter(size(col("tk")) >= 8)
