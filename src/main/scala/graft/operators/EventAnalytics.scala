@@ -313,6 +313,76 @@ object EventAnalytics {
         .groupBy(col("tday").as("day"))
         .agg(countDistinct(col("user_id")).as("dau7"))
         .orderBy(col("day"))
+    },
+
+    // Cumulative customer growth: distinct customers ever seen, by first
+    // order month. The scale form: one combiner-backed MIN per customer
+    // (first-seen month), one count per month, then a running sum over
+    // the TINY month table — a cumulative COUNT(DISTINCT) window over
+    // raw orders would re-shuffle the fact table per month instead.
+    QueryDef.sql(
+      "q_cumulative_users",
+      """WITH fs AS (
+        |  SELECT o_custkey,
+        |    CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS first_month
+        |  FROM orders GROUP BY o_custkey),
+        |mo AS (
+        |  SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY first_month)
+        |SELECT month, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+        |FROM mo ORDER BY month""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fs = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(date_trunc("month", min(col("o_orderdate"))).cast("date").as("first_month"))
+      val mo = fs.groupBy(col("first_month").as("month"))
+        .agg(count(lit(1)).as("n_new"))
+      // global window over the month table only (#months rows —
+      // documented bounded-global-window exception)
+      mo.withColumn("n_cumulative",
+          sum(col("n_new")).over(Window.orderBy(col("month"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("month"))
+    },
+
+    // RFM segmentation: per-user Recency (days since last event, against
+    // the corpus max timestamp), Frequency (events), Monetary (purchase
+    // cents) — then the coarse 2×2×2 segment label a lifecycle pipeline
+    // acts on. One combiner-backed pass over events plus a broadcast
+    // 1-row anchor; banding thresholds are exact integers.
+    QueryDef.sql(
+      "q_rfm_segments",
+      """WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+        |rfm AS (
+        |  SELECT user_id,
+        |    CAST((EPOCH_US(a.mx) - EPOCH_US(MAX(e.ts))) // 86400000000 AS BIGINT) AS recency_d,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase'
+        |      THEN CAST(FLOOR(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_c
+        |  FROM events e CROSS JOIN anchor a
+        |  GROUP BY user_id, a.mx)
+        |SELECT user_id, recency_d, frequency, monetary_c,
+        |  (CASE WHEN recency_d <= 7 THEN 'R1' ELSE 'R0' END ||
+        |   CASE WHEN frequency >= 20 THEN 'F1' ELSE 'F0' END ||
+        |   CASE WHEN monetary_c >= 50000 THEN 'M1' ELSE 'M0' END) AS segment
+        |FROM rfm ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(anchor)) // 1-row corpus anchor — never a driver action
+        .groupBy(col("user_id"), col("mx"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L)).as("monetary_c"))
+        .select(col("user_id"),
+          expr("(unix_micros(mx) - unix_micros(last_ts)) div 86400000000")
+            .as("recency_d"),
+          col("frequency"), col("monetary_c"),
+          concat(when(expr("(unix_micros(mx) - unix_micros(last_ts)) div 86400000000") <= 7,
+              "R1").otherwise("R0"),
+            when(col("frequency") >= 20, "F1").otherwise("F0"),
+            when(col("monetary_c") >= 50000, "M1").otherwise("M0")).as("segment"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -862,11 +862,36 @@ object TextPipeline {
          |  CAST(COUNT(DISTINCT g) AS BIGINT) AS fp_ndistinct,
          |  CAST(SUM(hm) % $P AS BIGINT) AS fp_sum
          |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      grams(s, d).groupBy(col("doc_id")).agg(
+      // the fingerprint is a pure function of the normalized text, so the
+      // gram explode (5× corpus bytes) runs once per DISTINCT text — on
+      // duplicate-heavy data the hot path shrinks by the clone factor
+      // (the rep-collapse pattern; oracle keeps the naive per-doc SQL).
+      // Long text strings make bad shuffle keys, so the text shuffles
+      // exactly ONCE: one groupBy(text) whose map-side combine collapses
+      // clones before the wire, carrying the doc-id list (bounded by the
+      // clone factor) so no second text-keyed join is ever needed. The
+      // gram aggregation and the fan-back-out join both key on the
+      // COMPACT 8-byte rep id.
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .filter(length(col("t")) >= 5)
+      val reps = m.groupBy(col("t"))
+        .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+        .persist()
+      val fps = reps.select(col("rep"), col("t"))
+        .select(col("rep"), explode(sequence(lit(1), length(col("t")) - 4)).as("i"),
+          col("t"))
+        .select(col("rep"), substring(col("t"), col("i"), lit(5)).as("g"))
+        .withColumn("hm", graft.functions.GramHash.gramHash5(col("g")))
+        .groupBy(col("rep")).agg(
           min(col("hm")).as("fp_min"),
           max(col("hm")).as("fp_max"),
           countDistinct(col("g")).as("fp_ndistinct"),
           (sum(col("hm")) % P).as("fp_sum"))
+      reps.select(col("rep"), explode(col("ids")).as("doc_id"))
+        .join(fps, Seq("rep"))
+        .select(col("doc_id"), col("fp_min"), col("fp_max"),
+          col("fp_ndistinct"), col("fp_sum"))
         .orderBy(col("doc_id"))
     },
 
