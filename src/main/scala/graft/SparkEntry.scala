@@ -25,6 +25,7 @@ object SparkEntry {
       operators.EventAnalytics.queries ++
       operators.Quality.queries ++
       operators.Cdc.queries ++
+      operators.Stats.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++

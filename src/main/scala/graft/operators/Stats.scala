@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / ML-feature operators a training-data pipeline layers on
+  * top of the reference's aggregation surface (summary_stats shape,
+  * `build_frame_db.py:233-270`): exact Pearson correlation + OLS trend,
+  * a two-proportion A/B z-test, per-key lag/rolling feature generation,
+  * and an hour-of-week seasonality profile.
+  *
+  * Determinism: every statistic is derived from exact BIGINT sums
+  * (n, Σx, Σy, Σxy, Σx², Σy²) reduced by a combiner-backed groupBy, and
+  * the final floating step is an IDENTICAL IEEE expression tree in both
+  * engines (`* CAST(1.0 AS DOUBLE)` — never a DECIMAL literal, see the
+  * FLOOR-boundary trap in the round-7 rehearsal notes), floor-quantized
+  * to 1e-6 before comparison.
+  *
+  * Scale posture: correlation/OLS first reduces the fact stream to a
+  * BOUNDED daily grid (days × event types — time-bounded, not
+  * data-bounded), so the moment sums stay < 2^63 at any row count and
+  * the quadratic terms never see raw rows. Lag features use per-user
+  * partitioned windows (never a global sort); the seasonality profile is
+  * one map-side-combined groupBy over 168 hour-of-week cells.
+  */
+object Stats {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Exact Pearson r + OLS slope of (daily event count) vs (daily value
+    // sum, unit-quantized) per event type. The daily rollup bounds the
+    // moment magnitudes: at 32 x sf0.1 the largest term n*Sxy is ~1e16,
+    // within exact BIGINT range; only the final ratio is floating.
+    QueryDef.sql(
+      "q_daily_corr_ols",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |    / (SQRT((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))
+        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT) AS corr_q6,
+        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |    / ((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))) AS BIGINT) AS slope_q6
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor(col("value")).cast("long")).as("y"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0)
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0)
+      m.select(col("event_type"), col("n"),
+          floor(cov * lit(1000000.0) / (sqrt(vx) * sqrt(vy))).cast("long").as("corr_q6"),
+          floor(cov * lit(1000000.0) / vx).cast("long").as("slope_q6"))
+        .orderBy(col("event_type"))
+    },
+
+    // Two-proportion z-test (A/B experiment readout): cohorts split by
+    // user_id parity, conversion = user made >= 1 high-value purchase
+    // (value >= 200 — rare enough that neither cohort saturates, which
+    // would zero the pooled standard error). The count reduction is
+    // user-keyed; the z statistic is one shared IEEE expression over
+    // four small integers.
+    QueryDef.sql(
+      "q_abtest_z",
+      """WITH u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS cohort,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS k
+        |  FROM u GROUP BY cohort),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN cohort = 0 THEN k END) AS k0,
+        |    MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN cohort = 1 THEN k END) AS k1
+        |  FROM c)
+        |SELECT n0, k0, n1, k1,
+        |  CAST(FLOOR(
+        |    (k0 * CAST(1.0 AS DOUBLE) / n0 - k1 * CAST(1.0 AS DOUBLE) / n1)
+        |    / SQRT(((k0 + k1) * CAST(1.0 AS DOUBLE) / (n0 + n1))
+        |           * (1.0 - (k0 + k1) * CAST(1.0 AS DOUBLE) / (n0 + n1))
+        |           * (1.0 / n0 + 1.0 / n1)) * 1000000.0) AS BIGINT) AS z_q6
+        |FROM w""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 200, 1)
+          .otherwise(0)).as("conv"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2)).cast("long"))
+      val c = u.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      val w = c.agg(
+        max(when(col("cohort") === 0, col("n"))).as("n0"),
+        max(when(col("cohort") === 0, col("k"))).as("k0"),
+        max(when(col("cohort") === 1, col("n"))).as("n1"),
+        max(when(col("cohort") === 1, col("k"))).as("k1"))
+      val p0 = col("k0") * lit(1.0) / col("n0")
+      val p1 = col("k1") * lit(1.0) / col("n1")
+      val pp = (col("k0") + col("k1")) * lit(1.0) / (col("n0") + col("n1"))
+      val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      w.select(col("n0"), col("k0"), col("n1"), col("k1"),
+        floor((p0 - p1) / se * lit(1000000.0)).cast("long").as("z_q6"))
+    },
+
+    // Per-user lag / delta / rolling-3 features (supervised-learning
+    // feature generation): every window partitions by user, so the sort
+    // is key-local and scales with executor count.
+    QueryDef.sql(
+      "q_lag_features",
+      """WITH v AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS tus,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS v_q2
+        |  FROM events)
+        |SELECT user_id, event_id, v_q2,
+        |  LAG(v_q2, 1) OVER w AS lag1_q2,
+        |  LAG(v_q2, 2) OVER w AS lag2_q2,
+        |  CAST(tus - LAG(tus, 1) OVER w AS BIGINT) AS dt_us,
+        |  CAST(FLOOR(SUM(v_q2) OVER w3 * CAST(1.0 AS DOUBLE)
+        |             / COUNT(*) OVER w3) AS BIGINT) AS mean3_q2
+        |FROM v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id),
+        |       w3 AS (PARTITION BY user_id ORDER BY tus, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * 100).cast("long").as("v_q2"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      v.select(col("user_id"), col("event_id"), col("v_q2"),
+          lag(col("v_q2"), 1).over(w).as("lag1_q2"),
+          lag(col("v_q2"), 2).over(w).as("lag2_q2"),
+          (col("tus") - lag(col("tus"), 1).over(w)).cast("long").as("dt_us"),
+          floor(sum(col("v_q2")).over(w3) * lit(1.0)
+            / count(lit(1)).over(w3)).cast("long").as("mean3_q2"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(2000)
+    },
+
+    // Hour-of-week seasonality profile: activity share (ppm of the event
+    // type's total) per ISO weekday x hour cell. One combiner-backed
+    // groupBy to <= 168 cells per type; the share join is broadcast.
+    QueryDef.sql(
+      "q_seasonality_profile",
+      """WITH cell AS (
+        |  SELECT event_type,
+        |    CAST(ISODOW(ts) AS BIGINT) AS dow,
+        |    CAST(HOUR(ts) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+        |        FROM cell GROUP BY event_type)
+        |SELECT c.event_type, c.dow, c.hr, c.n,
+        |  CAST(FLOOR(c.n * CAST(1000000.0 AS DOUBLE) / t.total) AS BIGINT) AS share_q6
+        |FROM cell c JOIN tot t USING (event_type)
+        |ORDER BY c.event_type, c.dow, c.hr""".stripMargin) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (weekday(col("ts")) + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+      cell.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("hr"), col("n"),
+          floor(col("n") * lit(1000000.0) / col("total")).cast("long").as("share_q6"))
+        .orderBy(col("event_type"), col("dow"), col("hr"))
+    }
+  )
+}
