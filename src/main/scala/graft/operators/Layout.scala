@@ -137,6 +137,77 @@ object Layout {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("v_c") * col("w")).as("weighted_sum"))
         .orderBy(col("event_type"))
+    },
+
+    // Z-order clustering readout: rows land in Morton tiles (the key
+    // `spatialCluster` range-partitions files by); per tile, total rows
+    // vs rows matching a 2-D query box. A multi-dim predicate touches
+    // only the tiles whose n_match > 0 — the measurable pruning win of
+    // Z-layout over either single-column sort. The oracle recomputes the
+    // interleave with pure integer arithmetic ((x div 2^j) mod 2 terms),
+    // which equals the Spark side's shiftright/bitwiseAND for the
+    // non-negative coordinates used here.
+    QueryDef.sql(
+      "q_zorder_tiles", {
+        val zSql = (0 until 8).map { j =>
+          s"((x // ${1L << j}) % 2) * ${1L << (2 * j)} + ((y // ${1L << j}) % 2) * ${1L << (2 * j + 1)}"
+        }.mkString(" + ")
+        s"""WITH c AS (
+           |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+           |z AS (SELECT x, y, CAST($zSql AS BIGINT) AS zk FROM c)
+           |SELECT CAST(zk // 1024 AS BIGINT) AS tile,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN x < 64 AND y < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |FROM z GROUP BY 1 ORDER BY tile""".stripMargin
+      }) { (s, d) =>
+      val c = Tables.lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(256)).as("x"),
+        pmod(col("l_suppkey"), lit(256)).as("y"))
+      c.withColumn("zk", zOrderKey(col("x"), col("y"), bits = 8))
+        .groupBy((col("zk") / 1024).cast("long").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < 64 && col("y") < 64, 1).otherwise(0)).as("n_match"))
+        .orderBy(col("tile"))
+    },
+
+    // Zone-map (min/max statistics) pruning planner: bucket the fact
+    // table into key-ranged "files", compute each file's shipdate zone
+    // map, and classify every file against a date predicate as
+    // pruned / full / partial — exactly the decision a parquet reader
+    // makes from row-group stats, surfaced as a queryable plan. The
+    // groupBy is combiner-backed (one row per file), so the planner
+    // itself costs one scan regardless of file count.
+    QueryDef.sql(
+      "q_zonemap_prune",
+      """WITH f AS (
+        |  SELECT l_orderkey // 256 AS file_id,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM lineitem),
+        |zm AS (
+        |  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(MIN(d) AS BIGINT) AS min_d, CAST(MAX(d) AS BIGINT) AS max_d
+        |  FROM f GROUP BY file_id),
+        |lo AS (SELECT CAST(DATE '1998-01-01' - DATE '1970-01-01' AS BIGINT) AS lo,
+        |              CAST(DATE '1998-12-31' - DATE '1970-01-01' AS BIGINT) AS hi)
+        |SELECT CAST(file_id AS BIGINT) AS file_id, n_rows, min_d, max_d,
+        |  CASE WHEN max_d < lo OR min_d > hi THEN 'pruned'
+        |       WHEN min_d >= lo AND max_d <= hi THEN 'full'
+        |       ELSE 'partial' END AS verdict
+        |FROM zm CROSS JOIN lo ORDER BY file_id""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d).select(
+        (col("l_orderkey") / 256).cast("long").as("file_id"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      val zm = f.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("d")).cast("long").as("min_d"), max(col("d")).cast("long").as("max_d"))
+      val lo = datediff(lit("1998-01-01").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+      val hi = datediff(lit("1998-12-31").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+      zm.select(col("file_id"), col("n_rows"), col("min_d"), col("max_d"),
+          when(col("max_d") < lo || col("min_d") > hi, "pruned")
+            .when(col("min_d") >= lo && col("max_d") <= hi, "full")
+            .otherwise("partial").as("verdict"))
+        .orderBy(col("file_id"))
     }
   )
 }
