@@ -34,6 +34,7 @@ object SparkEntry {
       pipeline.Embeddings.queries ++
       pipeline.Packing.queries ++
       pipeline.Corpus.queries ++
+      pipeline.Lexical.queries ++
       pipeline.Clustering.queries ++
       pipeline.Sketches.queries ++
       pipeline.Graphs.queries ++

@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical statistics for corpus curation: PMI collocations, within-doc
+  * repetition (the Gopher "repeated n-gram fraction" signal family), and
+  * vocabulary coverage against a frequency-ranked token list.
+  *
+  * Shares the Corpus tokenizer (`[a-z0-9]+` over lowercased text) so both
+  * engines split identically. All counts are exact BIGINTs reduced by
+  * combiner-backed groupBys over the exploded token stream; the only
+  * floating step per query is one shared IEEE ratio, floor-quantized.
+  *
+  * Scale posture: every aggregate is keyed by token / bigram / doc —
+  * never a global window over raw tokens. The bigram↔unigram marginal
+  * join is keyed by word (shuffle join on the bounded vocabulary, NOT
+  * broadcast: a 100 TB corpus's unigram table is dictionary-sized but
+  * not provably driver-sized). Vocabulary coverage broadcasts only the
+  * fixed top-k list (k rows by construction).
+  */
+object Lexical {
+
+  private val tokPat = "[a-z0-9]+"
+
+  /** (doc_id, tk ARRAY<string>) token arrays — shared splitter. */
+  private def tokArr(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+
+  /** (doc_id, t) exploded token stream. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    tokArr(s, d).select(col("doc_id"), explode(col("tk")).as("t"))
+
+  private val toksSql =
+    """tok AS (
+      |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+      |  FROM documents)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // PMI collocation mining: score(x,y) ∝ P(x,y)/(P(x)P(y)) over
+    // adjacent-token bigrams, computed as one IEEE ratio of exact BIGINT
+    // counts shared by both engines. Top-100 by quantized score. The
+    // c_xy >= 5 support floor keeps the ranked set stable and the
+    // numerator counts meaningful.
+    QueryDef.sql(
+      "q_pmi_bigrams",
+      """WITH tk AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+        |  WHERE LEN(tk) >= 2),
+        |uni AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |    FROM documents) GROUP BY t),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM bg),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_u FROM uni),
+        |pair AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |scored AS (
+        |  SELECT p.w1, p.w2, p.c_xy,
+        |    CAST(FLOOR(p.c_xy * CAST(1.0 AS DOUBLE) * n_u * n_u * 1000000.0
+        |      / (u1.c * CAST(1.0 AS DOUBLE) * u2.c * n_b)) AS BIGINT) AS pmi_q6
+        |  FROM pair p
+        |  JOIN uni u1 ON u1.t = p.w1
+        |  JOIN uni u2 ON u2.t = p.w2
+        |  CROSS JOIN nb CROSS JOIN nu),
+        |ranked AS (
+        |  SELECT w1, w2, c_xy, pmi_q6,
+        |    ROW_NUMBER() OVER (ORDER BY pmi_q6 DESC, w1, w2) AS rk
+        |  FROM scored)
+        |SELECT CAST(rk AS BIGINT) AS rk, w1, w2, c_xy, pmi_q6
+        |FROM ranked WHERE rk <= 100 ORDER BY rk""".stripMargin) { (s, d) =>
+      val tk = tokArr(s, d).filter(size(col("tk")) >= 2)
+      val bg = tk.select(explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+        .select(element_at(col("tk"), col("i")).as("w1"),
+          element_at(col("tk"), col("i") + 1).as("w2"))
+      val uni = toks(s, d).groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val nB = bg.agg(count(lit(1)).as("n_b"))
+      val nU = uni.agg(sum(col("c")).as("n_u"))
+      val scored = pair
+        .join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+        .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
+        .crossJoin(broadcast(nB)).crossJoin(broadcast(nU))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          floor(col("c_xy") * lit(1.0) * col("n_u") * col("n_u") * lit(1000000.0)
+            / (col("c1") * lit(1.0) * col("c2") * col("n_b"))).cast("long").as("pmi_q6"))
+      // top-100 via TakeOrdered first; the ranking window then runs over
+      // 100 rows, never the full scored-pair set
+      val top = scored.orderBy(col("pmi_q6").desc, col("w1"), col("w2")).limit(100)
+      val w = Window.orderBy(col("pmi_q6").desc, col("w1"), col("w2"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("w1"), col("w2"), col("c_xy"), col("pmi_q6"))
+        .orderBy(col("rk"))
+    },
+
+    // Within-doc repetition: share (ppm) of the doc's word trigrams
+    // claimed by its single most repeated trigram — the Gopher-style
+    // "fraction of characters in the most common n-gram" dup signal.
+    // Keyed entirely by doc: the trigram histogram reduces per
+    // (doc, trigram), then per doc. keep = repetition below 20%.
+    QueryDef.sql(
+      "q_repetition_ratio",
+      """WITH tk AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]
+        |      || ' ' || tk[CAST(i AS INTEGER) + 2] AS g
+        |  FROM tk, UNNEST(RANGE(1, LEN(tk) - 1)) AS u(i)
+        |  WHERE LEN(tk) >= 3),
+        |h AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |    CAST(MAX(c) AS BIGINT) AS max_c
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_tri, max_c,
+        |  CAST(FLOOR(max_c * CAST(1000000.0 AS DOUBLE) / n_tri) AS BIGINT) AS rep_q6,
+        |  CAST(FLOOR(max_c * CAST(1000000.0 AS DOUBLE) / n_tri) < 200000 AS BOOLEAN) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = tokArr(s, d).filter(size(col("tk")) >= 3)
+      val tri = tk.select(col("doc_id"),
+          explode(sequence(lit(1), size(col("tk")) - 2)).as("i"), col("tk"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("tk"), col("i")),
+            element_at(col("tk"), col("i") + 1),
+            element_at(col("tk"), col("i") + 2)).as("g"))
+      val h = tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val agg = h.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tri"), max(col("c")).as("max_c"))
+      val rep = floor(col("max_c") * lit(1000000.0) / col("n_tri")).cast("long")
+      agg.select(col("doc_id"), col("n_tri"), col("max_c"),
+          rep.as("rep_q6"), (rep < 200000).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary coverage: per doc, the ppm of token occurrences covered
+    // by the corpus top-500 frequency vocabulary (tokenizer-economics
+    // readout: what OOV rate would a k-word vocab give?). The vocab is
+    // fixed-size by construction → broadcast; the per-doc token
+    // histogram reduces before the join so the probe side is (doc,
+    // distinct token), not raw tokens.
+    QueryDef.sql(
+      "q_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |freq AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf FROM dt GROUP BY t),
+        |vocab AS (
+        |  SELECT t FROM freq ORDER BY cf DESC, t LIMIT 500),
+        |cov AS (
+        |  SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tok,
+        |    CAST(SUM(CASE WHEN v.t IS NOT NULL THEN dt.c ELSE 0 END) AS BIGINT) AS n_in
+        |  FROM dt LEFT JOIN vocab v ON v.t = dt.t
+        |  GROUP BY dt.doc_id)
+        |SELECT doc_id, n_tok, n_in,
+        |  CAST(FLOOR(n_in * CAST(1000000.0 AS DOUBLE) / n_tok) AS BIGINT) AS cov_q6
+        |FROM cov ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dt = toks(s, d).groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val freq = dt.groupBy(col("t")).agg(sum(col("c")).as("cf"))
+      // top-k via orderBy+limit (TakeOrdered — a distributed heap, never
+      // a single-reducer global window over the full vocabulary)
+      val vocab = freq.orderBy(col("cf").desc, col("t")).limit(500).select(col("t"))
+      val cov = dt.join(broadcast(vocab.withColumn("inv", lit(1))), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(when(col("inv").isNotNull, col("c")).otherwise(0L)).as("n_in"))
+      cov.select(col("doc_id"), col("n_tok"), col("n_in"),
+          floor(col("n_in") * lit(1000000.0) / col("n_tok")).cast("long").as("cov_q6"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
