@@ -167,6 +167,53 @@ object Graphs {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // Bipartite projection (user x item -> item-item co-occurrence with
+    // Jaccard): the standard collaborative-filtering / co-view graph
+    // build. The per-user self-join's fanout is bounded by each user's
+    // DISTINCT item degree (itself capped by the item vocabulary), never
+    // by raw event count — the projection reduces to one combiner-backed
+    // groupBy over (i, j) cells, at most |vocab|^2 of them at any data
+    // size. Degree marginals join back per cell.
+    QueryDef.sql(
+      "q_bipartite_cooccur",
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        |  FROM events),
+        |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
+        |pair AS (
+        |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING COUNT(*) >= 5)
+        |SELECT p.i, p.j, p.n_both, da.d AS d_i, db.d AS d_j,
+        |  CAST(FLOOR(p.n_both * CAST(1000000.0 AS DOUBLE)
+        |             / (da.d + db.d - p.n_both)) AS BIGINT) AS jac_q6
+        |FROM pair p
+        |JOIN deg da ON da.item = p.i
+        |JOIN deg db ON db.item = p.j
+        |ORDER BY p.i, p.j""".stripMargin) { (s, d) =>
+      val ui = graft.Tables.events(s, d)
+        .select(col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("item"))
+        .distinct()
+      val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("d"))
+      val pair = ui.as("a")
+        .join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+      pair
+        .join(deg.select(col("item").as("i"), col("d").as("d_i")), Seq("i"))
+        .join(deg.select(col("item").as("j"), col("d").as("d_j")), Seq("j"))
+        .select(col("i"), col("j"), col("n_both"), col("d_i"), col("d_j"),
+          floor(col("n_both") * lit(1000000.0)
+            / (col("d_i") + col("d_j") - col("n_both"))).cast("long").as("jac_q6"))
+        .orderBy(col("i"), col("j"))
+    },
+
     // 3 unrolled power-iteration rounds; top 20 authorities
     QueryDef.sql(
       "q_pagerank",
