@@ -315,6 +315,43 @@ object Sessions {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class FunnelStage(stage: Int, tsPrev: Long)
+  final case class FunnelHit(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Stateful streaming funnel progression (the streaming form of
+    * q_funnel's min-ts chain): per user, stage k+1 is reached by the
+    * first stages(k+1) event STRICTLY after the stage-k timestamp. A
+    * micro-batch's rows are processed in event-time order, so a single
+    * availableNow drop (or any time-ordered file sequence) reproduces
+    * the batch chain t0 = min(view), t1 = min(click > t0),
+    * t2 = min(purchase > t1) exactly — greedy over the sorted stream IS
+    * that chain. Across out-of-order micro-batches, stage advancement
+    * is monotone (append mode cannot retract a reached stage), the
+    * inherent streaming contract. State per user is one (stage, ts)
+    * pair — O(users), independent of event volume. */
+  def funnelStream(ds: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelHit] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelStage, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelStage]) =>
+          var st = state.getOption.getOrElse(FunnelStage(0, Long.MinValue))
+          val hits = Seq.newBuilder[FunnelHit]
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+              (st.stage == 0 || e.ts_us > st.tsPrev)) {
+              st = FunnelStage(st.stage + 1, e.ts_us)
+              hits += FunnelHit(user, st.stage, e.ts_us)
+            }
+          }
+          state.update(st)
+          hits.result().iterator
+      }
+  }
+
   final case class Acq(key: Long, ts: Timestamp)
   final case class BatchState(count: Long, batchId: Int)
   final case class Labeled(key: Long, ts: Timestamp, batchId: Int, label: String)

@@ -421,4 +421,49 @@ class StreamingSpec extends SparkSpec {
     // exactly one survivor per key — no duplicate ever crosses the sink
     assert(streamed.length == batchKeys.size)
   }
+
+  test("streaming funnel progression equals the batch min-ts chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-funnel").toString
+    val inDir = s"$tmp/in"
+    val ev = Tables.events(spark, sf()).filter($"user_id" < 40)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type")
+    // two time-ordered micro-batches (early file, then late file): the
+    // in-order arrival the operator's stream==batch contract requires —
+    // stage chains spanning the batch boundary exercise the carried state
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    ev.filter($"ts_us" <= mid).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    ev.filter($"ts_us" > mid).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir).as[Sessions.FunnelEvent]
+    val q = Sessions.funnelStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_hits").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_hits")
+      .select($"user_id", $"stage", $"ts_us").as[(Long, Int, Long)].collect().toSet
+
+    // batch chain: t0 = min(view), t1 = min(click > t0), t2 = min(purchase > t1)
+    val v = ev.filter($"event_type" === "view").groupBy($"user_id")
+      .agg(min($"ts_us").as("t0"))
+    val c = ev.filter($"event_type" === "click").as("e")
+      .join(v.as("v"), $"e.user_id" === $"v.user_id" && $"e.ts_us" > $"t0")
+      .groupBy($"e.user_id").agg(min($"e.ts_us").as("t1"))
+    val p = ev.filter($"event_type" === "purchase").as("e")
+      .join(c.as("c"), $"e.user_id" === $"c.user_id" && $"e.ts_us" > $"t1")
+      .groupBy($"e.user_id").agg(min($"e.ts_us").as("t2"))
+    val batch =
+      v.select($"user_id", lit(1).as("stage"), $"t0".as("ts_us")).union(
+        c.select($"user_id", lit(2).as("stage"), $"t1".as("ts_us"))).union(
+        p.select($"user_id", lit(3).as("stage"), $"t2".as("ts_us")))
+        .as[(Long, Int, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // completions exist and every stage-3 user also holds stages 1 and 2
+    val done = streamed.filter(_._2 == 3).map(_._1)
+    assert(done.nonEmpty && done.forall(u =>
+      streamed.exists(h => h._1 == u && h._2 == 1) &&
+        streamed.exists(h => h._1 == u && h._2 == 2)))
+  }
 }
