@@ -661,6 +661,86 @@ object Analytics {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"),
           max(col("total_chars")).as("total_chars"))
         .orderBy(col("source"))
+    },
+
+    // CUSUM change-point statistic over the daily event-count series per
+    // type. The recursion S_t = max(0, S_{t-1} + x_t - k) has the closed
+    // form S_t = cum_t - min(cum_0..cum_t) over cumulative (x - k) — two
+    // type-partitioned windows over the BOUNDED daily grid (days x
+    // types), all integer: k is the per-type floor-mean daily count, so
+    // no engine ever compares doubles. alarm = S above 3x the mean's
+    // square root would need a float; instead the flag is the exact
+    // integer test S * 10 >= k * 3 (30% sustained drift).
+    QueryDef.sql(
+      "q_cusum_days",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(SUM(n) * CAST(1.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS k
+        |  FROM daily GROUP BY event_type),
+        |c AS (
+        |  SELECT d.event_type, d.day, d.n,
+        |    SUM(d.n - m.k) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cum,
+        |    m.k
+        |  FROM daily d JOIN m USING (event_type)),
+        |s AS (
+        |  SELECT event_type, day, n, k,
+        |    CAST(cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS s_pos
+        |  FROM c)
+        |SELECT event_type, day, n, s_pos,
+        |  CAST(s_pos * 10 >= k * 3 AS BOOLEAN) AS drift
+        |FROM s ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(floor(sum(col("n")) * lit(1.0) / count(lit(1))).cast("long").as("k"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val c = daily.join(broadcast(m), Seq("event_type"))
+        .withColumn("cum", sum(col("n") - col("k")).over(w))
+      c.withColumn("s_pos", (col("cum") - min(col("cum")).over(w)).cast("long"))
+        .select(col("event_type"), col("day"), col("n"), col("s_pos"),
+          (col("s_pos") * 10 >= col("k") * 3).as("drift"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Key-skew profiler (the decision input for salting / AQE skew
+    // handling): per-key count histogram reduced to one row per keyed
+    // stream — distinct keys, total rows, the hottest key's share, and
+    // the skew factor max/avg (ppm). The per-key groupBy is map-side
+    // combined; the profile row is a second tiny reduction.
+    QueryDef.sql(
+      "q_skew_profile",
+      """WITH uk AS (
+        |  SELECT 'events.user_id' AS stream, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |lk AS (
+        |  SELECT 'lineitem.l_orderkey' AS stream, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |all_k AS (SELECT * FROM uk UNION ALL SELECT * FROM lk)
+        |SELECT stream,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MAX(c) AS BIGINT) AS max_c,
+        |  CAST(FLOOR(MAX(c) * CAST(1000000.0 AS DOUBLE) * COUNT(*) / SUM(c)) AS BIGINT)
+        |    AS skew_q6
+        |FROM all_k GROUP BY stream ORDER BY stream""".stripMargin) { (s, d) =>
+      def profile(df: org.apache.spark.sql.DataFrame, key: String, label: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .select(lit(label).as("stream"), col("c"))
+      val allK = profile(Tables.events(s, d), "user_id", "events.user_id")
+        .unionAll(profile(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"))
+      allK.groupBy(col("stream"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"))
+        .select(col("stream"), col("n_keys"), col("n_rows"), col("max_c"),
+          floor(col("max_c") * lit(1000000.0) * col("n_keys") / col("n_rows"))
+            .cast("long").as("skew_q6"))
+        .orderBy(col("stream"))
     }
   )
 }

@@ -383,6 +383,90 @@ object EventAnalytics {
             when(col("frequency") >= 20, "F1").otherwise("F0"),
             when(col("monetary_c") >= 50000, "M1").otherwise("M0")).as("segment"))
         .orderBy(col("user_id"))
+    },
+
+    // Last-touch attribution: each purchase credits the most recent
+    // preceding non-purchase event of the same user within a 24 h
+    // lookback, else 'direct'. One pass: the per-user IGNORE NULLS
+    // last_value window carries (ts, type) of the latest candidate
+    // touch — no self-join, the stream is scanned once and the window
+    // is user-partitioned (key-local sort at any scale).
+    QueryDef.sql(
+      "q_attribution",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS tus FROM events),
+        |carried AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN tus END IGNORE NULLS)
+        |      OVER w AS touch_tus,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  CASE WHEN touch_tus IS NOT NULL AND tus - touch_tus <= 86400000000
+        |       THEN touch_type ELSE 'direct' END AS channel,
+        |  CAST(CASE WHEN touch_tus IS NOT NULL AND tus - touch_tus <= 86400000000
+        |       THEN tus - touch_tus END AS BIGINT) AS dt_us
+        |FROM carried WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id LIMIT 2000""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = ev
+        .withColumn("touch_tus",
+          last(when(col("event_type") =!= "purchase", col("tus")), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      val attributed = col("touch_tus").isNotNull &&
+        col("tus") - col("touch_tus") <= 86400000000L
+      carried.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          when(attributed, col("touch_type")).otherwise("direct").as("channel"),
+          when(attributed, col("tus") - col("touch_tus")).cast("long").as("dt_us"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(2000)
+    },
+
+    // Entry-path analysis: each user's first three event types (event-time
+    // order, id tie-break) as a '>'-joined path, counted across users.
+    // The rank window is user-partitioned; the path assembly is a 3-row
+    // conditional pivot per user — never an ordered collect.
+    QueryDef.sql(
+      "q_entry_paths",
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY EPOCH_US(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+        |    MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+        |    MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id
+        |  HAVING COUNT(*) = 3)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val r = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+      val p = r.groupBy(col("user_id"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"),
+          count(lit(1)).as("n"))
+        .filter(col("n") === 3)
+        .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
+      p.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
     }
   )
 }
