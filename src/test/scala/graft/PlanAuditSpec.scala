@@ -289,4 +289,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("row_number"), s"raw-row rank sneaked in:\n$p")
     assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
   }
+
+  test("PMI marginals join by word; only the 1-row totals nest-loop") {
+    val p = plan("q_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PMI plan:\n$p")
+    // the two unigram-marginal joins are equi joins on the word key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join on marginals:\n$p")
+    // every nested-loop is the broadcast of a 1-row global total
+    val bnlj = countOccurrences(p, "BroadcastNestedLoopJoin")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin BuildRight") == bnlj,
+      s"non-broadcast nested loop leaked:\n$p")
+    // bigram and unigram histograms keep map-side combine
+    assert(p.contains("partial_count"), s"counts lost map-side combine:\n$p")
+  }
+
+  test("vocabulary coverage takes top-k without a global window and broadcasts it") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k not a distributed heap:\n$p")
+    assert(!p.contains("row_number"), s"global rank window sneaked in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"fixed-size vocab not broadcast:\n$p")
+  }
+
+  test("bipartite projection self-joins on the user key, never cross") {
+    val p = plan("q_bipartite_cooccur")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"projection exploded into a cross join:\n$p")
+    assert(p.contains("partial_count"), s"pair cells lost map-side combine:\n$p")
+  }
+
+  test("zone-map planner and z-order tiles are single combiner-backed aggregations") {
+    for (q <- Seq("q_zonemap_prune", "q_zorder_tiles")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
+  test("feature windows partition by user — no global window in the hot path") {
+    for (q <- Seq("q_lag_features", "q_attribution")) {
+      val p = plan(q)
+      assert(p.contains("PARTITION BY") || p.contains("hashpartitioning(user_id"),
+        s"$q window lost its user partitioning:\n$p")
+    }
+  }
 }
