@@ -130,18 +130,31 @@ object Lexical {
         |  CAST(FLOOR(max_c * CAST(1000000.0 AS DOUBLE) / n_tri) AS BIGINT) AS rep_q6,
         |  CAST(FLOOR(max_c * CAST(1000000.0 AS DOUBLE) / n_tri) < 200000 AS BOOLEAN) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tk = tokArr(s, d).filter(size(col("tk")) >= 3)
-      val tri = tk.select(col("doc_id"),
+      // repetition is a pure function of the text, so the trigram explode
+      // runs once per DISTINCT text (rep-collapse, as q_text_fingerprint):
+      // one groupBy(text) collapses clones map-side, the histogram keys on
+      // the compact rep id, and verdicts fan back out through the carried
+      // doc-id list. Clone-heavy growth then scales with distinct texts.
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"), collect_list(col("doc_id")).as("ids"))
+        .select(col("r"), col("ids"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .persist()
+      val tri = reps.select(col("r"),
           explode(sequence(lit(1), size(col("tk")) - 2)).as("i"), col("tk"))
-        .select(col("doc_id"),
+        .select(col("r"),
           concat_ws(" ", element_at(col("tk"), col("i")),
             element_at(col("tk"), col("i") + 1),
             element_at(col("tk"), col("i") + 2)).as("g"))
-      val h = tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      val agg = h.groupBy(col("doc_id"))
+      val h = tri.groupBy(col("r"), col("g")).agg(count(lit(1)).as("c"))
+      val agg = h.groupBy(col("r"))
         .agg(sum(col("c")).as("n_tri"), max(col("c")).as("max_c"))
       val rep = floor(col("max_c") * lit(1000000.0) / col("n_tri")).cast("long")
-      agg.select(col("doc_id"), col("n_tri"), col("max_c"),
+      reps.select(col("r"), explode(col("ids")).as("doc_id"))
+        .join(agg, Seq("r"))
+        .select(col("doc_id"), col("n_tri"), col("max_c"),
           rep.as("rep_q6"), (rep < 200000).as("keep"))
         .orderBy(col("doc_id"))
     },
@@ -171,16 +184,31 @@ object Lexical {
         |SELECT doc_id, n_tok, n_in,
         |  CAST(FLOOR(n_in * CAST(1000000.0 AS DOUBLE) / n_tok) AS BIGINT) AS cov_q6
         |FROM cov ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val dt = toks(s, d).groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val freq = dt.groupBy(col("t")).agg(sum(col("c")).as("cf"))
+      // rep-collapse: the token histogram is a pure function of the text,
+      // so it reduces once per DISTINCT text; the corpus frequency table
+      // weights each rep histogram by its clone count (clone-weighted ==
+      // the naive per-doc semantics), and per-doc coverage fans back out
+      // through the carried doc-id list.
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"), collect_list(col("doc_id")).as("ids"),
+          count(lit(1)).as("w"))
+        .select(col("r"), col("ids"), col("w"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .persist()
+      val dt = reps.select(col("r"), col("w"), explode(col("tk")).as("t"))
+        .groupBy(col("r"), col("w"), col("t")).agg(count(lit(1)).as("c"))
+      val freq = dt.groupBy(col("t")).agg(sum(col("c") * col("w")).as("cf"))
       // top-k via orderBy+limit (TakeOrdered — a distributed heap, never
       // a single-reducer global window over the full vocabulary)
       val vocab = freq.orderBy(col("cf").desc, col("t")).limit(500).select(col("t"))
       val cov = dt.join(broadcast(vocab.withColumn("inv", lit(1))), Seq("t"), "left")
-        .groupBy(col("doc_id"))
+        .groupBy(col("r"))
         .agg(sum(col("c")).as("n_tok"),
           sum(when(col("inv").isNotNull, col("c")).otherwise(0L)).as("n_in"))
-      cov.select(col("doc_id"), col("n_tok"), col("n_in"),
+      reps.select(col("r"), explode(col("ids")).as("doc_id"))
+        .join(cov, Seq("r"))
+        .select(col("doc_id"), col("n_tok"), col("n_in"),
           floor(col("n_in") * lit(1000000.0) / col("n_tok")).cast("long").as("cov_q6"))
         .orderBy(col("doc_id"))
     }
