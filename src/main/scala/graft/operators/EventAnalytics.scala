@@ -467,6 +467,88 @@ object EventAnalytics {
         .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
       p.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
+    },
+
+    // Association rules over session baskets (market-basket mining):
+    // sessions are the 30-minute-gap sessionization, a basket is the
+    // DISTINCT event_type set of one session, and each ordered pair
+    // a→b (a < b lexically) is scored support / confidence / lift from
+    // exact basket counts. The pair self-join fans out per basket by
+    // its DISTINCT item degree (bounded by the event-type vocabulary,
+    // never raw event count) and reduces to ≤|vocab|² cells; the three
+    // ratios are single IEEE divisions of exact BIGINTs.
+    QueryDef.sql(
+      "q_assoc_rules",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM flagged),
+        |basket AS (SELECT DISTINCT user_id, sn, event_type FROM sess),
+        |nb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT DISTINCT user_id, sn FROM basket)),
+        |item AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM basket GROUP BY event_type),
+        |pair AS (
+        |  SELECT a.event_type AS a, b.event_type AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.sn = b.sn
+        |   AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.a, p.b, p.n_ab, ia.c AS n_a, ib.c AS n_b,
+        |  CAST(FLOOR(p.n_ab * CAST(1000000.0 AS DOUBLE) / nb.n) AS BIGINT)
+        |    AS support_q6,
+        |  CAST(FLOOR(p.n_ab * CAST(1000000.0 AS DOUBLE) / ia.c) AS BIGINT)
+        |    AS conf_q6,
+        |  CAST(FLOOR(p.n_ab * CAST(1000000.0 AS DOUBLE) * nb.n
+        |             / (ia.c * CAST(1.0 AS DOUBLE) * ib.c)) AS BIGINT)
+        |    AS lift_q6
+        |FROM pair p
+        |JOIN item ia ON ia.event_type = p.a
+        |JOIN item ib ON ib.event_type = p.b
+        |CROSS JOIN nb
+        |ORDER BY p.a, p.b""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val basket = Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("sn",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("sn"), col("event_type"))
+        .distinct()
+        .persist()
+      val nb = basket.select(col("user_id"), col("sn")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val item = basket.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val pair = basket.as("a")
+        .join(basket.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.sn") === col("b.sn") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("a"), col("b.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pair
+        .join(broadcast(item.select(col("event_type").as("a"), col("c").as("n_a"))), Seq("a"))
+        .join(broadcast(item.select(col("event_type").as("b"), col("c").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          floor(col("n_ab") * lit(1000000.0) / col("n")).cast("long").as("support_q6"),
+          floor(col("n_ab") * lit(1000000.0) / col("n_a")).cast("long").as("conf_q6"),
+          floor(col("n_ab") * lit(1000000.0) * col("n")
+            / (col("n_a") * lit(1.0) * col("n_b"))).cast("long").as("lift_q6"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }

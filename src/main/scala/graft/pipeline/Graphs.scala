@@ -155,6 +155,58 @@ object Graphs {
     reached
   }
 
+  /** `rounds` integer-exact HITS iterations over the directed link graph:
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each half-round
+    * max-normalized back to q6 scale (max instead of the textbook L2 norm
+    * keeps every step integer-or-one-IEEE-division so the oracle replays
+    * it bit-for-bit). Returns (doc_id, auth_q6, hub_q6).
+    *
+    * Scale posture matches [[pageRank]]: the edge list materializes once,
+    * pre-partitioned on `src`; each half-round is one shuffle join of the
+    * score vector against it plus one combiner-backed groupBy, and the
+    * normalizing max is a broadcast single row. */
+  def hits(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.storage.StorageLevel
+    val edges = syntheticEdges(docs)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    def half(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = edges
+        .join(scores.select(col("doc_id").as(joinKey), col("s")), Seq(joinKey))
+        .groupBy(col(outKey).as("doc_id")).agg(sum(col("s")).as("raw"))
+      val m = raw.agg(max(col("raw")).as("m"))
+      nodes.join(raw, Seq("doc_id"), "left").crossJoin(broadcast(m))
+        .select(col("doc_id"),
+          coalesce(floor(col("raw") * lit(1000000.0) / col("m")), lit(0.0))
+            .cast("long").as("s"))
+    }
+    var hub = nodes.select(col("doc_id"), lit(1000000L).as("s"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = half(hub, "src", "dst")  // in-edge hub mass → authority
+      hub = half(auth, "dst", "src")  // out-edge auth mass → hub
+    }
+    auth.select(col("doc_id"), col("s").as("auth_q6"))
+      .join(hub.select(col("doc_id"), col("s").as("hub_q6")), Seq("doc_id"))
+  }
+
+  /** One HITS half-round as a CTE triple: raw sum, max, normalized. */
+  private def hitsHalfSql(prev: String, joinKey: String, outKey: String,
+      cur: String): String =
+    s"""${cur}r AS (
+       |  SELECT e.$outKey AS doc_id, CAST(SUM(p.s) AS BIGINT) AS raw
+       |  FROM edges e JOIN $prev p ON p.doc_id = e.$joinKey
+       |  GROUP BY e.$outKey),
+       |${cur}m AS (SELECT CAST(MAX(raw) AS BIGINT) AS m FROM ${cur}r),
+       |$cur AS (
+       |  SELECT nd.doc_id,
+       |    CAST(COALESCE(FLOOR(r.raw * CAST(1000000.0 AS DOUBLE) / ${cur}m.m),
+       |                  0) AS BIGINT) AS s
+       |  FROM nodes nd LEFT JOIN ${cur}r r ON r.doc_id = nd.doc_id
+       |  CROSS JOIN ${cur}m)""".stripMargin
+
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.doc_id, 150000 + COALESCE(SUM(c.c), 0) AS r
@@ -295,6 +347,29 @@ object Graphs {
         .groupBy(col("hop"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("hop"))
+    },
+
+    // HITS hubs & authorities, 2 unrolled rounds (4 half-iterations),
+    // max-normalized to q6 each half so the recursion stays integer
+    // exact; top 20 authorities with both scores.
+    QueryDef.sql(
+      "q_hits",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |nodes AS (SELECT doc_id FROM documents),
+         |h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS s FROM nodes),
+         |${hitsHalfSql("h0", "src", "dst", "a1")},
+         |${hitsHalfSql("a1", "dst", "src", "h1")},
+         |${hitsHalfSql("h1", "src", "dst", "a2")},
+         |${hitsHalfSql("a2", "dst", "src", "h2")}
+         |SELECT a2.doc_id, a2.s AS auth_q6, h2.s AS hub_q6
+         |FROM a2 JOIN h2 ON h2.doc_id = a2.doc_id
+         |ORDER BY auth_q6 DESC, a2.doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      hits(Tables.documents(s, d), rounds = 2)
+        .orderBy(col("auth_q6").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

@@ -211,6 +211,123 @@ object Lexical {
         .select(col("doc_id"), col("n_tok"), col("n_in"),
           floor(col("n_in") * lit(1000000.0) / col("n_tok")).cast("long").as("cov_q6"))
         .orderBy(col("doc_id"))
+    },
+
+    // Lexical diversity as Gini impurity of the per-doc token histogram:
+    // gini = 1 - Σ(c/n)² computed from the exact integer cross terms
+    // (n² - Σc²)/n² — no per-token ratio, one IEEE division per doc.
+    // Low diversity (few token types dominating) flags boilerplate /
+    // machine-generated text the repetition ratio misses when the
+    // repeats are unigrams rather than trigram runs.
+    QueryDef.sql(
+      "q_token_gini",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |g AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_types,
+        |  CAST(FLOOR((n_tok * n_tok - ss) * CAST(1000000.0 AS DOUBLE)
+        |             / (n_tok * n_tok)) AS BIGINT) AS gini_q6
+        |FROM g WHERE n_tok >= 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // rep-collapse (naive DuckDB oracle above, collapsed engine): the
+      // histogram is a pure function of the text, so it reduces once per
+      // DISTINCT text and fans back out through the carried doc-id list.
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"), collect_list(col("doc_id")).as("ids"))
+        .select(col("r"), col("ids"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .persist()
+      val hist = reps.select(col("r"), explode(col("tk")).as("t"))
+        .groupBy(col("r"), col("t")).agg(count(lit(1)).as("c"))
+      val g = hist.groupBy(col("r"))
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ss"))
+      reps.select(col("r"), explode(col("ids")).as("doc_id"))
+        .join(g, Seq("r"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          floor((col("n_tok") * col("n_tok") - col("ss")) * lit(1000000.0)
+            / (col("n_tok") * col("n_tok"))).cast("long").as("gini_q6"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus bigram language model scoring each doc by its mean q6
+    // transition probability — the integer-exact stand-in for the
+    // CCNet/KenLM perplexity filter: docs whose word transitions are
+    // unusual for the corpus score low. The model table (bigram count /
+    // context count) is corpus-wide and vocabulary-keyed; the per-doc
+    // score is the integer mean of its bigrams' q6 probabilities.
+    QueryDef.sql(
+      "q_bigram_lm",
+      """WITH tk AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+        |  WHERE LEN(tk) >= 2),
+        |cbg AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg
+        |  FROM bg GROUP BY w1, w2),
+        |cu AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_u FROM bg GROUP BY w1),
+        |p AS (
+        |  SELECT c.w1, c.w2,
+        |    CAST(FLOOR(c.c_bg * CAST(1000000.0 AS DOUBLE) / u.c_u) AS BIGINT) AS p_q6
+        |  FROM cbg c JOIN cu u ON u.w1 = c.w1),
+        |ds AS (
+        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |    CAST(SUM(p.p_q6) AS BIGINT) AS tot
+        |  FROM bg b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bg, CAST(tot // n_bg AS BIGINT) AS lm_q6
+        |FROM ds ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // rep-collapse with clone weights (naive oracle above): bigram
+      // histograms reduce once per DISTINCT text; the corpus model counts
+      // weight each rep histogram by its clone count so the model equals
+      // the naive per-doc semantics; scores fan back out via doc-id
+      // lists. Model joins are keyed by bigram/word — vocabulary-sized
+      // shuffle joins, never broadcast (a 100 TB corpus's bigram table
+      // is dictionary-scale but not provably driver-sized).
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"), collect_list(col("doc_id")).as("ids"),
+          count(lit(1)).as("w"))
+        .select(col("r"), col("ids"), col("w"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .persist()
+      val rb = reps
+        .select(col("r"), col("w"),
+          explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+        .select(col("r"), col("w"),
+          element_at(col("tk"), col("i")).as("w1"),
+          element_at(col("tk"), col("i") + 1).as("w2"))
+        .groupBy(col("r"), col("w"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val cbg = rb.groupBy(col("w1"), col("w2")).agg(sum(col("c") * col("w")).as("c_bg"))
+      val cu = rb.groupBy(col("w1")).agg(sum(col("c") * col("w")).as("c_u"))
+      val p = cbg.join(cu, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          floor(col("c_bg") * lit(1000000.0) / col("c_u")).cast("long").as("p_q6"))
+      val ds = rb.join(p, Seq("w1", "w2"))
+        .groupBy(col("r"))
+        .agg(sum(col("c")).as("n_bg"), sum(col("c") * col("p_q6")).as("tot"))
+      reps.select(col("r"), explode(col("ids")).as("doc_id"))
+        .join(ds, Seq("r"))
+        .select(col("doc_id"), col("n_bg"),
+          expr("tot div n_bg").cast("long").as("lm_q6"))
+        .orderBy(col("doc_id"))
     }
   )
 }

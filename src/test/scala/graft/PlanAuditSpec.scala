@@ -333,4 +333,44 @@ class PlanAuditSpec extends SparkSpec {
         s"$q window lost its user partitioning:\n$p")
     }
   }
+
+  test("gini and bigram-LM collapse to distinct texts before exploding") {
+    for (q <- Seq("q_token_gini", "q_bigram_lm")) {
+      val p = plan(q)
+      // the rep-collapse groupBy(text) must run BELOW the token explode:
+      // a plan that explodes raw docs first re-pays the tokenizer per clone
+      assert(p.contains("partial_min(doc_id"),
+        s"$q lost the distinct-text collapse:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+    // the LM model joins are keyed (bigram/word), never nested-loop
+    val p = plan("q_bigram_lm")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"model join not an equi join:\n$p")
+  }
+
+  test("HITS half-rounds are equi joins; only 1-row maxes nest-loop") {
+    val p = plan("q_hits")
+    assert(!p.contains("CartesianProduct"), s"cartesian in HITS plan:\n$p")
+    val bnlj = countOccurrences(p, "BroadcastNestedLoopJoin")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin BuildRight") == bnlj,
+      s"non-broadcast nested loop leaked:\n$p")
+    // score sums keep map-side combine round over round
+    assert(p.contains("partial_sum"), s"half-round sums lost combine:\n$p")
+    // top-20 is a distributed heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("association rules self-join baskets on the session key, never cross") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"), s"cartesian in assoc plan:\n$p")
+    val bnlj = countOccurrences(p, "BroadcastNestedLoopJoin")
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin BuildRight") == bnlj,
+      s"non-broadcast nested loop leaked:\n$p")
+    // item marginals are broadcast (vocabulary-sized by construction)
+    assert(p.contains("BroadcastHashJoin"), s"item marginals not broadcast:\n$p")
+    // sessionization window stays partitioned by user
+    assert(p.contains("hashpartitioning(user_id") || p.contains("PARTITION BY"),
+      s"session window lost user partitioning:\n$p")
+  }
 }
