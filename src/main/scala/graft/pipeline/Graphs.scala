@@ -173,9 +173,13 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
     def half(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      // persist the raw sums: they feed BOTH the normalizing max and the
+      // score join — unpersisted, each half-round would recompute the
+      // whole prior recursion twice (2^rounds plan blowup)
       val raw = edges
         .join(scores.select(col("doc_id").as(joinKey), col("s")), Seq(joinKey))
         .groupBy(col(outKey).as("doc_id")).agg(sum(col("s")).as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val m = raw.agg(max(col("raw")).as("m"))
       nodes.join(raw, Seq("doc_id"), "left").crossJoin(broadcast(m))
         .select(col("doc_id"),
