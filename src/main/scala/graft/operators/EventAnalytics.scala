@@ -549,6 +549,41 @@ object EventAnalytics {
           floor(col("n_ab") * lit(1000000.0) * col("n")
             / (col("n_a") * lit(1.0) * col("n_b"))).cast("long").as("lift_q6"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // Eventually-follows graph (process mining): a ⤳ b counts the users
+    // with SOME occurrence of a strictly before SOME occurrence of b,
+    // which reduces to first(a) < last(b) — so the raw stream collapses
+    // to one (user, type) span table first (combiner-backed min/max) and
+    // the pair join fans out by each user's DISTINCT type degree
+    // (vocabulary-bounded), never by raw event count. The companion to
+    // q_event_transitions' directly-follows matrix.
+    QueryDef.sql(
+      "q_eventually_follows",
+      """WITH span AS (
+        |  SELECT user_id, event_type,
+        |    MIN(EPOCH_US(ts)) AS first_us, MAX(EPOCH_US(ts)) AS last_us
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT a.event_type AS from_type, b.event_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM span a JOIN span b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        | AND a.first_us < b.last_us
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val span = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      span.as("a")
+        .join(span.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.first_us") < col("b.last_us"))
+        .groupBy(col("a.event_type").as("from_type"),
+          col("b.event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("from_type"), col("to_type"))
     }
   )
 }

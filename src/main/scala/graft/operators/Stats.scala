@@ -184,6 +184,73 @@ object Stats {
         .select(col("event_type"), col("dow"), col("hr"), col("n"),
           floor(col("n") * lit(1000000.0) / col("total")).cast("long").as("share_q6"))
         .orderBy(col("event_type"), col("dow"), col("hr"))
+    },
+
+    // Exponential time-decay engagement score per user (half-life 1 day,
+    // anchored at the corpus max date — feature-store freshness
+    // weighting). EXACT despite the floating weight: each term is
+    // v_cents · 2^(20 - age_days), an integer times a power of two, so
+    // the double product rounds nothing (v_c < 2^17, scale ≤ 2^20);
+    // per-term floor-to-bigint then makes the SUM order-independent.
+    // One combiner-backed groupBy; the anchor date is a broadcast row.
+    QueryDef.sql(
+      "q_decay_sum",
+      """WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS d0 FROM events),
+        |term AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(CAST(FLOOR(value * 100) AS BIGINT)
+        |      * POWER(2.0, 20 - DATEDIFF('day', CAST(ts AS DATE), d0)))
+        |      AS BIGINT) AS t
+        |  FROM events CROSS JOIN anchor)
+        |SELECT user_id, CAST(SUM(t) AS BIGINT) AS decay_s20,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM term GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(col("ts")).cast("date").as("d0"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          floor(floor(col("value") * 100).cast("long")
+            * pow(lit(2.0), lit(20) - datediff(col("d0"), col("ts").cast("date"))))
+            .cast("long").as("t"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("t")).as("decay_s20"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // Smoothed mean-target encoding of the (event_type × hour) category
+    // (the leakage-safe categorical → numeric feature for tabular models):
+    // enc = (Σ_cat target + m · global_mean) / (n_cat + m), m = 100.
+    // Numerators/denominators are exact BIGINT sums; the encode is one
+    // shared IEEE tree (two divisions, one fma-free sum) floor-quantized
+    // to cents. Both reductions are combiner-backed; the global row
+    // broadcasts.
+    QueryDef.sql(
+      "q_target_encode",
+      """WITH g AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS gs,
+        |    CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, CAST(HOUR(ts) AS BIGINT) AS hr,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cs,
+        |    CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type, c.hr, c.cn,
+        |  CAST(FLOOR((cs * CAST(1.0 AS DOUBLE)
+        |              + 100.0 * (gs * CAST(1.0 AS DOUBLE) / gn))
+        |             / (cn + 100)) AS BIGINT) AS enc_c
+        |FROM c CROSS JOIN g ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val g = ev.agg(sum(floor(col("value") * 100).cast("long")).as("gs"),
+        count(lit(1)).as("gn"))
+      val c = ev.groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cs"),
+          count(lit(1)).as("cn"))
+      c.crossJoin(broadcast(g))
+        .select(col("event_type"), col("hr"), col("cn"),
+          floor((col("cs") * lit(1.0) + lit(100.0) * (col("gs") * lit(1.0) / col("gn")))
+            / (col("cn") + lit(100L))).cast("long").as("enc_c"))
+        .orderBy(col("event_type"), col("hr"))
     }
   )
 }

@@ -196,6 +196,63 @@ object Graphs {
       .join(hub.select(col("doc_id"), col("s").as("hub_q6")), Seq("doc_id"))
   }
 
+  /** `rounds` synchronous label-propagation rounds over the undirected
+    * link graph (community detection): each node adopts the most frequent
+    * label among its neighbors, ties broken by the smallest label, so the
+    * update is fully deterministic and the oracle can replay it as plain
+    * GROUP BY + ROW_NUMBER CTEs (no randomized ordering as in the
+    * original async formulation). Isolated nodes keep their own label.
+    * Returns (v, lbl).
+    *
+    * Scale posture: the bidirectional adjacency materializes once,
+    * pre-partitioned on the label-join key; each round is one shuffle
+    * join + one combiner-backed (v, lbl) count + a v-partitioned
+    * row_number — never a global sort, never all-pairs. */
+  def labelPropagation(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val ue = undirectedEdges(docs)
+    val adj = ue.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(ue.select(col("b").as("v"), col("a").as("u")))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = docs.select(col("doc_id").as("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = nodes.select(col("v"), col("v").as("lbl"))
+    for (i <- 1 to rounds) {
+      val counted = adj
+        .join(lbl.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
+      val picked = counted
+        .select(col("v"), col("lbl"), row_number().over(w).as("rk"))
+        .filter(col("rk") === 1).select(col("v"), col("lbl"))
+      lbl = nodes.join(picked, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+      // each round's labels feed the next round's join AND the final
+      // output — persist so the recursion doesn't re-derive (same
+      // rationale as the HITS half-round sums)
+      if (i < rounds) lbl = lbl.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    lbl
+  }
+
+  /** One label-propagation round as a CTE pair: neighbor-label counts,
+    * then the (count DESC, label ASC) winner per node with keep-own
+    * fallback for isolated nodes. */
+  private def lpRoundSql(prev: String, cur: String): String =
+    s"""${cur}c AS (
+       |  SELECT adj.v, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM adj JOIN $prev l ON l.v = adj.u
+       |  GROUP BY adj.v, l.lbl),
+       |$cur AS (
+       |  SELECT n.v, COALESCE(p.lbl, n.v) AS lbl
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT v, lbl FROM (
+       |      SELECT v, lbl,
+       |        ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk
+       |      FROM ${cur}c) WHERE rk = 1) p ON p.v = n.v)""".stripMargin
+
   /** One HITS half-round as a CTE triple: raw sum, max, normalized. */
   private def hitsHalfSql(prev: String, joinKey: String, outKey: String,
       cur: String): String =
@@ -374,6 +431,36 @@ object Graphs {
       hits(Tables.documents(s, d), rounds = 2)
         .orderBy(col("auth_q6").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Community detection: 2 synchronous min-tie-break label-propagation
+    // rounds over the undirected link graph; communities reported as a
+    // size histogram (top 25 by size). Deterministic mode update, so the
+    // oracle replays both rounds as GROUP BY + ROW_NUMBER CTEs.
+    QueryDef.sql(
+      "q_label_propagation",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS u FROM ue UNION ALL SELECT b, a FROM ue),
+         |nodes AS (SELECT doc_id AS v FROM documents),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+         |${lpRoundSql("l0", "l1")},
+         |${lpRoundSql("l1", "l2")}
+         |SELECT CAST(lbl AS BIGINT) AS community,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(MIN(v) AS BIGINT) AS min_doc
+         |FROM l2 GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 25""".stripMargin) { (s, d) =>
+      labelPropagation(Tables.documents(s, d), rounds = 2)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(25)
     }
   )
 }

@@ -373,4 +373,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id") || p.contains("PARTITION BY"),
       s"session window lost user partitioning:\n$p")
   }
+
+  test("eventually-follows joins span aggregates, not raw event rows") {
+    val p = plan("q_eventually_follows")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // BOTH self-join inputs are the (user, type) min/max reduction —
+    // a raw-row join would fan out by event count, not type degree
+    assert(p.contains("partial_min"),
+      s"span reduction lost map-side combine:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"pair join not an equi join:\n$p")
+  }
+
+  test("decay sum and target encode stay combiner-backed; globals broadcast") {
+    for (q <- Seq("q_decay_sum", "q_target_encode")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"), s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      // the 1-row anchor/global joins as a broadcast NLJ, nothing else
+      val bnlj = countOccurrences(p, "BroadcastNestedLoopJoin")
+      assert(countOccurrences(p, "BroadcastNestedLoopJoin BuildRight") == bnlj,
+        s"non-broadcast nested loop leaked in $q:\n$p")
+    }
+  }
+
+  test("label propagation rounds are keyed joins + v-partitioned windows") {
+    val p = plan("q_label_propagation")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the mode pick runs per node, never a global window
+    assert(p.contains("hashpartitioning(v"), s"row_number lost v partitioning:\n$p")
+    // neighbor-label counts keep map-side combine
+    assert(p.contains("partial_count"), s"label counts lost combine:\n$p")
+  }
 }
