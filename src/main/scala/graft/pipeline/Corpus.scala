@@ -801,6 +801,57 @@ object Corpus {
       zero.unionByName(diff)
         .orderBy(col("edit_dist"), col("doc1"), col("doc2"))
         .limit(200)
+    },
+
+    // Fuzzy name matching (entity resolution): brand-blocked part-name
+    // pairs scored with the native codegen'd Jaro-Winkler expression
+    // (functions/JaroWinkler.scala — semantics byte-pinned to the
+    // oracle's scorer), threshold 0.9. Same scale shape as
+    // q_edit_distance: the scorer runs once per DISTINCT ordered name
+    // pair within a block (identical names are 1.0 by definition and
+    // never enter the join), verdicts expand back through the name→key
+    // map, and TakeOrdered keeps the top 200 without a global sort.
+    // The oracle keeps the naive per-row-pair SQL.
+    QueryDef.sql(
+      "q_jaro_names",
+      """WITH nm AS (
+        |  SELECT p_partkey AS pk, p_brand AS brand, LOWER(p_name) AS nm
+        |  FROM part)
+        |SELECT a.pk AS p1, b.pk AS p2,
+        |  CAST(FLOOR(JARO_WINKLER_SIMILARITY(a.nm, b.nm) * 1000000) AS BIGINT)
+        |    AS jw_q6
+        |FROM nm a JOIN nm b ON a.brand = b.brand AND a.pk < b.pk
+        |WHERE FLOOR(JARO_WINKLER_SIMILARITY(a.nm, b.nm) * 1000000) >= 900000
+        |ORDER BY jw_q6 DESC, p1, p2 LIMIT 200""".stripMargin) { (s, d) =>
+      import graft.functions.JaroWinkler.jaroWinkler
+      val nm = Tables.part(s, d).select(col("p_partkey").as("pk"),
+        col("p_brand").as("brand"), lower(col("p_name")).as("nm"))
+      // identical names: similarity 1.0 by definition — no scorer call
+      val ones = nm.as("a")
+        .join(nm.as("b"), col("a.brand") === col("b.brand") &&
+          col("a.nm") === col("b.nm") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"),
+          lit(1000000L).as("jw_q6"))
+      // scorer runs once per distinct ordered name pair per block
+      val reps = nm.select(col("brand"), col("nm")).distinct()
+      val verdicts = reps.as("x")
+        .join(reps.as("y"),
+          col("x.brand") === col("y.brand") && col("x.nm") < col("y.nm"))
+        .select(col("x.brand").as("brand"), col("x.nm").as("nm1"),
+          col("y.nm").as("nm2"),
+          floor(jaroWinkler(col("x.nm"), col("y.nm")) * 1000000)
+            .cast("long").as("jw_q6"))
+        .filter(col("jw_q6") >= 900000)
+      val diff = verdicts
+        .join(nm.select(col("brand"), col("nm").as("nm1"), col("pk").as("pka")),
+          Seq("brand", "nm1"))
+        .join(nm.select(col("brand"), col("nm").as("nm2"), col("pk").as("pkb")),
+          Seq("brand", "nm2"))
+        .select(least(col("pka"), col("pkb")).as("p1"),
+          greatest(col("pka"), col("pkb")).as("p2"), col("jw_q6"))
+      ones.unionByName(diff)
+        .orderBy(col("jw_q6").desc, col("p1"), col("p2"))
+        .limit(200)
     }
   )
 }
