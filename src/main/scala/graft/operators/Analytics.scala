@@ -741,6 +741,62 @@ object Analytics {
           floor(col("max_c") * lit(1000000.0) * col("n_keys") / col("n_rows"))
             .cast("long").as("skew_q6"))
         .orderBy(col("stream"))
+    },
+
+    // Quantile normalization across sources (cross-source score
+    // calibration): each doc's length maps to the GLOBAL value at its
+    // within-source fractional rank, so every source ends up with the
+    // same marginal distribution. All integer: the target global index
+    // is ((rn−1)(N−1)) div (n_s−1) + 1, and the global quantile lookup
+    // goes through the value histogram (value-bounded, like
+    // q_robust_stats) expanded into an exact rank→value spine — one
+    // linear explode and one equi shuffle join on idx, NEVER a global
+    // row_number over raw rows and never an inequality nest loop.
+    QueryDef.sql(
+      "q_quantile_normalize",
+      """WITH v AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM v GROUP BY source),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |rk AS (
+        |  SELECT doc_id, source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn
+        |  FROM v),
+        |hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x),
+        |cumh AS (SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum FROM hist),
+        |spine AS (
+        |  SELECT CAST(cum - cnt + u.i AS BIGINT) AS idx, x AS norm_x
+        |  FROM cumh CROSS JOIN UNNEST(RANGE(1, cnt + 1)) AS u(i)),
+        |tgt AS (
+        |  SELECT r.doc_id, r.source, r.x,
+        |    CASE WHEN ns.n_s = 1 THEN 1
+        |         ELSE ((r.rn - 1) * (nt.n - 1)) // (ns.n_s - 1) + 1 END AS idx
+        |  FROM rk r JOIN ns USING (source) CROSS JOIN nt)
+        |SELECT t.doc_id, t.source, t.x, s.norm_x
+        |FROM tgt t JOIN spine s ON s.idx = t.idx
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val v = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("x"))
+      val ns = v.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nt = v.agg(count(lit(1)).as("n"))
+      val rk = v.select(col("doc_id"), col("source"), col("x"),
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))).as("rn"))
+      val hist = v.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      // global cum window runs over the bounded value histogram only
+      val cumh = hist.withColumn("cum",
+        sum(col("cnt")).over(
+          Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)))
+      val spine = cumh.select(
+        explode(sequence(col("cum") - col("cnt") + 1, col("cum"))).as("idx"),
+        col("x").as("norm_x"))
+      val tgt = rk.join(broadcast(ns), Seq("source")).crossJoin(broadcast(nt))
+        .select(col("doc_id"), col("source"), col("x"),
+          when(col("n_s") === 1, lit(1L))
+            .otherwise(expr("((rn - 1) * (n - 1)) div (n_s - 1) + 1")).as("idx"))
+      tgt.join(spine, Seq("idx"))
+        .select(col("doc_id"), col("source"), col("x"), col("norm_x"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -46,6 +46,18 @@ object Io {
     } finally zis.close()
   }
 
+  // ---------------- columnar interchange beyond parquet
+
+  /** ORC sink/scan (the other columnar interchange format a lakehouse
+    * deployment meets; Spark ships the reader/writer natively). Same
+    * distributed path as the parquet sink — predicate pushdown and
+    * column pruning work identically (IoSpec pins the pushdown). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---------------- nested JSON documents (K4 / F11 shapes)
 
   /** JSON string escape (backslash, quote, all control chars) for the

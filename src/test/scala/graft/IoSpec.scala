@@ -102,4 +102,22 @@ class IoSpec extends SparkSpec {
     // collinear vertex (1 0) simplified away; area preserved
     assert(graft.functions.GeoFunctions.parseWkt(wkt).getArea == 4.0)
   }
+
+  test("ORC sink/scan round-trip preserves rows and pushes predicates") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.orders(spark, sf())
+    Io.writeOrc(src, s"$tmp/orders.orc")
+    val back = Io.readOrc(spark, s"$tmp/orders.orc")
+    assert(back.count() == src.count())
+    // values survive bit-for-bit (checksum over a stable projection)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderkey", $"o_totalprice").orderBy($"o_orderkey")
+        .agg(sum(hash($"o_orderkey", $"o_totalprice").cast("long"))).as[Long].head()
+    assert(sig(back) == sig(src))
+    // the scan prunes columns and pushes the key predicate like parquet
+    val plan = back.filter($"o_orderkey" === 1024L).select($"o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_orderkey"),
+      s"ORC pushdown missing:\n$plan")
+  }
 }

@@ -397,6 +397,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("quantile normalize maps ranks through an equi-joined spine") {
+    val p = plan("q_quantile_normalize")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the rank→value lookup is an EQUI join on idx — an inequality
+    // nest-loop against the cumulative histogram would be O(n·|hist|)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"spine join not an equi join:\n$p")
+    // per-source rank window keeps its source partitioning
+    assert(p.contains("hashpartitioning(source"), s"rank window lost partitioning:\n$p")
+    // histogram build keeps map-side combine
+    assert(p.contains("partial_count"), s"histogram lost combine:\n$p")
+  }
+
   test("label propagation rounds are keyed joins + v-partitioned windows") {
     val p = plan("q_label_propagation")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
