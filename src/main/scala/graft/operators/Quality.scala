@@ -74,6 +74,27 @@ object Quality {
         |SELECT check_name, n_violations, n_checked
         |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
       dqReport(s, d).orderBy(col("check_name"))
+    },
+
+    // k-anonymity audit over quasi-identifiers (lang, source, length
+    // band): equivalence classes smaller than k = 10 re-identify their
+    // members; the violating classes are the privacy-review artifact.
+    // One map-side-combined groupBy over the bounded QI space — the
+    // HAVING filter runs on class aggregates, never raw rows.
+    QueryDef.sql(
+      "q_k_anonymity",
+      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents
+        |GROUP BY lang, source, band
+        |HAVING COUNT(*) < 10
+        |ORDER BY lang, source, band""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("band"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 10)
+        .orderBy(col("lang"), col("source"), col("band"))
     }
   )
 

@@ -251,6 +251,40 @@ object Stats {
           floor((col("cs") * lit(1.0) + lit(100.0) * (col("gs") * lit(1.0) / col("gn")))
             / (col("cn") + lit(100L))).cast("long").as("enc_c"))
         .orderBy(col("event_type"), col("hr"))
+    },
+
+    // Statistical mode per key (most frequent event type per user) with
+    // a deterministic (count DESC, value ASC) tie-break, plus the mode's
+    // integer-exact q6 share of the key's rows. The rank/total windows
+    // run over the (user x event-type) AGGREGATE — bounded by the type
+    // vocabulary per user — never over raw rows, and the share is pure
+    // integer division so both engines agree bit-for-bit.
+    QueryDef.sql(
+      "q_mode_per_group",
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |t AS (
+        |  SELECT user_id, event_type, c,
+        |    SUM(c) OVER (PARTITION BY user_id) AS tot,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY c DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, c AS n_mode,
+        |  CAST((c * 1000000) // tot AS BIGINT) AS share_q6
+        |FROM t WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("user_id"))
+      c.select(col("user_id"), col("event_type"), col("c"),
+          sum(col("c")).over(w).as("tot"),
+          row_number().over(w.orderBy(col("c").desc, col("event_type"))).as("rk"))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("c").as("n_mode"),
+          expr("(c * 1000000) div tot").as("share_q6"))
+        .orderBy(col("user_id"))
     }
   )
 }

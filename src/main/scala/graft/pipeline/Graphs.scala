@@ -155,6 +155,56 @@ object Graphs {
     reached
   }
 
+  /** Deterministic integer edge weight in [1, 97] derived from the
+    * endpoint ids — both engines recompute it bit-for-bit. */
+  private def edgeWeight(src: org.apache.spark.sql.Column,
+      dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (pmod(src * 31 + dst * 17, lit(97L)) + 1).cast("long")
+
+  /** Single-source shortest path, Bellman-Ford relaxation bounded to
+    * `rounds` hops: each round joins the tentative-distance vector against
+    * the (once-materialized, src-partitioned) weighted edge list and takes
+    * the min of old and relaxed distances with one combiner-backed
+    * groupBy. All-integer weights, so min(dist) is exact and the oracle
+    * unrolls the rounds as min-merge CTEs.
+    *
+    * Scale posture = [[pageRank]]: per round one shuffle join of the
+    * distance vector (|reached| rows, ≤ V) against pre-partitioned edges
+    * plus one partial-min aggregate; the driver never sees a row. A full
+    * SSSP (rounds = V−1) would chain V jobs — at 100 TB run hop-bounded
+    * (neighborhood radius) exactly as exposed here, the standard
+    * iterative-relaxation shape. Returns (doc_id, dist). */
+  def shortestPaths(docs: DataFrame, source: Long, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1)
+    val edges = syntheticEdges(docs)
+      .select(col("src"), col("dst"), edgeWeight(col("src"), col("dst")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = docs.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist"))
+    for (r <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+      // same lineage rule as bfsHops: shallow unrolls stay one plan
+      if (rounds > 4 && r < rounds) dist = dist.localCheckpoint(true)
+    }
+    dist.select(col("v").as("doc_id"), col("dist"))
+  }
+
+  /** One Bellman-Ford round as a min-merge CTE. */
+  private def bfRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+       |    SELECT v, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS v, d.dist + e.w AS dist
+       |    FROM $prev d JOIN we e ON e.src = d.v)
+       |  GROUP BY v)""".stripMargin
+
   /** `rounds` integer-exact HITS iterations over the directed link graph:
     * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each half-round
     * max-normalized back to q6 scale (max instead of the textbook L2 norm
@@ -408,6 +458,29 @@ object Graphs {
         .groupBy(col("hop"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("hop"))
+    },
+
+    // Weighted single-source shortest path, 4 Bellman-Ford rounds from
+    // doc 0 over the link graph with deterministic integer weights —
+    // the oracle unrolls the relaxation as min-merge CTEs.
+    QueryDef.sql(
+      "q_shortest_path",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |we AS (
+         |  SELECT src, dst,
+         |    CAST((src * 31 + dst * 17) % 97 + 1 AS BIGINT) AS w FROM e0),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+         |${bfRoundSql("d0", "d1")},
+         |${bfRoundSql("d1", "d2")},
+         |${bfRoundSql("d2", "d3")},
+         |${bfRoundSql("d3", "d4")}
+         |SELECT CAST(v AS BIGINT) AS doc_id, dist
+         |FROM d4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      shortestPaths(Tables.documents(s, d), source = 0L, rounds = 4)
+        .orderBy(col("doc_id"))
     },
 
     // HITS hubs & authorities, 2 unrolled rounds (4 half-iterations),

@@ -57,6 +57,23 @@ class GraphsSpec extends SparkSpec {
         s"node $v at hop $h has no predecessor at hop ${h - 1}")
   }
 
+  test("shortestPaths matches driver-side Bellman-Ford on the doc graph") {
+    val docs = Tables.documents(spark, sf())
+    val got = Graphs.shortestPaths(docs, 0L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // brute-force the same SYNCHRONOUS bounded relaxation (one frontier
+    // per round, matching the engine's round semantics) on collected edges
+    val edges = Graphs.syntheticEdges(docs).as[(Long, Long)].collect()
+      .map { case (s, t) => (s, t, (s * 31 + t * 17) % 97 + 1) }
+    var sync = Map(0L -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (s, t, w) => sync.get(s).map(ds => t -> (ds + w)) }
+      sync = (sync.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
+    }
+    assert(got == sync)
+    assert(got(0L) == 0L && got.size > 1)
+  }
+
   test("skyline output is exactly the non-dominated set") {
     val pp = Tables.part(spark, sf())
       .select($"p_partkey".as[Long], $"p_size".cast("long").as[Long],

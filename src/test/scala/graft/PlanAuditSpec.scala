@@ -418,4 +418,30 @@ class PlanAuditSpec extends SparkSpec {
     // neighbor-label counts keep map-side combine
     assert(p.contains("partial_count"), s"label counts lost combine:\n$p")
   }
+
+  test("shortest-path rounds are equi joins with partial-min merges") {
+    val p = plan("q_shortest_path")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // each relaxation joins the distance vector on src — an equi join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"relaxation not an equi join:\n$p")
+    // min-merge keeps map-side partial aggregation
+    assert(p.contains("partial_min"), s"min merge lost combine:\n$p")
+  }
+
+  test("mode per group ranks over the aggregate, never raw rows") {
+    val p = plan("q_mode_per_group")
+    // the window input is the (user, type) COUNT aggregate: the plan must
+    // partial-count before any window runs
+    assert(p.contains("partial_count"), s"count lost combine:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"window lost user partitioning:\n$p")
+    assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
+  }
+
+  test("k-anonymity audit is one combined aggregate over the QI space") {
+    val p = plan("q_k_anonymity")
+    assert(p.contains("partial_count"), s"class sizes lost combine:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("CollectLimit"),
+      s"unexpected single-partition exchange:\n$p")
+  }
 }
