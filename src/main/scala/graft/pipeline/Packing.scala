@@ -114,6 +114,56 @@ object Packing {
         .limit(100)
     },
 
+    // Boilerplate REMOVAL (the apply step the detection query above only
+    // locates — the C4-style cleaning rule): any aligned block appearing
+    // in >= 3 distinct documents is chrome/template text and every
+    // occurrence is dropped. A fixed min-df (not one scaled to corpus
+    // size) is the right shape here: "repeated verbatim in 3+ documents"
+    // is the semantic, and under clone-heavy growth the flagged set only
+    // gets richer, never vacuous. Emits per-doc cleaning stats (blocks
+    // kept, blocks dropped, chars surviving). The df table is a
+    // combiner-backed group on the block hash — bounded by distinct
+    // blocks — and joins back to the narrow (doc_id, h) stream; raw text
+    // never shuffles twice.
+    QueryDef.sql(
+      "q_boilerplate_clean",
+      """WITH blocks AS (
+        |  SELECT doc_id, MD5(SUBSTR(text, CAST(k * 100 + 1 AS INTEGER), 100)) AS h
+        |  FROM documents,
+        |    UNNEST(RANGE(0, CAST(FLOOR((LENGTH(text) - 1) / 100) AS BIGINT) + 1)) AS u(k)
+        |  WHERE LENGTH(SUBSTR(text, CAST(k * 100 + 1 AS INTEGER), 100)) = 100),
+        |boiler AS (
+        |  SELECT h FROM blocks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+        |per_doc AS (
+        |  SELECT b.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM blocks b LEFT JOIN boiler bo ON bo.h = b.h
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, p.n_blocks, p.n_dropped,
+        |  CAST(d.n_chars - 100 * p.n_dropped AS BIGINT) AS clean_chars
+        |FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val blocks = chunks(docs, width = 100, stride = 100)
+        .filter(length(col("chunk")) === 100)
+        .select(col("doc_id"), md5(encode(col("chunk"), "UTF-8")).as("h"))
+      val boiler = blocks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("h"), lit(1L).as("is_boiler"))
+      val perDoc = blocks
+        .join(boiler, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_dropped"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+          (col("n_chars") - lit(100L) * col("n_dropped")).cast("long").as("clean_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // greedy 2048-token packing over 8 shards (tokens ~ chars/4); the
     // DuckDB recursive CTE replays the identical greedy walk per shard
     QueryDef.sql(

@@ -223,6 +223,38 @@ object Sessions {
   final case class DocKey(key: String, doc_id: Long)
   final case class Kept(key: String, doc_id: Long)
 
+  final case class HllRegState(maxrho: Long)
+  final case class HllReg(bucket: Int, maxrho: Long)
+
+  /** Streaming HyperLogLog registers: the continuous approximate-distinct
+    * counter. State is EXACTLY 64 rows (one max-rank register per bucket)
+    * no matter how many events stream through — registers are monotone
+    * maxes, so micro-batches merge by max and the latest emission per
+    * bucket IS the sketch. Shares [[graft.pipeline.Sketches.hllMix]] /
+    * `rhoOf` with the batch q_hll_distinct build, so stream and batch
+    * registers are bit-identical on the same data (StreamingSpec proves
+    * it) and a streamed register table can be merged with batch partials
+    * — the lambda-architecture property that makes HLL the 100 TB
+    * distinct-count shape. Emits a bucket's register only when a batch
+    * touched it (output O(64) per batch). */
+  def hllStream(events: DataFrame, key: org.apache.spark.sql.Column): Dataset[HllReg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (bucket, r) = graft.pipeline.Sketches.rhoOf(graft.pipeline.Sketches.hllMix(key))
+    events.select(bucket.cast("int").as("bucket"), r.as("r"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllRegState, HllReg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bkt, rows, state: GroupState[HllRegState]) =>
+          val prev = state.getOption.map(_.maxrho).getOrElse(0L)
+          var m = prev
+          rows.foreach { case (_, rr) => if (rr > m) m = rr }
+          state.update(HllRegState(m))
+          Iterator.single(HllReg(bkt, m))
+      }
+  }
+
   /** Streaming exact dedup, first-seen-wins (the stateful analogue of the
     * batch q_dedup_keep hash-groupBy: TextPipeline exact dedup, keeper =
     * min doc_id per content key): the FIRST arrival of each key is emitted,

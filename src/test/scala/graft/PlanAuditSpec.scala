@@ -438,6 +438,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
   }
 
+  test("boilerplate clean joins the narrow hash stream, never raw text twice") {
+    val p = plan("q_boilerplate_clean")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // block df is a combiner-backed group on the hash
+    assert(p.contains("partial_count"), s"df lost combine:\n$p")
+    // boiler lookup is an equi join on h
+    assert(p.contains("hashpartitioning(h") || p.contains("BroadcastHashJoin"),
+      s"boiler join not keyed on h:\n$p")
+  }
+
   test("k-anonymity audit is one combined aggregate over the QI space") {
     val p = plan("q_k_anonymity")
     assert(p.contains("partial_count"), s"class sizes lost combine:\n$p")

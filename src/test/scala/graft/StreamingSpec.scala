@@ -363,6 +363,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size)
   }
 
+  test("streaming HLL registers equal the batch registers (64-row state)") {
+    import graft.pipeline.Sketches
+    import org.apache.spark.sql.streaming.Trigger
+    // two micro-batches: the pass requires the second batch's ranks to
+    // max-merge into the first's register state. Registers are monotone,
+    // so max(maxrho) per bucket over the append snapshots = final sketch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
+    val inDir = s"$tmp/in"
+    val users = Tables.orders(spark, sf()).select($"o_custkey")
+    users.filter($"o_custkey" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    users.filter($"o_custkey" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = Sessions.hllStream(in, $"o_custkey")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_stream")
+      .groupBy($"bucket").agg(max($"maxrho").as("maxrho"))
+      .as[(Int, Long)].collect().toMap
+    // batch registers through the SAME shared mix — bit-identical or bust
+    val (bucket, r) = Sketches.rhoOf(Sketches.hllMix($"o_custkey"))
+    val batch = spark.read.parquet(inDir)
+      .select(bucket.cast("int").as("bucket"), r.as("r"))
+      .groupBy($"bucket").agg(max($"r").as("maxrho"))
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // fixed state: at most one register per bucket
+    assert(streamed.size <= Sketches.HllBuckets)
+  }
+
   test("sliding windows: streamed hop aggregates match batch on closed windows") {
     val tmp = Files.createTempDirectory("graft-hop").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
