@@ -431,6 +431,51 @@ object EventAnalytics {
         .limit(2000)
     },
 
+    // Linear multi-touch attribution (the fractional complement of the
+    // last-touch query above): every non-purchase touch within the 24 h
+    // lookback of a purchase shares its credit equally — credit per touch
+    // is the INTEGER q6 split 1000000 div n, so both engines sum exact
+    // integers and channel totals compare bit-for-bit. The touch↔purchase
+    // pairing is an equi join on user_id with a bounded time-range
+    // predicate — per-user work is bounded by activity inside the window,
+    // never a cross join; the per-purchase touch count is one
+    // combiner-backed groupBy on the pair stream.
+    QueryDef.sql(
+      "q_attribution_linear",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS pid, tus AS ptus
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, tus
+        |      FROM ev WHERE event_type <> 'purchase'),
+        |pt AS (
+        |  SELECT p.pid, t.channel
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tus < p.ptus AND t.tus >= p.ptus - 86400000000),
+        |n AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_t FROM pt GROUP BY pid),
+        |credit AS (
+        |  SELECT pt.channel, 1000000 // n.n_t AS c
+        |  FROM pt JOIN n USING (pid))
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(c) AS BIGINT) AS credit_q6
+        |FROM credit GROUP BY channel ORDER BY channel""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("tus").as("ptus"))
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"), col("tus"))
+      val pt = p.join(t, p("user_id") === t("user_id") &&
+          t("tus") < p("ptus") && t("tus") >= p("ptus") - 86400000000L)
+        .select(col("pid"), col("channel"))
+      val n = pt.groupBy(col("pid")).agg(count(lit(1)).as("n_t"))
+      pt.join(n, Seq("pid"))
+        .select(col("channel"), expr("1000000 div n_t").as("c"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("c")).as("credit_q6"))
+        .orderBy(col("channel"))
+    },
+
     // Entry-path analysis: each user's first three event types (event-time
     // order, id tie-break) as a '>'-joined path, counted across users.
     // The rank window is user-partitioned; the path assembly is a 3-row

@@ -289,6 +289,61 @@ object Sketches {
         .orderBy(col("grp"))
     },
 
+    // Rolling distinct-user estimate from MERGED daily HLL registers —
+    // the pre-aggregation pattern that makes sliding distinct counts
+    // tractable at 100 TB: the raw stream is scanned ONCE into per-day
+    // registers (days × 64 rows, time-bounded), and every 7-day window
+    // then max-merges fixed-size sketches instead of re-scanning events.
+    // An exact rolling COUNT DISTINCT would re-shuffle each day's raw
+    // rows into every window that covers it — 7× the data motion, growing
+    // with window width; the register merge moves 64 longs per day
+    // regardless of volume. The oracle replays the identical register
+    // algebra, so the differential pins the merge bit-for-bit.
+    QueryDef.sql(
+      "q_hll_rolling",
+      s"""WITH ${hllMixCtes("(SELECT CAST(ts AS DATE) AS day, user_id FROM events)",
+                            "user_id", "day,")},
+         |reg AS (
+         |  SELECT day, hv & 63 AS bucket,
+         |    MAX(26 - (${bitLenSql("(hv >> 6)")})) AS maxrho
+         |  FROM h GROUP BY day, hv & 63),
+         |days AS (SELECT DISTINCT day FROM reg),
+         |merged AS (
+         |  SELECT d.day, r.bucket, MAX(r.maxrho) AS maxrho
+         |  FROM days d JOIN reg r ON r.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day, r.bucket),
+         |spine AS (
+         |  SELECT d.day, b.bucket
+         |  FROM days d CROSS JOIN (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket) b),
+         |mx AS (
+         |  SELECT s.day, COALESCE(m.maxrho, 0) AS maxrho
+         |  FROM spine s LEFT JOIN merged m ON m.day = s.day AND m.bucket = s.bucket)
+         |SELECT day,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets /
+         |    SUM(1.0 / CAST((CAST(1 AS BIGINT) << maxrho) AS DOUBLE))) AS BIGINT) AS hll_est7
+         |FROM mx GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val (bucket, r) = rhoOf(hllMix(col("user_id")))
+      val reg = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), bucket.as("bucket"), r.as("r"))
+        .groupBy(col("day"), col("bucket")).agg(max(col("r")).as("maxrho"))
+      val days = reg.select(col("day")).distinct()
+      // the register table is days×64 — broadcast it into the window merge
+      val merged = days.as("d")
+        .join(broadcast(reg.as("r")),
+          col("r.day").between(date_sub(col("d.day"), 6), col("d.day")))
+        .groupBy(col("d.day").as("day"), col("r.bucket").as("bucket"))
+        .agg(max(col("r.maxrho")).as("maxrho"))
+      val spine = days.crossJoin(
+        broadcast(s.range(HllBuckets).select(col("id").as("bucket"))))
+      val mx = spine.join(merged, Seq("day", "bucket"), "left")
+        .select(col("day"), coalesce(col("maxrho"), lit(0L)).as("maxrho"))
+      mx.groupBy(col("day"))
+        .agg(floor(lit(0.709) * HllBuckets * HllBuckets /
+          sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)")))
+          .cast("long").as("hll_est7"))
+        .orderBy(col("day"))
+    },
+
     // Table checksum: an order-independent content fingerprint — the
     // integrity check a replication/reconciliation pipeline compares
     // across stores without moving data. Each row's column combination is

@@ -438,6 +438,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
   }
 
+  test("rolling HLL merges broadcast registers, raw rows scanned once") {
+    val p = plan("q_hll_rolling")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the window merge joins the (days×64) register table broadcast — the
+    // raw event stream must not re-shuffle into each window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"register merge not broadcast:\n$p")
+    // daily registers keep map-side max combine
+    assert(p.contains("partial_max"), s"registers lost combine:\n$p")
+  }
+
+  test("linear attribution pairs touches via an equi user join") {
+    val p = plan("q_attribution_linear")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"touch pairing not an equi join:\n$p")
+    // channel totals keep map-side combine
+    assert(p.contains("partial_count"), s"totals lost combine:\n$p")
+  }
+
   test("boilerplate clean joins the narrow hash stream, never raw text twice") {
     val p = plan("q_boilerplate_clean")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
