@@ -476,6 +476,44 @@ object EventAnalytics {
         .orderBy(col("channel"))
     },
 
+    // Consecutive-day activity streaks per user (gaps-and-islands on the
+    // DISTINCT active-day grid): day minus its per-user rank is constant
+    // within a run of consecutive days, so one user-partitioned window +
+    // two combiner-backed groupBys produce per-user streak stats. The
+    // window runs over the (user, day) DISTINCT grid — time-bounded per
+    // user, never raw events.
+    QueryDef.sql(
+      "q_user_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM days),
+        |isl AS (
+        |  SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val r = days.withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      val isl = r.groupBy(col("user_id"),
+          date_sub(col("day"), col("rn").cast("int")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+      isl.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    },
+
     // Entry-path analysis: each user's first three event types (event-time
     // order, id tie-break) as a '>'-joined path, counted across users.
     // The rank window is user-partitioned; the path assembly is a 3-row

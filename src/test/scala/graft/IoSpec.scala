@@ -103,6 +103,22 @@ class IoSpec extends SparkSpec {
     assert(graft.functions.GeoFunctions.parseWkt(wkt).getArea == 4.0)
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // lakehouse reality: a producer adds a column mid-stream; readers of
+    // the mixed directory must see the union schema with nulls backfilled
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v2 = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra")
+    v1.write.parquet(s"$tmp/t")
+    v2.write.mode("append").parquet(s"$tmp/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(merged.columns.toSet == Set("id", "s", "extra"))
+    val rows = merged.orderBy($"id")
+      .select($"id", $"s", $"extra").as[(Long, String, Option[Long])].collect()
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+  }
+
   test("ORC sink/scan round-trip preserves rows and pushes predicates") {
     val tmp = Files.createTempDirectory("graft-orc").toString
     val src = Tables.orders(spark, sf())

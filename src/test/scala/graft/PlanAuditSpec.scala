@@ -438,6 +438,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
   }
 
+  test("user streaks window the distinct day grid with user partitioning") {
+    val p = plan("q_user_streaks")
+    assert(p.contains("hashpartitioning(user_id"), s"window lost user partitioning:\n$p")
+    assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
+    // streak aggregation keeps map-side combine
+    assert(p.contains("partial_count"), s"islands lost combine:\n$p")
+  }
+
   test("rolling HLL merges broadcast registers, raw rows scanned once") {
     val p = plan("q_hll_rolling")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
