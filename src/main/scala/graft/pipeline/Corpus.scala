@@ -359,6 +359,60 @@ object Corpus {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // BM25 retrieval: score the corpus against a 3-term query and return
+    // the top 20 documents — the SEARCH complement of the per-doc TF-IDF
+    // view above. idf is the same odds-ratio q6; the length-normalized
+    // term factor is BM25's tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    // k1 = 6/5, b = 3/4 MULTIPLIED THROUGH by 10·sumdl into one integer
+    // ratio (22·tf·sumdl·10⁶) div (10·sumdl·tf + 3·sumdl + 9·dl·n) — no
+    // IEEE accumulation anywhere, so both engines agree exactly at any
+    // magnitude (terms ≤ 9·10¹⁷ at 32× scale, within int64). Per-term
+    // work is postings-sized (docs containing a query term), the dl/df
+    // sides are broadcast aggregates — the scatter-gather shape of a
+    // distributed search head.
+    QueryDef.sql(
+      "q_bm25_search",
+      s"""WITH $toksSql,
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+         |g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |  WHERE t IN ('table', 'hash', 'stream') GROUP BY doc_id, t),
+         |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(FLOOR((nn.n_docs - df.df + 0.5) * CAST(1000000.0 AS DOUBLE)
+         |               / (df.df + 0.5)) AS BIGINT)
+         |      * ((22 * tf.tf * g.sumdl * 1000000)
+         |         // (10 * g.sumdl * tf.tf + 3 * g.sumdl + 9 * d2.dl * g.n)) AS s
+         |  FROM tf JOIN df USING (t) JOIN dl d2 ON d2.doc_id = tf.doc_id
+         |  CROSS JOIN nn CROSS JOIN g)
+         |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = tokRows(s, d)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val g = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      val tf = toks.filter(col("t").isin("table", "hash", "stream"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dft), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          (floor((col("n_docs") - col("df") + 0.5) * lit(1000000.0)
+              / (col("df") + 0.5)).cast("long")
+            * expr("(22 * tf * sumdl * 1000000) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n)"))
+            .as("s"))
+      scored.groupBy(col("doc_id"))
+        .agg(sum(col("s")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
     // Inverted index: per term, document frequency plus the head of the
     // posting list (first 10 doc_ids — the truncated-postings shape an
     // impact-ordered index ships). The postings string is built from a

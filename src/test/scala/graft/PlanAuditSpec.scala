@@ -438,6 +438,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
   }
 
+  test("bm25 search broadcasts df/length stats into a postings-sized scan") {
+    val p = plan("q_bm25_search")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // df / corpus aggregates ride broadcast; scoring joins stay equi
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"stats not broadcast:\n$p")
+    // tf build keeps map-side combine
+    assert(p.contains("partial_count"), s"tf lost combine:\n$p")
+  }
+
   test("user streaks window the distinct day grid with user partitioning") {
     val p = plan("q_user_streaks")
     assert(p.contains("hashpartitioning(user_id"), s"window lost user partitioning:\n$p")
