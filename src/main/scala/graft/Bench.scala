@@ -77,14 +77,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"sf":"$sfDir"}"""
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the full JSON to a repo file: the driver's stdout capture
-    // window has truncated the one-line JSON two rounds running (BENCH_r05
-    // parsed:null), which hides per-query regressions. File beats pipe.
+    val json = toJson(results, total)
+    // The full per-query JSON goes to a repo file; stdout gets a COMPACT
+    // line (total + the 24 slowest queries + any failures) because the
+    // driver's stdout tail window truncates a 180-query line from the
+    // FRONT, which breaks its JSON parse (BENCH_r05..r07 parsed:null).
+    // The compact line carries exactly what a regression triage needs;
+    // bench_full_latest.json remains the canonical capture.
+    val headline = (results.filter(_._2 < 0) ++
+      results.filter(_._2 >= 0).sortBy(-_._2).take(24)).sortBy(_._1)
+    println(toJson(headline, total))
     // A BENCH_ONLY dev run must NOT masquerade as the full capture —
     // unless the caller names an explicit out file, it stays stdout-only.
     try {
@@ -93,7 +101,7 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
       if (out != null)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist bench json: ${e.getMessage}")
     }

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep the default INT96 timestamp output: DuckDB reads INT96 as a
+      // NAIVE timestamp (matching oracle literals), whereas INT64 micros
+      // carry isAdjustedToUTC=true and come back as timestamptz (+00:00)
+      // — which would break every timestamp compare. The one INT96 trap
+      // (pyarrow converts to ns, wrapping far-future values) is handled
+      // by keeping all emitted timestamps inside the ns range.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

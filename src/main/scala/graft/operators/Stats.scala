@@ -285,6 +285,116 @@ object Stats {
           col("c").as("n_mode"),
           expr("(c * 1000000) div tot").as("share_q6"))
         .orderBy(col("user_id"))
+    },
+
+    // Benford first-digit audit (the classic fabricated-data screen for a
+    // numeric fact column): distribution of the first significant digit
+    // of `value`, per event type, against the Benford expectation
+    // log10(1+1/d). The expectation enters as a 9-entry INTEGER constant
+    // table (q6, summing to exactly 1e6) shared by both engines, so no
+    // log is ever evaluated at runtime; the observed share and its
+    // deviation are pure integer division over the per-type counts. One
+    // map-side-combined groupBy over ≤ 9 × |types| cells — no shuffle
+    // beyond the aggregate, no windows over raw rows.
+    QueryDef.sql(
+      "q_benford",
+      """WITH digits AS (
+        |  SELECT event_type,
+        |    CAST(SUBSTR(CAST(CAST(FLOOR(value * 1000000) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS d
+        |  FROM events WHERE CAST(FLOOR(value * 1000000) AS BIGINT) >= 1),
+        |c AS (
+        |  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM digits GROUP BY event_type, d),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.d, c.n,
+        |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS obs_q6,
+        |  CAST(CASE c.d WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS exp_q6,
+        |  CAST(ABS((c.n * 1000000) // t.tot
+        |    - CASE c.d WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |      WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END) AS BIGINT) AS dev_q6
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.d""".stripMargin) { (s, d) =>
+      val expQ6 = {
+        // q6 of log10(1+1/d), d=1..9; the 9 entries sum to exactly 1e6
+        val tbl = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+          5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+        tbl.init.foldRight(lit(tbl.last._2): org.apache.spark.sql.Column) {
+          case ((dg, v), acc) => when(col("d") === dg, lit(v)).otherwise(acc)
+        }
+      }
+      val q6 = floor(col("value") * 1000000).cast("long")
+      val c = Tables.events(s, d)
+        .filter(q6 >= 1)
+        .select(col("event_type"),
+          substring(q6.cast("string"), 1, 1).cast("long").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("d"), col("n"),
+          expr("(n * 1000000) div tot").as("obs_q6"),
+          expQ6.as("exp_q6"),
+          abs(expr("(n * 1000000) div tot") - expQ6).cast("long").as("dev_q6"))
+        .orderBy(col("event_type"), col("d"))
+    },
+
+    // Lag-k autocorrelation (k = 1, 7) of the daily event-count series
+    // per event type — the feature-engineering readout that tells a
+    // pipeline whether a series has day-over-day momentum or weekly
+    // seasonality. Pairs (x_t, x_{t-k}) come from a LAG window over the
+    // BOUNDED daily grid (days × types, never raw rows); the five moment
+    // sums are exact BIGINTs and the final Pearson ratio is one shared
+    // IEEE expression floor-quantized to q6.
+    QueryDef.sql(
+      "q_autocorr_lag",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |lagged AS (
+        |  SELECT event_type, k.lag AS lag, x,
+        |    LAG(x, CAST(k.lag AS INTEGER)) OVER (
+        |      PARTITION BY event_type, k.lag ORDER BY day) AS xl
+        |  FROM daily CROSS JOIN (SELECT UNNEST([1, 7]) AS lag) k),
+        |m AS (
+        |  SELECT event_type, lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(xl) AS BIGINT) AS sy,
+        |    CAST(SUM(x*xl) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(xl*xl) AS BIGINT) AS syy
+        |  FROM lagged WHERE xl IS NOT NULL GROUP BY event_type, lag)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |    / (SQRT((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))
+        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT) AS acf_q6
+        |FROM m ORDER BY event_type, lag""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val lagged = daily
+        .select(col("event_type"), col("day"), col("x"),
+          explode(array(lit(1), lit(7))).as("lag"))
+      val k1 = Window.partitionBy(col("event_type"), col("lag")).orderBy(col("day"))
+      val withLag = lagged
+        .withColumn("xl", when(col("lag") === 1, lag(col("x"), 1).over(k1))
+          .otherwise(lag(col("x"), 7).over(k1)))
+        .filter(col("xl").isNotNull)
+      val m = withLag.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("xl")).as("sy"),
+          sum(col("x") * col("xl")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("xl") * col("xl")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0)
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0)
+      m.select(col("event_type"), col("lag").cast("long").as("lag"), col("n"),
+          floor(cov * lit(1000000.0) / (sqrt(vx) * sqrt(vy))).cast("long").as("acf_q6"))
+        .orderBy(col("event_type"), col("lag"))
     }
   )
 }

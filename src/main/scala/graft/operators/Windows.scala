@@ -374,6 +374,16 @@ object Windows {
     // close each interval with the next interval's start (LEAD) and the
     // warehouse high-date sentinel on the current row. Every window
     // partitions by user_id — per-key state only, no global ordering.
+    //
+    // The sentinel must stay inside the pandas datetime64[ns] range
+    // (1677..2262): Spark writes INT96 timestamps that pyarrow converts
+    // to nanoseconds, and a 9999-12-31 high date silently WRAPS in that
+    // conversion (observed: r07 hash mismatch with identical rows) while
+    // DuckDB reads the same file correctly. 2200-01-01 is ns-safe in
+    // every reader and is just as unmistakably "open interval".
+    // The versioned window additionally orders by the island id — a
+    // deterministic total order even if two islands of the same type
+    // ever shared a start timestamp.
     QueryDef.sql(
       "q_scd2",
       """WITH numbered AS (
@@ -383,26 +393,27 @@ object Windows {
         |      AS island
         |  FROM events),
         |intervals AS (
-        |  SELECT user_id, event_type, MIN(ts) AS valid_from,
+        |  SELECT user_id, event_type, island, MIN(ts) AS valid_from,
         |    CAST(COUNT(*) AS BIGINT) AS n_events
         |  FROM numbered GROUP BY user_id, event_type, island),
         |versioned AS (
         |  SELECT user_id, event_type, valid_from, n_events,
         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
         |    COALESCE(LEAD(valid_from) OVER w,
-        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |             TIMESTAMP '2200-01-01 00:00:00') AS valid_to
         |  FROM intervals
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type, island))
         |SELECT user_id, version, event_type, valid_from, valid_to,
-        |  CAST(valid_to = TIMESTAMP '9999-12-31 00:00:00' AS BIGINT) AS is_current,
+        |  CAST(valid_to = TIMESTAMP '2200-01-01 00:00:00' AS BIGINT) AS is_current,
         |  n_events
         |FROM versioned ORDER BY user_id, version""".stripMargin) { (s, d) =>
       val byTime = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val byTimeInType = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
-      val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_type"))
-      val hi = to_timestamp(lit("9999-12-31 00:00:00"))
+      val byStart = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_type"), col("island"))
+      val hi = to_timestamp(lit("2200-01-01 00:00:00"))
       Tables.events(s, d)
         .withColumn("island",
           row_number().over(byTime) - row_number().over(byTimeInType))
