@@ -667,6 +667,99 @@ object EventAnalytics {
           col("b.event_type").as("to_type"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Peak interval concurrency per user (max simultaneously-open
+    // sessions — the companion to q_interval_union's covered-time): each
+    // event opens a 5-minute interval; the classic sweep line turns every
+    // interval into a +1/-1 endpoint pair, a per-user running sum gives
+    // the open-interval depth, and the peak is the max depth. Ends sort
+    // before starts at the same instant (delta -1 < +1), so touching
+    // intervals do not double-count — half-open [s, e) semantics. All
+    // windows are per-user partitions over 2× the user's own events;
+    // first_peak_us is the earliest sweep position reaching the peak,
+    // which is deterministic because depth at a position does not depend
+    // on the order of equal-delta ties.
+    QueryDef.sql(
+      "q_interval_concurrency",
+      """WITH pts AS (
+        |  SELECT user_id, EPOCH_US(ts) AS t, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT user_id, EPOCH_US(ts) + 300000000, -1, event_id FROM events),
+        |run AS (
+        |  SELECT user_id, t, delta,
+        |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS depth
+        |  FROM pts),
+        |pk AS (SELECT user_id, CAST(MAX(depth) AS BIGINT) AS peak FROM run GROUP BY user_id)
+        |SELECT r.user_id, p.peak, CAST(MIN(r.t) AS BIGINT) AS first_peak_us
+        |FROM run r JOIN pk p ON r.user_id = p.user_id AND r.depth = p.peak
+        |GROUP BY r.user_id, p.peak ORDER BY r.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val starts = ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        lit(1).as("delta"), col("event_id"))
+      val ends = ev.select(col("user_id"),
+        (unix_micros(col("ts")) + 300000000L).as("t"),
+        lit(-1).as("delta"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val run = starts.unionAll(ends)
+        .withColumn("depth", sum(col("delta")).over(w))
+      val pk = run.groupBy(col("user_id"))
+        .agg(max(col("depth")).cast("long").as("peak"))
+      run.join(pk.withColumnRenamed("user_id", "pu"),
+          col("user_id") === col("pu") && col("depth") === col("peak"))
+        .groupBy(col("user_id"), col("peak"))
+        .agg(min(col("t")).as("first_peak_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // DAU/MAU stickiness (the engagement ratio product teams track): per
+    // day, distinct actives that day over distinct actives in the
+    // trailing 30 days, as integer q6. Both counts come off the
+    // PRE-REDUCED distinct (day, user) grid — DAU directly, MAU by
+    // exploding each grid row into the 30 forward days it contributes to
+    // (bounded 30× blow-up of an already user×day-bounded table, the
+    // same contribution trick as q_rolling_dau — never a window over raw
+    // events).
+    QueryDef.sql(
+      "q_stickiness",
+      """WITH du AS (
+        |  SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |contrib AS (
+        |  SELECT du.day + o AS tday, du.user_id
+        |  FROM du CROSS JOIN UNNEST(RANGE(0, 30)) AS u(o)),
+        |mau AS (
+        |  SELECT c.tday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+        |  FROM contrib c CROSS JOIN span
+        |  WHERE c.tday BETWEEN span.d0 AND span.d1
+        |  GROUP BY c.tday)
+        |SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, mau.mau,
+        |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stick_q6
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val dayUs = 86400000000L
+      val du = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $dayUs").as("day"), col("user_id"))
+        .distinct()
+      val span = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = du
+        .select(explode(sequence(col("day"), col("day") + 29)).as("tday"),
+          col("user_id"))
+        .crossJoin(broadcast(span))
+        .filter(col("tday").between(col("d0"), col("d1")))
+        .groupBy(col("tday").as("day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("(dau * 1000000) div mau").as("stick_q6"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -328,6 +328,131 @@ object Lexical {
         .select(col("doc_id"), col("n_bg"),
           expr("tot div n_bg").cast("long").as("lm_q6"))
         .orderBy(col("doc_id"))
+    },
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal runs of 1–4 consecutive non-stopword tokens (gaps-and-
+    // islands on the token position grid, per doc); each word scores
+    // degree/frequency where degree sums the lengths of the phrases it
+    // appears in, and a phrase scores the sum of its words' scores. The
+    // division is integer q6 so both engines agree exactly. Word stats
+    // are keyed by word (vocabulary-bounded shuffle join, same posture
+    // as the PMI marginals); phrase text is rebuilt with an array_sort
+    // on (pos, token) structs — never collect_list order. Top 20 by
+    // (score DESC, phrase) with a deterministic limit.
+    QueryDef.sql(
+      "q_rake_keywords",
+      s"""WITH tk AS (
+         |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS arr
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, GENERATE_SUBSCRIPTS(arr, 1) AS pos, UNNEST(arr) AS t
+         |  FROM tk),
+         |nonstop AS (
+         |  SELECT doc_id, pos, t,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM tok
+         |  WHERE t NOT IN ('the', 'a', 'of', 'to', 'and')),
+         |phr AS (
+         |  SELECT doc_id, island,
+         |    STRING_AGG(t, ' ' ORDER BY pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS len
+         |  FROM nonstop GROUP BY doc_id, island
+         |  HAVING COUNT(*) <= 4),
+         |member AS (
+         |  SELECT p.doc_id, p.island, p.phrase, p.len, n.t
+         |  FROM phr p JOIN nonstop n
+         |    ON n.doc_id = p.doc_id AND n.island = p.island),
+         |wstat AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(len) AS BIGINT) AS degree
+         |  FROM member GROUP BY t),
+         |pscore AS (
+         |  SELECT m.doc_id, m.island, m.phrase,
+         |    CAST(SUM((w.degree * 1000000) // w.freq) AS BIGINT) AS score_q6
+         |  FROM member m JOIN wstat w ON w.t = m.t
+         |  GROUP BY m.doc_id, m.island, m.phrase),
+         |agg AS (
+         |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |    MAX(score_q6) AS score_q6
+         |  FROM pscore GROUP BY phrase)
+         |SELECT phrase, n_occ, score_q6 FROM agg
+         |ORDER BY score_q6 DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+      val tok = tokArr(s, d)
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "t")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("t"))
+      val nonstop = tok
+        .filter(!col("t").isin("the", "a", "of", "to", "and"))
+        .withColumn("island", col("pos") -
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val phr = nonstop
+        .groupBy(col("doc_id"), col("island"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("phrase"),
+          count(lit(1)).as("len"))
+        .filter(col("len") <= 4)
+      val member = phr.join(nonstop.select(col("doc_id"), col("island"), col("t")),
+        Seq("doc_id", "island"))
+      val wstat = member.groupBy(col("t"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
+      val pscore = member.join(wstat, Seq("t"))
+        .groupBy(col("doc_id"), col("island"), col("phrase"))
+        .agg(sum(expr("(degree * 1000000) div freq")).as("score_q6"))
+      pscore.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), max(col("score_q6")).as("score_q6"))
+        .orderBy(col("score_q6").desc, col("phrase"))
+        .limit(20)
+    },
+
+    // URL canonicalization before dedup (every web-corpus pipeline's
+    // first dedup key): synthesize the messy variants a crawler sees
+    // (case-shifted hosts, tracking queries, fragments, trailing
+    // slashes) from the part table, then normalize — strip query +
+    // fragment, lowercase the host, drop the trailing slash — and count
+    // how many raw spellings and rows collapse onto each canonical URL.
+    // Pure per-row regexp work + one combiner-backed groupBy; the
+    // anchored patterns behave identically under Spark's replace-all
+    // and DuckDB's replace-first because each can match at most once.
+    QueryDef.sql(
+      "q_url_normalize",
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE p_partkey % 4
+        |      WHEN 0 THEN 'https://Shop' || (p_partkey % 20) || '.com/items/' || (p_partkey % 100)
+        |      WHEN 1 THEN 'https://shop' || (p_partkey % 20) || '.com/items/' || (p_partkey % 100) || '/'
+        |      WHEN 2 THEN 'https://shop' || (p_partkey % 20) || '.com/items/' || (p_partkey % 100) || '?utm_source=feed&ref=x'
+        |      ELSE 'https://SHOP' || (p_partkey % 20) || '.com/items/' || (p_partkey % 100) || '#section-2'
+        |    END AS url
+        |  FROM part),
+        |norm AS (
+        |  SELECT url,
+        |    'https://' || LOWER(REGEXP_EXTRACT(REGEXP_REPLACE(url, '[#?].*$', ''), '^https://([^/]+)', 1))
+        |      || REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(url, '[#?].*$', ''), '^https://[^/]+', ''), '/$', '')
+        |      AS canon
+        |  FROM raw)
+        |SELECT canon, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM norm GROUP BY canon ORDER BY canon""".stripMargin) { (s, d) =>
+      val k = col("p_partkey")
+      val base = concat(lit("https://"),
+        when(pmod(k, lit(4)) === 0, "Shop")
+          .when(pmod(k, lit(4)) === 3, "SHOP").otherwise("shop"),
+        pmod(k, lit(20)), lit(".com/items/"), pmod(k, lit(100)))
+      val raw = Tables.part(s, d).select(
+        concat(base, when(pmod(k, lit(4)) === 1, "/")
+          .when(pmod(k, lit(4)) === 2, "?utm_source=feed&ref=x")
+          .when(pmod(k, lit(4)) === 3, "#section-2").otherwise("")).as("url"))
+      val stripped = regexp_replace(col("url"), "[#?].*$", "")
+      val norm = raw.select(col("url"),
+        concat(lit("https://"),
+          lower(regexp_extract(stripped, "^https://([^/]+)", 1)),
+          regexp_replace(regexp_replace(stripped, "^https://[^/]+", ""), "/$", ""))
+          .as("canon"))
+      norm.groupBy(col("canon"))
+        .agg(countDistinct(col("url")).as("n_raw_forms"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("canon"))
     }
   )
 }

@@ -437,6 +437,168 @@ object Sketches {
           max(when(col("side") === 1, col("ck"))).as("ck_b"))
         .filter(col("ck_a") =!= col("ck_b"))
         .orderBy(col("bucket"))
+    },
+
+    // HLL set algebra: estimate |A ∩ B| (click users ∩ purchase users)
+    // by inclusion–exclusion over three register sets — est(A) + est(B)
+    // − est(A ∪ B), where the UNION registers are just the bucketwise
+    // MAX of the two sides' registers (the mergeability that makes HLL
+    // the 100 TB audience-overlap primitive: per-segment sketches are
+    // built once and intersected without touching raw ids). Registers
+    // share [[hllMix]] with every other HLL query; each estimate is the
+    // same floor(0.709·m²/z) readout, so both engines agree bit-for-bit.
+    // The exact intersect rides along as the quality yardstick.
+    QueryDef.sql(
+      "q_hll_intersect",
+      s"""WITH du AS (
+         |  SELECT DISTINCT user_id,
+         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |${hllMixCtes("du", "user_id", "side,")},
+         |reg AS (
+         |  SELECT side, hv & 63 AS bucket,
+         |    MAX(26 - (${bitLenSql("(hv >> 6)")})) AS maxrho
+         |  FROM h GROUP BY side, hv & 63),
+         |ureg AS (SELECT bucket, MAX(maxrho) AS maxrho FROM reg GROUP BY bucket),
+         |grid AS (SELECT UNNEST(RANGE(0, $HllBuckets)) AS bucket),
+         |za AS (
+         |  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << COALESCE(r.maxrho, 0)) AS DOUBLE)) AS z
+         |  FROM grid g LEFT JOIN (SELECT bucket, maxrho FROM reg WHERE side = 0) r
+         |    ON r.bucket = g.bucket),
+         |zb AS (
+         |  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << COALESCE(r.maxrho, 0)) AS DOUBLE)) AS z
+         |  FROM grid g LEFT JOIN (SELECT bucket, maxrho FROM reg WHERE side = 1) r
+         |    ON r.bucket = g.bucket),
+         |zu AS (
+         |  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << COALESCE(r.maxrho, 0)) AS DOUBLE)) AS z
+         |  FROM grid g LEFT JOIN ureg r ON r.bucket = g.bucket),
+         |ex AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+         |    SELECT user_id FROM du WHERE side = 0
+         |    INTERSECT SELECT user_id FROM du WHERE side = 1))
+         |SELECT ex.n_exact,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / za.z) AS BIGINT) AS est_a,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / zb.z) AS BIGINT) AS est_b,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / zu.z) AS BIGINT) AS est_union,
+         |  CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / za.z) AS BIGINT)
+         |    + CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / zb.z) AS BIGINT)
+         |    - CAST(FLOOR(0.709 * $HllBuckets * $HllBuckets / zu.z) AS BIGINT) AS est_intersect
+         |FROM ex, za, zb, zu""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"))
+        .distinct()
+      val hv = hllMix(col("user_id"))
+      val (bucket, r) = rhoOf(hv)
+      val reg = du.select(col("side"), bucket.as("bucket"), r.as("r"))
+        .groupBy(col("side"), col("bucket")).agg(max(col("r")).as("maxrho"))
+      val ureg = reg.groupBy(col("bucket")).agg(max(col("maxrho")).as("maxrho"))
+      val grid = s.range(HllBuckets).select(col("id").as("bucket"))
+      def zOf(rs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        grid.join(rs, Seq("bucket"), "left")
+          .select(coalesce(col("maxrho"), lit(0L)).as("maxrho"))
+          .agg(sum(lit(1.0) /
+            expr("cast(shiftleft(cast(1 as bigint), cast(maxrho as int)) as double)"))
+            .as("z"))
+      def est(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(lit(0.709) * HllBuckets * HllBuckets / z).cast("long")
+      val za = zOf(reg.filter(col("side") === 0).select(col("bucket"), col("maxrho")))
+        .withColumnRenamed("z", "za")
+      val zb = zOf(reg.filter(col("side") === 1).select(col("bucket"), col("maxrho")))
+        .withColumnRenamed("z", "zb")
+      val zu = zOf(ureg).withColumnRenamed("z", "zu")
+      val ex = du.filter(col("side") === 0).select(col("user_id"))
+        .intersect(du.filter(col("side") === 1).select(col("user_id")))
+        .agg(count(lit(1)).as("n_exact"))
+      ex.crossJoin(broadcast(za)).crossJoin(broadcast(zb)).crossJoin(broadcast(zu))
+        .select(col("n_exact"),
+          est(col("za")).as("est_a"), est(col("zb")).as("est_b"),
+          est(col("zu")).as("est_union"),
+          (est(col("za")) + est(col("zb")) - est(col("zu"))).as("est_intersect"))
+    },
+
+    // Heavy hitters through a mergeable Misra–Gries summary: each
+    // partition keeps AT MOST k' = 512 (token, count) residues, partials
+    // merge by count-addition + subtract-the-(k'+1)-th-largest — fixed
+    // state regardless of stream length, the mergeable-summary contract
+    // (Agarwal et al., "Mergeable Summaries", PODS'12). The MG guarantee
+    // (undercount < n/k') makes the candidate set a SUPERSET of every
+    // token with true count > n/256, so the exact recount restricted to
+    // candidates + the threshold filter yields the EXACT heavy-hitter
+    // set — deterministic even though the summary's residues are
+    // order-dependent; only the guaranteed part of the summary is
+    // observable in the output. The oracle recomputes it naively.
+    QueryDef.sql(
+      "q_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM tok),
+        |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t)
+        |SELECT c.t AS token, c.n,
+        |  CAST((c.n * 1000000) // tot.tot AS BIGINT) AS share_q6
+        |FROM c CROSS JOIN tot WHERE c.n * 256 > tot.tot
+        |ORDER BY token""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("t"))
+      val mg = udaf(new MisraGriesAgg(512))
+      val cand = toks.agg(mg(col("t")).as("joined"))
+        .select(explode(split(col("joined"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      toks.join(broadcast(cand), Seq("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * 256 > col("tot"))
+        .select(col("t").as("token"), col("n"),
+          expr("(n * 1000000) div tot").as("share_q6"))
+        .orderBy(col("token"))
     }
   )
+
+  /** Misra–Gries frequent-items summary as a Spark [[Aggregator]]: at
+    * most k residual counters per partial; merge adds counts then
+    * subtracts the (k+1)-th largest so the buffer never exceeds k.
+    * Any item with true frequency > n/k survives to the final buffer
+    * (total decrement across the merge tree ≤ n/(k+1)); callers MUST
+    * treat the output as a candidate superset and recount exactly —
+    * the residues themselves are partition-order-dependent, so only
+    * candidate MEMBERSHIP above the guarantee threshold is stable.
+    * Output is the space-joined sorted key list (a plain STRING column
+    * keeps the encoder story trivial; tokens are [a-z0-9]+ so the
+    * separator cannot collide). */
+  final class MisraGriesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, scala.collection.mutable.HashMap[String, Long], String] {
+    type B = scala.collection.mutable.HashMap[String, Long]
+    override def zero: B = scala.collection.mutable.HashMap.empty
+    override def reduce(b: B, t: String): B = {
+      if (b.contains(t)) b(t) += 1L
+      else if (b.size < k) b(t) = 1L
+      else {
+        // decrement-all (amortized O(1): at most n/(k+1) decrements total)
+        val dead = b.iterator.collect { case (s, c) if c == 1L => s }.toList
+        b.mapValuesInPlace((_, c) => c - 1L)
+        dead.foreach(b.remove)
+      }
+      b
+    }
+    override def merge(a: B, b: B): B = {
+      b.foreach { case (s, c) => a(s) = a.getOrElse(s, 0L) + c }
+      if (a.size > k) {
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        val kept = a.iterator.filter(_._2 > cut).toList
+        a.clear()
+        kept.foreach { case (s, c) => a(s) = c - cut }
+      }
+      a
+    }
+    override def finish(b: B): String = b.keys.toSeq.sorted.mkString(" ")
+    override def bufferEncoder: org.apache.spark.sql.Encoder[B] =
+      org.apache.spark.sql.Encoders.kryo[B]
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
 }

@@ -492,4 +492,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition") || p.contains("CollectLimit"),
       s"unexpected single-partition exchange:\n$p")
   }
+
+  test("interval concurrency sweeps per-user partitions, never globally") {
+    val p = plan("q_interval_concurrency")
+    // every Window must carry a user_id partition spec — a bare
+    // `Window [... ORDER BY ...]` with no partitioning would move the
+    // whole endpoint stream to one task
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"global window in sweep:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("stickiness reduces to the day-user grid before the 30x explode") {
+    val p = plan("q_stickiness")
+    // the distinct (day, user) reduction must combine map-side BEFORE
+    // the 30-day contribution explode multiplies rows
+    assert(p.contains("partial_"), s"grid reduction lost combine:\n$p")
+    assert(p.contains("Generate explode"), s"contribution explode missing:\n$p")
+  }
+
+  test("heavy hitters recount is an equi join on the candidate tokens") {
+    val p = plan("q_heavy_hitters")
+    // MG candidates broadcast back against the token stream — the
+    // recount must be a broadcast hash join, not a shuffle of all tokens
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("ndcg ranking reuses the bruteforce broadcast-probe shape") {
+    val p = plan("q_ndcg_eval")
+    // probe side (8 vectors) broadcasts; corpus side streams — no
+    // shuffle of the full pair set before the per-probe top-10 window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.forall(_.contains("qid")), s"rank window not per-probe:\n$p")
+  }
+
+  test("rake word stats join on the vocabulary key, phrases rebuilt sorted") {
+    val p = plan("q_rake_keywords")
+    // word-stat join keyed by token (shuffle on vocabulary, fine) or
+    // broadcast under AQE — but never cartesian; phrase rebuild must
+    // use array_sort, not raw collect order
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the physical plan elides aggregate expression trees — assert the
+    // canonical sort on the optimized logical plan instead
+    val lp = SparkEntry.queries("q_rake_keywords")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("array_sort"), s"phrase order not canonicalized:\n$lp")
+  }
 }

@@ -40,4 +40,29 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_approx_count_distinct"),
       s"expected a partial HLL aggregate in:\n$plan")
   }
+
+  test("Misra-Gries summary keeps every item above the n/k guarantee") {
+    // adversarial stream: heavy items buried in a long tail, split across
+    // partials merged in a skewed tree (the worst case for the subtract-
+    // the-(k+1)th merge rule)
+    val k = 16
+    val agg = new graft.pipeline.Sketches.MisraGriesAgg(k)
+    val heavy = (1 to 4).flatMap(i => Seq.fill(500 * i)(s"hh$i"))
+    val tail = (1 to 3000).map(i => s"t${i % 997}")
+    val rnd = new scala.util.Random(42) // deterministic shuffle seed
+    val items = rnd.shuffle(heavy ++ tail)
+    val n = items.length
+    // 8 partials, unequal sizes, merged left-to-right
+    val parts = items.grouped(math.max(1, n / 8 + 1)).toList
+    val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+    val merged = partials.reduce(agg.merge)
+    val out = agg.finish(merged).split(" ").toSet
+    val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+    val mustHave = exact.filter { case (_, c) => c.toLong * k > n }.keySet
+    assert(mustHave.nonEmpty, "fixture produced no heavy hitters")
+    assert(mustHave.subsetOf(out),
+      s"MG lost guaranteed items: ${mustHave -- out}")
+    // and the buffer never exceeded k entries
+    assert(merged.size <= k, s"buffer ${merged.size} > k=$k")
+  }
 }
