@@ -368,6 +368,66 @@ object Windows {
         .orderBy(col("user_id"))
     },
 
+    // Debounce / alert throttling: keep an event only if it arrives ≥ 6
+    // hours after the last KEPT event of the same user — inherently
+    // sequential state (the threshold anchors to the last survivor, not
+    // the previous row, so no gaps-and-islands rewrite exists). The
+    // engine runs it as the same per-user repartition + in-partition
+    // scan as the EWMA operator (mapPartitions is the documented last
+    // resort for genuinely sequential per-key state — SURVEY §7.5);
+    // the oracle replays the identical recursion as a recursive CTE
+    // stepping one row per user per level. Output is the per-user
+    // summary (kept count + id checksum), so both engines agree without
+    // emitting every survivor row.
+    QueryDef.sql(
+      "q_debounce",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, t AS last_kept, CAST(1 AS BIGINT) AS n_kept,
+        |    (event_id % 1000003) AS ck
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN e.t >= r.last_kept + 21600000000 THEN e.t ELSE r.last_kept END,
+        |    r.n_kept + CASE WHEN e.t >= r.last_kept + 21600000000 THEN 1 ELSE 0 END,
+        |    (r.ck + CASE WHEN e.t >= r.last_kept + 21600000000
+        |       THEN e.event_id % 1000003 ELSE 0 END) % 1000003
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |fin AS (
+        |  SELECT user_id, rn, n_kept, ck,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        |  FROM r)
+        |SELECT user_id, CAST(rn AS BIGINT) AS n_events, n_kept,
+        |  CAST(ck AS BIGINT) AS kept_ck
+        |FROM fin WHERE rr = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("t"), col("event_id"))
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var cur = Long.MinValue
+          var lastKept = 0L; var n = 0L; var nKept = 0L; var ck = 0L
+          def flush(): Unit = if (n > 0) out += ((cur, n, nKept, ck))
+          it.foreach { case (u, t, id) =>
+            if (u != cur) { flush(); cur = u; n = 0L; nKept = 0L; ck = 0L; lastKept = Long.MinValue }
+            n += 1
+            if (lastKept == Long.MinValue || t >= lastKept + 21600000000L) {
+              lastKept = t; nKept += 1; ck = (ck + id % 1000003L) % 1000003L
+            }
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("user_id", "n_events", "n_kept", "kept_ck")
+        .orderBy(col("user_id"))
+    },
+
     // SCD Type-2 dimension build from a changelog: collapse each user's
     // event stream into validity intervals of consecutive equal
     // event_type (gaps-and-islands via the row_number difference), then
