@@ -14,10 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_BENCH_RUNS > 1 → median of N runs per query (persist-heavy
-    // queries are GC-noisy in single-shot timings); default 1 keeps the
-    // driver-contract runtime unchanged
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    // The COMMITTED capture (full run, no BENCH_ONLY) defaults to
+    // median-of-3: two rounds of single-shot captures (378.5 s r7, 327.7 s
+    // r8 vs 192.1 s clean) were contaminated by concurrent machine load and
+    // mis-reported 6× phantom regressions on untouched queries. A dev
+    // BENCH_ONLY run stays single-shot for loop speed.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt.max(1))
+      .getOrElse(if (only.isDefined) 1 else 3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,6 +33,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The six global windows in source are all over provably tiny
+    // post-aggregation frames (gated by PlanAuditSpec); WindowExec's
+    // "No Partition Defined" warning would flood the log hundreds of
+    // times and bury real warnings.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // the elapsed time is captured BEFORE the finally block runs, so cache
     // cleanup is harness hygiene between queries, not billed work. (An
@@ -69,21 +82,30 @@ object Bench {
     // so the first timed query starts from a steady-state heap.
     System.gc()
     Thread.sleep(500)
-    SparkEntry.queries.get("q_agg_pricing").foreach(fn => runOnce("warmup2", fn))
+    // The settled warmup time doubles as the CONTENTION SENTINEL baseline:
+    // the same query is re-timed after the loop, and a >2× slowdown means
+    // the machine ran concurrent work during the bench — the capture is
+    // stamped contaminated:true so nobody triages phantom regressions.
+    val sentinelFn = SparkEntry.queries("q_agg_pricing")
+    val sentinelBefore = runOnce("warmup2", sentinelFn)
 
-    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those queries (dev loop)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> run(name, fn) }
+
+    val sentinelAfter = runOnce("sentinel", sentinelFn)
+    val contaminated = sentinelBefore > 0 && sentinelAfter > 2.0 * sentinelBefore
+    // n_queries counts the entries in THIS json's queries map (the headline
+    // line is a truncated view); n_total is the full run count.
     def toJson(rs: Seq[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${rs.length},"n_total":${results.length},"runs_per_query":$runs,"contaminated":$contaminated,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = toJson(results, total)
+    if (contaminated)
+      System.err.println(f"[bench] CONTAMINATED capture: sentinel $sentinelBefore%.2fs -> $sentinelAfter%.2fs (machine ran concurrent work)")
     // The full per-query JSON goes to a repo file; stdout gets a COMPACT
     // line (total + the 24 slowest queries + any failures) because the
     // driver's stdout tail window truncates a 180-query line from the

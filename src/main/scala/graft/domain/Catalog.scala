@@ -66,11 +66,19 @@ object Catalog {
   def fetchBursts(spark: org.apache.spark.sql.SparkSession, bursts: DataFrame,
       frameToBurstJsonZip: String, frameIds: Seq[Long],
       start: String, end: String): DataFrame =
+    burstsFor(bursts, frameBurstIds(spark, frameToBurstJsonZip, frameIds),
+      start, end)
+
+  /** Id-table form of fetch-bursts (the surface q_fetch_bursts drives):
+    * pushed-down time-range filter on the fact scan, then the broadcast
+    * semi-join on the requested burst-id list — the burst-ROW serving
+    * path, where fetch-granules dedups to granules. */
+  def burstsFor(bursts: DataFrame, burstIds: DataFrame,
+      start: String, end: String): DataFrame =
     bursts
       .filter(col("sensing_time") >= lit(start).cast("timestamp") &&
         col("sensing_time") <= lit(end).cast("timestamp"))
-      .join(broadcast(frameBurstIds(spark, frameToBurstJsonZip, frameIds)),
-        Seq("burst_id_jpl"), "left_semi")
+      .join(broadcast(burstIds), Seq("burst_id_jpl"), "left_semi")
 
   /** `opera-db historical fetch-granules` (query_historical_bursts.py:98-124):
     * same frame→burst expansion + time range as fetch-bursts, then the
@@ -160,6 +168,55 @@ object Catalog {
           col("fid") * 100 + col("k"), col("iw")).as("burst_id_jpl"))
         .distinct()
       granulesFor(bursts, ids, "1993-01-01 00:00:00", "1997-06-30 00:00:00")
+    },
+
+    // burst-row historical fetch (query_historical_bursts.py:188-209): the
+    // same synthetic fact + frame→burst id list as q_fetch_granules, but
+    // through the burst-ROW serving path (time range + broadcast
+    // semi-join, no granule dedup) — closes the last §3.3 serving path
+    // without an oracle row
+    QueryDef.sql(
+      "q_fetch_bursts",
+      """WITH bursts AS (
+        |  SELECT
+        |    PRINTF('t%03d_%06d_iw%d', (o_orderkey %% 3000) %% 175 + 1,
+        |      o_orderkey %% 3000, o_orderkey %% 3 + 1) AS burst_id_jpl,
+        |    CAST(o_orderdate AS TIMESTAMP) AS sensing_time,
+        |    PRINTF('S1A_IW_SLC__1SDV_%sT000000_%05d.SAFE',
+        |      STRFTIME(o_orderdate, '%Y%m%d'), o_orderkey %% 500) AS granule
+        |  FROM orders),
+        |wanted AS (
+        |  SELECT DISTINCT PRINTF('t%03d_%06d_iw%d',
+        |      (f.fid * 100 + k.k) %% 175 + 1, f.fid * 100 + k.k, iw.iw) AS burst_id_jpl
+        |  FROM (SELECT UNNEST([3, 7]) AS fid) f,
+        |       (SELECT UNNEST(RANGE(0, 27)) AS k) k,
+        |       (SELECT UNNEST(RANGE(1, 4)) AS iw) iw)
+        |SELECT burst_id_jpl, sensing_time, granule
+        |FROM bursts
+        |WHERE burst_id_jpl IN (SELECT burst_id_jpl FROM wanted)
+        |  AND sensing_time >= TIMESTAMP '1993-01-01 00:00:00'
+        |  AND sensing_time <= TIMESTAMP '1997-06-30 00:00:00'
+        |ORDER BY burst_id_jpl, sensing_time, granule""".stripMargin.replace("%%", "%")) { (s, d) =>
+      val bursts = Tables.orders(s, d).select(
+        format_string("t%03d_%06d_iw%d",
+          pmod(pmod(col("o_orderkey"), lit(3000)), lit(175)) + 1,
+          pmod(col("o_orderkey"), lit(3000)),
+          pmod(col("o_orderkey"), lit(3)) + 1).as("burst_id_jpl"),
+        col("o_orderdate").cast("timestamp").as("sensing_time"),
+        format_string("S1A_IW_SLC__1SDV_%sT000000_%05d.SAFE",
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          pmod(col("o_orderkey"), lit(500))).as("granule"))
+      val fids = Seq(3L, 7L)
+      import s.implicits._
+      val ids = fids.toDF("fid")
+        .crossJoin(s.range(0, 27).toDF("k"))
+        .crossJoin(s.range(1, 4).toDF("iw"))
+        .select(format_string("t%03d_%06d_iw%d",
+          pmod(col("fid") * 100 + col("k"), lit(175)) + 1,
+          col("fid") * 100 + col("k"), col("iw")).as("burst_id_jpl"))
+        .distinct()
+      burstsFor(bursts, ids, "1993-01-01 00:00:00", "1997-06-30 00:00:00")
+        .orderBy(col("burst_id_jpl"), col("sensing_time"), col("granule"))
     }
   )
 }

@@ -28,33 +28,40 @@ object Geo {
   val catalogFixtureLandWkt = "POLYGON ((0 5, 40 5, 40 15, 0 15, 0 5))"
 
   /** ESA-style burst grid synthesized from the supplier table WITHOUT a
-    * driver-side action: suppkeys are 1..N, so (s_suppkey−1)·3 + subswath
-    * enumerates the same 3·min(N,400)-row id space the old range(count·3)
-    * produced. */
+    * driver-side action. Suppkeys in the testdata are 0-based (0..N−1);
+    * burst q = s_suppkey sits on track q/27+1 at grid row q%27, its three
+    * subswath squares side by side in x. All index arithmetic is INTEGER
+    * (floor/%) — an earlier draft used Spark's `/` (double division),
+    * which staggered the subswaths by sw/3 and, with the 1-based suppkey
+    * assumption, emitted a stray track-0 burst. The grid is analytically
+    * invertible, which is what lets q_catalog_frames_meta oracle the land
+    * flag arithmetically. */
   def burstGridFixture(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.supplier(s, d)
-      .filter(col("s_suppkey") <= 400)
-      .select((col("s_suppkey").cast("long") - 1).as("sk"),
+      .filter(col("s_suppkey") < 400)
+      .select(col("s_suppkey").cast("long").as("q"),
         explode(sequence(lit(0L), lit(2L))).as("sw"))
-      .select((col("sk") * 3 + col("sw")).as("i"))
+      .select(col("q"), col("sw"),
+        floor(col("q") / 27).cast("long").as("tr"),
+        (col("q") % 27).cast("long").as("r"))
       .select(
-        (col("i") + 1).cast("int").as("OGC_FID"),
-        (col("i") / 3 + 1).cast("long").as("burst_id"),
-        ((col("i") / 3) / 27 + 1).cast("int").as("relative_orbit_number"),
-        concat(lit("IW"), (col("i") % 3 + 1)).as("subswath_name"),
+        (col("q") * 3 + col("sw") + 1).cast("int").as("OGC_FID"),
+        (col("q") + 1).cast("long").as("burst_id"),
+        (col("tr") + 1).cast("int").as("relative_orbit_number"),
+        concat(lit("IW"), (col("sw") + 1)).as("subswath_name"),
         lit("ASCENDING").as("orbit_pass"),
         format_string("POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8),
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
-          (col("i") / 3) % 27 * lit(0.8),
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3) + 1,
-          (col("i") / 3) % 27 * lit(0.8) + 0.8,
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8) + 0.8,
-          ((col("i") / 3) / 27) * 8 + (col("i") % 3),
-          (col("i") / 3) % 27 * lit(0.8)).as("geom"))
+          (col("tr") * 8 + col("sw")).cast("double"),
+          col("r") * lit(0.8),
+          (col("tr") * 8 + col("sw") + 1).cast("double"),
+          col("r") * lit(0.8),
+          (col("tr") * 8 + col("sw") + 1).cast("double"),
+          col("r") * lit(0.8) + 0.8,
+          (col("tr") * 8 + col("sw")).cast("double"),
+          col("r") * lit(0.8) + 0.8,
+          (col("tr") * 8 + col("sw")).cast("double"),
+          col("r") * lit(0.8)).as("geom"))
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -395,6 +402,143 @@ object Geo {
       r.frames.select(col("fid"), col("epsg"), col("is_land"),
           col("relative_orbit_number"), col("n_bursts"),
           col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .orderBy(col("fid"))
+    },
+
+    // Split oracle for the catalog build (q_catalog_build stays rows-only
+    // for its JTS union/centroid/TM-projection columns only): the
+    // geometry-FREE frame columns — fid, track, orbit_pass, is_land,
+    // n_bursts, plus the frames_bursts row count — replay the dissolve →
+    // land flag → smoothing → DP → global-id → assembly joins and ARE
+    // DuckDB-expressible. The fixture's land flag is analytically
+    // invertible (each triplet unions to the axis-aligned rectangle
+    // x ∈ [(q/27)·8, (q/27)·8+3], y ∈ [(q%27)·0.8, (q%27)·0.8+0.8] for
+    // q = burst_id−1, vs land rect [0,40]×[5,15]; JTS intersects is
+    // boundary-inclusive and no %.1f-formatted endpoint lands ON a
+    // non-integer boundary) so the oracle derives land0 = (q/27 ≤ 5 AND
+    // q%27 BETWEEN 6 AND 18) arithmetically — a drift anywhere in the
+    // WKT→union→envelope-prefilter→intersects path breaks the hash. The
+    // smoothing + per-run DP CTEs are the q_frame_dp machinery keyed by
+    // track; n_subswath_rows cross-checks the frames_bursts expansion
+    // join (3 subswath rows per burst).
+    QueryDef.sql(
+      "q_catalog_frames_meta",
+      """WITH RECURSIVE pos AS (
+        |  SELECT CAST(s_suppkey // 27 + 1 AS INTEGER) AS key,
+        |    ROW_NUMBER() OVER (PARTITION BY s_suppkey // 27
+        |      ORDER BY s_suppkey) AS rn,
+        |    ((s_suppkey // 27) <= 5
+        |      AND (s_suppkey % 27) BETWEEN 6 AND 18) AS land0
+        |  FROM supplier WHERE s_suppkey < 400),
+        |r0 AS (
+        |  SELECT key, rn, land0,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land0 ORDER BY rn) AS g0
+        |  FROM pos),
+        |shortland AS (
+        |  SELECT key, MAX(rn) AS e FROM r0 WHERE land0
+        |  GROUP BY key, g0 HAVING COUNT(*) < 5),
+        |i1 AS (
+        |  SELECT p.key, p.rn,
+        |    (p.land0 OR EXISTS (SELECT 1 FROM shortland s
+        |       WHERE s.key = p.key AND p.rn BETWEEN s.e - 1 AND s.e + 3)) AS land1
+        |  FROM pos p),
+        |r1 AS (
+        |  SELECT key, rn, land1,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land1 ORDER BY rn) AS g1
+        |  FROM i1),
+        |runlen AS (
+        |  SELECT key, land1, g1, COUNT(*) AS len
+        |  FROM r1 GROUP BY key, land1, g1),
+        |i2 AS (
+        |  SELECT r.key, r.rn, (r.land1 OR l.len < 5) AS land
+        |  FROM r1 r JOIN runlen l
+        |    ON l.key = r.key AND l.land1 = r.land1 AND l.g1 = r.g1),
+        |r2 AS (
+        |  SELECT key, rn, land,
+        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land ORDER BY rn) AS g2
+        |  FROM i2),
+        |nn AS (
+        |  SELECT key, land,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY MIN(rn)) AS BIGINT) AS run_id,
+        |    CAST(MIN(rn) - 1 AS BIGINT) AS run_start,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r2 GROUP BY key, land, g2),
+        |dp AS (
+        |  SELECT key, run_id, n, n AS i, CAST(0 AS BIGINT) AS best,
+        |    CAST(-1 AS BIGINT) AS bj,
+        |    CAST(1000000000000 AS BIGINT) AS w1, CAST(1000000000000 AS BIGINT) AS w2,
+        |    CAST(1000000000000 AS BIGINT) AS w3, CAST(1000000000000 AS BIGINT) AS w4,
+        |    CAST(1000000000000 AS BIGINT) AS w5, CAST(1000000000000 AS BIGINT) AS w6,
+        |    CAST(1000000000000 AS BIGINT) AS w7, CAST(1000000000000 AS BIGINT) AS w8,
+        |    CAST(1000000000000 AS BIGINT) AS w9
+        |  FROM nn
+        |  UNION ALL
+        |  SELECT key, run_id, n, i,
+        |    LEAST(c4, c5, c6, c7, c8, c9) AS best,
+        |    CASE LEAST(c4, c5, c6, c7, c8, c9)
+        |      WHEN c4 THEN i + 4 WHEN c5 THEN i + 5 WHEN c6 THEN i + 6
+        |      WHEN c7 THEN i + 7 WHEN c8 THEN i + 8 ELSE i + 9 END AS bj,
+        |    w1, w2, w3, w4, w5, w6, w7, w8, w9
+        |  FROM (
+        |    SELECT key, run_id, n, i - 1 AS i,
+        |      CASE WHEN i + 3 <= n AND w3 < 1000000000000
+        |        THEN w3 + 64 ELSE 1000000000000 END AS c4,
+        |      CASE WHEN i + 4 <= n AND w4 < 1000000000000
+        |        THEN w4 + 27 ELSE 1000000000000 END AS c5,
+        |      CASE WHEN i + 5 <= n AND w5 < 1000000000000
+        |        THEN w5 + 8 ELSE 1000000000000 END AS c6,
+        |      CASE WHEN i + 6 <= n AND w6 < 1000000000000
+        |        THEN w6 + 1 ELSE 1000000000000 END AS c7,
+        |      CASE WHEN i + 7 <= n AND w7 < 1000000000000
+        |        THEN w7 ELSE 1000000000000 END AS c8,
+        |      CASE WHEN i + 8 <= n AND w8 < 1000000000000
+        |        THEN w8 + 1 ELSE 1000000000000 END AS c9,
+        |      best AS w1, w1 AS w2, w2 AS w3, w3 AS w4, w4 AS w5,
+        |      w5 AS w6, w6 AS w7, w7 AS w8, w8 AS w9
+        |    FROM dp WHERE i > 0) s),
+        |walk AS (
+        |  SELECT key, run_id, n, CAST(0 AS BIGINT) AS k FROM nn
+        |  UNION ALL
+        |  SELECT w.key, w.run_id, w.n, d.bj AS k
+        |  FROM walk w JOIN dp d
+        |    ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
+        |  WHERE w.k < w.n AND d.best < 1000000000000),
+        |feas AS (
+        |  SELECT w.key, nn.run_start + w.k AS "start",
+        |    nn.run_start + LEAST(d.bj + 1, w.n) AS "end", nn.land AS is_land
+        |  FROM walk w
+        |  JOIN dp d ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
+        |  JOIN nn ON nn.key = w.key AND nn.run_id = w.run_id
+        |  WHERE w.k < w.n AND d.best < 1000000000000),
+        |infeas AS (
+        |  SELECT nn.key, nn.run_start AS "start",
+        |    nn.run_start + nn.n AS "end", nn.land AS is_land
+        |  FROM nn JOIN dp d
+        |    ON d.key = nn.key AND d.run_id = nn.run_id AND d.i = 0
+        |  WHERE d.best >= 1000000000000),
+        |allf AS (
+        |  SELECT * FROM feas UNION ALL SELECT * FROM infeas),
+        |frames AS (
+        |  SELECT key AS track,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start", "end") AS fit,
+        |    "end" - "start" AS n_bursts, is_land
+        |  FROM allf)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY track, fit) AS BIGINT) AS fid,
+        |  CAST(track AS BIGINT) AS relative_orbit_number,
+        |  'ASCENDING' AS orbit_pass, is_land,
+        |  CAST(n_bursts AS BIGINT) AS n_bursts,
+        |  CAST(n_bursts * 3 AS BIGINT) AS n_subswath_rows
+        |FROM frames ORDER BY fid""".stripMargin) { (s, d) =>
+      val r = graft.domain.CatalogBuild.build(
+        burstGridFixture(s, d), catalogFixtureLandWkt)
+      val fbCounts = r.framesBursts.groupBy(col("frame_fid"))
+        .agg(count(lit(1)).as("n_subswath_rows"))
+      r.frames
+        .select(col("fid").cast("long").as("fid"),
+          col("relative_orbit_number").cast("long").as("relative_orbit_number"),
+          col("orbit_pass"), col("is_land"), col("n_bursts"))
+        .join(fbCounts, col("fid") === col("frame_fid"))
+        .drop("frame_fid")
         .orderBy(col("fid"))
     }
   )

@@ -368,9 +368,11 @@ object Stats {
         |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(xl*xl) AS BIGINT) AS syy
         |  FROM lagged WHERE xl IS NOT NULL GROUP BY event_type, lag)
         |SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
-        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |  ELSE CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
         |    / (SQRT((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))
-        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT) AS acf_q6
+        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT)
+        |  END AS acf_q6
         |FROM m ORDER BY event_type, lag""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -390,10 +392,15 @@ object Stats {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("xl") * col("xl")).as("syy"))
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
-      val vx = (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0)
-      val vy = (col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0)
+      val vxInt = col("n") * col("sxx") - col("sx") * col("sx")
+      val vyInt = col("n") * col("syy") - col("sy") * col("sy")
+      // zero-variance guard: a constant series yields 0/0 — Spark would
+      // silently cast NaN/Inf while DuckDB's CAST raises; both emit NULL
       m.select(col("event_type"), col("lag").cast("long").as("lag"), col("n"),
-          floor(cov * lit(1000000.0) / (sqrt(vx) * sqrt(vy))).cast("long").as("acf_q6"))
+          when(vxInt === 0 || vyInt === 0, lit(null))
+            .otherwise(floor(cov * lit(1000000.0) /
+              (sqrt(vxInt * lit(1.0)) * sqrt(vyInt * lit(1.0)))).cast("long"))
+            .as("acf_q6"))
         .orderBy(col("event_type"), col("lag"))
     }
   )

@@ -796,6 +796,197 @@ object Corpus {
         .limit(25)
     },
 
+    // Tokenizer induction, rounds 1..3: the actual BPE merge loop on top
+    // of the q_bpe_pairs statistic — per round, count adjacent token
+    // pairs, take the global argmax (ties to the lexicographically
+    // smallest pair), APPLY the merge left-to-right non-overlapping, and
+    // recount. The greedy apply looks sequential but is not: overlapping
+    // candidate boundaries require equal tokens ((a,b) then (b,c) both
+    // matching forces a = b), so within each ISLAND of consecutive
+    // matching boundaries the greedy scan merges exactly the even
+    // offsets — a gaps-and-islands window computation, identical on both
+    // engines, never a per-row fold. Every window partitions by doc_id;
+    // the only global step is the top-1 pair (TakeOrdered + 1-row
+    // broadcast). Emits per round: merged pair, its count at selection
+    // time, and the surviving token count.
+    QueryDef.sql(
+      "q_bpe_merges",
+      """WITH t0 AS (
+        |  SELECT doc_id, LOWER(SUBSTR(text, 1, 100)) AS p FROM documents
+        |  WHERE LENGTH(LOWER(SUBSTR(text, 1, 100))) >= 2),
+        |tok1 AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    SUBSTR(p, CAST(i AS INTEGER), 1) AS t
+        |  FROM t0, UNNEST(RANGE(1, LENGTH(p) + 1)) AS u(i)),
+        |pairs1 AS (
+        |  SELECT doc_id, i, t,
+        |    LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nt,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok1),
+        |cnt1 AS (
+        |  SELECT t, nt, COUNT(*) AS n FROM pairs1
+        |  WHERE nt IS NOT NULL GROUP BY t, nt),
+        |best1 AS (
+        |  SELECT t AS bt, nt AS bnt, n AS bn FROM cnt1
+        |  ORDER BY n DESC, t, nt LIMIT 1),
+        |match1 AS (
+        |  SELECT p.doc_id, p.i, p.rn,
+        |    p.rn - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.rn) AS grp
+        |  FROM pairs1 p, best1 b
+        |  WHERE p.nt IS NOT NULL AND p.t = b.bt AND p.nt = b.bnt),
+        |merge1 AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1 AS off
+        |    FROM match1) q WHERE off % 2 = 0),
+        |app1 AS (
+        |  SELECT doc_id, i, t FROM (
+        |    SELECT p.doc_id, p.i,
+        |      CASE WHEN m.i IS NOT NULL THEN p.t || p.nt ELSE p.t END AS t,
+        |      LAG(CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END, 1, 0)
+        |        OVER (PARTITION BY p.doc_id ORDER BY p.i) AS pm
+        |    FROM pairs1 p LEFT JOIN merge1 m
+        |      ON m.doc_id = p.doc_id AND m.i = p.i) q
+        |  WHERE pm = 0),
+        |tok2 AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+        |  FROM app1),
+        |pairs2 AS (
+        |  SELECT doc_id, i, t,
+        |    LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nt,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok2),
+        |cnt2 AS (
+        |  SELECT t, nt, COUNT(*) AS n FROM pairs2
+        |  WHERE nt IS NOT NULL GROUP BY t, nt),
+        |best2 AS (
+        |  SELECT t AS bt, nt AS bnt, n AS bn FROM cnt2
+        |  ORDER BY n DESC, t, nt LIMIT 1),
+        |match2 AS (
+        |  SELECT p.doc_id, p.i, p.rn,
+        |    p.rn - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.rn) AS grp
+        |  FROM pairs2 p, best2 b
+        |  WHERE p.nt IS NOT NULL AND p.t = b.bt AND p.nt = b.bnt),
+        |merge2 AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1 AS off
+        |    FROM match2) q WHERE off % 2 = 0),
+        |app2 AS (
+        |  SELECT doc_id, i, t FROM (
+        |    SELECT p.doc_id, p.i,
+        |      CASE WHEN m.i IS NOT NULL THEN p.t || p.nt ELSE p.t END AS t,
+        |      LAG(CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END, 1, 0)
+        |        OVER (PARTITION BY p.doc_id ORDER BY p.i) AS pm
+        |    FROM pairs2 p LEFT JOIN merge2 m
+        |      ON m.doc_id = p.doc_id AND m.i = p.i) q
+        |  WHERE pm = 0),
+        |tok3 AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+        |  FROM app2),
+        |pairs3 AS (
+        |  SELECT doc_id, i, t,
+        |    LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nt,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok3),
+        |cnt3 AS (
+        |  SELECT t, nt, COUNT(*) AS n FROM pairs3
+        |  WHERE nt IS NOT NULL GROUP BY t, nt),
+        |best3 AS (
+        |  SELECT t AS bt, nt AS bnt, n AS bn FROM cnt3
+        |  ORDER BY n DESC, t, nt LIMIT 1),
+        |match3 AS (
+        |  SELECT p.doc_id, p.i, p.rn,
+        |    p.rn - ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.rn) AS grp
+        |  FROM pairs3 p, best3 b
+        |  WHERE p.nt IS NOT NULL AND p.t = b.bt AND p.nt = b.bnt),
+        |merge3 AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1 AS off
+        |    FROM match3) q WHERE off % 2 = 0),
+        |app3 AS (
+        |  SELECT doc_id, i, t FROM (
+        |    SELECT p.doc_id, p.i,
+        |      CASE WHEN m.i IS NOT NULL THEN p.t || p.nt ELSE p.t END AS t,
+        |      LAG(CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END, 1, 0)
+        |        OVER (PARTITION BY p.doc_id ORDER BY p.i) AS pm
+        |    FROM pairs3 p LEFT JOIN merge3 m
+        |      ON m.doc_id = p.doc_id AND m.i = p.i) q
+        |  WHERE pm = 0),
+        |tok4 AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+        |  FROM app3)
+        |SELECT CAST(1 AS BIGINT) AS round, bt AS lhs, bnt AS rhs,
+        |  CAST(bn AS BIGINT) AS n_pair,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok2) AS n_tokens_after
+        |FROM best1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), bt, bnt, CAST(bn AS BIGINT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok3) FROM best2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), bt, bnt, CAST(bn AS BIGINT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok4) FROM best3
+        |ORDER BY round""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 100)).as("p"))
+        .filter(length(col("p")) >= 2)
+      val tok0 = docs
+        .select(col("doc_id"), explode(sequence(lit(1L), length(col("p")).cast("long"))).as("i"), col("p"))
+        .select(col("doc_id"), col("i"), col("p").substr(col("i").cast("int"), lit(1)).as("t"))
+      // one BPE round: (tokens) => (stat row, merged tokens)
+      def round(r: Int, toks: org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        // pairs feeds best, merged AND applied — persist or the lineage
+        // (hence plan size + recompute) multiplies ~4× per round, the
+        // same 2^rounds blowup q_hits hit
+        val pairs = toks
+          .withColumn("nt", lead(col("t"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val best = pairs.filter(col("nt").isNotNull)
+          .groupBy(col("t"), col("nt")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t"), col("nt")).limit(1)
+          .select(col("t").as("bt"), col("nt").as("bnt"), col("n").as("bn"))
+        // islands of consecutive matching boundaries; the greedy scan
+        // keeps even offsets (overlap needs bt == bnt, see header
+        // comment). Offset-within-island is computed join-free as
+        // rn − (running max rn of the last NON-match) − 1 — one window
+        // pass on the existing doc_id partitioning instead of a
+        // (doc_id, i) shuffle join of markers back onto the tokens.
+        val applied = pairs
+          .crossJoin(broadcast(best))
+          .withColumn("isM",
+            (col("nt").isNotNull && col("t") === col("bt") && col("nt") === col("bnt")).cast("int"))
+          .withColumn("lnm",
+            max(when(col("isM") === 0, col("rn"))).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("mrg",
+            when(col("isM") === 1 &&
+              (col("rn") - coalesce(col("lnm"), lit(0L)) - 1) % 2 === 0, 1).otherwise(0))
+          .withColumn("pm", lag(col("mrg"), 1, 0).over(w))
+          .filter(col("pm") === 0)
+          // positions only need to stay MONOTONIC per doc (windows order
+          // by i, never index by it) — no dense-reindex window pass
+          .select(col("doc_id"), col("i"),
+            when(col("mrg") === 1, concat(col("t"), col("nt"))).otherwise(col("t")).as("t"))
+        val stat = best
+          .crossJoin(broadcast(applied.agg(count(lit(1)).as("n_tokens_after"))))
+          .select(lit(r.toLong).as("round"), col("bt").as("lhs"), col("bnt").as("rhs"),
+            col("bn").as("n_pair"), col("n_tokens_after"))
+        (stat, applied)
+      }
+      val (s1, t1) = round(1, tok0)
+      val (s2, t2) = round(2, t1)
+      val (s3, _) = round(3, t2)
+      s1.unionByName(s2).unionByName(s3).orderBy(col("round"))
+    },
+
     // Edit-distance near-dup signal: candidates bucket on the first 8
     // normalized chars (an equality join — never all-pairs; a typo in the
     // head escapes this blocker, which is why it runs alongside the

@@ -111,6 +111,47 @@ object Sessions {
       }
   }
 
+  final case class DebEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class DebState(lastKept: Long, n: Long, nKept: Long, ck: Long)
+  final case class DebSnapshot(user_id: Long, n_events: Long, n_kept: Long,
+      kept_ck: Long)
+
+  /** Streaming debounce / alert throttling — the continuous twin of the
+    * batch q_debounce fold (operators/Windows): keep an event only if
+    * ≥ `minGapMicros` has passed since the last KEPT event of the same
+    * key. Per-key state is one (last_kept, n, n_kept, ck) quadruple
+    * regardless of history length — exactly the shape
+    * flatMapGroupsWithState bounds — and each micro-batch emits the
+    * updated per-key summary, so a single availableNow drop reproduces
+    * the batch operator's (n_events, n_kept, kept_ck) exactly
+    * (StreamingSpec proves it). Same within-batch (ts, event_id)
+    * ordering contract as ewmaStream, microsecond-exact. */
+  def debounceStream(ds: Dataset[DebEvent],
+      minGapMicros: Long = 21600000000L): Dataset[DebSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebState, DebSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[DebState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          var st = state.getOption.getOrElse(DebState(Long.MinValue, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+            val t = micros(r.ts)
+            // n == 0 guards the sentinel (MinValue + gap would overflow)
+            val keep = st.n == 0 || t >= st.lastKept + minGapMicros
+            st = DebState(
+              if (keep) t else st.lastKept,
+              st.n + 1,
+              st.nKept + (if (keep) 1L else 0L),
+              if (keep) (st.ck + r.event_id % 1000003L) % 1000003L else st.ck)
+          }
+          state.update(st)
+          Iterator(DebSnapshot(key, st.n, st.nKept, st.ck))
+      }
+  }
+
   final case class CmRowState(counters: Array[Long])
   final case class CmCell(i: Int, bucket: Int, cnt: Long)
 

@@ -530,6 +530,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.forall(_.contains("qid")), s"rank window not per-probe:\n$p")
   }
 
+  test("every global window runs over a bounded (post-aggregation/limit) input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    // the six deliberate Window.orderBy-without-partitionBy sites in source
+    // (CatalogBuild.withGlobalFrameIds, Lexical PMI top-k, EventAnalytics
+    // cumulative months, Analytics id-gap buckets / skyline sizes /
+    // quantile-normalize histogram): each is safe ONLY because its input is
+    // a tiny aggregate or an explicit limit — this gate turns that comment
+    // convention into a regression test. A new global window over raw rows
+    // fails here before it can single-task a 100 TB shuffle.
+    val audited = Seq("q_id_gaps", "q_skyline", "q_quantile_normalize",
+      "q_cumulative_users", "q_pmi_bigrams", "q_catalog_frames_meta")
+    audited.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan
+      val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(globals.nonEmpty, s"$name: audit list stale — no global window found")
+      globals.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case a: Aggregate => a
+          case l: GlobalLimit => l
+        }.isDefined
+        assert(bounded,
+          s"$name: global window over an unbounded input:\n${w.child.treeString}")
+      }
+    }
+  }
+
   test("rake word stats join on the vocabulary key, phrases rebuilt sorted") {
     val p = plan("q_rake_keywords")
     // word-stat join keyed by token (shuffle on vocabulary, fine) or

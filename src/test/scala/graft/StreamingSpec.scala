@@ -192,6 +192,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming debounce after one availableNow drop equals the batch fold") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-deb").toString
+    val inDir = s"$tmp/in"
+    Tables.events(spark, sf()).select($"user_id", $"ts", $"event_id")
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Sessions.DebEvent]
+    val q = Sessions.debounceStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deb_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("deb_stream")
+      .select($"user_id", $"n_events", $"n_kept", $"kept_ck")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_debounce")(spark, sf())
+      .select($"user_id", $"n_events", $"n_kept", $"kept_ck")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming count-min sketch equals the batch sketch (fixed state)") {
     import graft.pipeline.Sketches
     import org.apache.spark.sql.streaming.Trigger
