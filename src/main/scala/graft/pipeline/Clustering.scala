@@ -307,6 +307,84 @@ object Clustering {
           max(when(col("b") === 3, col("code"))).cast("long").as("code3"),
           sum(col("dist")).as("recon_err"))
         .orderBy(col("vec_id")).limit(500)
+    },
+
+    // Cluster keyword summarization (c-TF-IDF shape, BERTopic's labeling
+    // step re-expressed log-free): assign embeddings to the k = 4 seed
+    // centroids (one Lloyd assignment — the same broadcast-NLJ argmin as
+    // q_kmeans round 1), pair clusters with their documents (vec_id ↔
+    // doc_id), and rank each cluster's tokens by an integer-exact lift
+    // score tf_c · N_total · 10⁶ / (N_c · tf_global) — term
+    // over-representation in the cluster vs the corpus, the same ratio
+    // family as q_pmi_bigrams. Top-5 terms per cluster, support ≥ 3.
+    // Scale: token stats key by (cid, t) and t (vocabulary-sized,
+    // combiner-backed); the cluster-total side broadcasts (k rows); the
+    // global-tf join shuffles on the bounded vocabulary, never raw text.
+    QueryDef.sql(
+      "q_cluster_terms",
+      s"""WITH $qvSql,
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 4),
+         |d1 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${distSql("v.q", "c.cq")} AS dist
+         |  FROM qv v CROSS JOIN c0 c),
+         |m1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |dt AS (
+         |  SELECT m.cid, d.text FROM m1 m
+         |  JOIN documents d ON d.doc_id = m.vec_id),
+         |tokc AS (
+         |  SELECT cid, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+         |  FROM dt),
+         |ctf AS (
+         |  SELECT cid, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tokc GROUP BY cid, t HAVING COUNT(*) >= 3),
+         |ctot AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_c FROM tokc GROUP BY cid),
+         |gtf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS g FROM tokc GROUP BY t),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tokc),
+         |scored AS (
+         |  SELECT c.cid, c.t, c.tf,
+         |    CAST(FLOOR(c.tf * CAST(1.0 AS DOUBLE) * tot.n * 1000000.0
+         |      / (ct.n_c * CAST(1.0 AS DOUBLE) * g.g)) AS BIGINT) AS lift_q6
+         |  FROM ctf c
+         |  JOIN ctot ct ON ct.cid = c.cid
+         |  JOIN gtf g ON g.t = c.t
+         |  CROSS JOIN tot)
+         |SELECT cid, CAST(rk AS BIGINT) AS rk, t AS term, tf, lift_q6 FROM (
+         |  SELECT cid, t, tf, lift_q6,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY lift_q6 DESC, t) AS rk
+         |  FROM scored) WHERE rk <= 5
+         |ORDER BY cid, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qv = quantized(Tables.embeddings(s, d))
+      val cent = qv.orderBy(col("vec_id")).limit(4)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val members = assign(qv, cent).select(col("vec_id"), col("cid"))
+      val dt = members
+        .join(Tables.documents(s, d), col("doc_id") === col("vec_id"))
+      val tokc = dt.select(col("cid"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      val ctf = tokc.groupBy(col("cid"), col("t")).agg(count(lit(1)).as("tf"))
+        .filter(col("tf") >= 3)
+      val ctot = tokc.groupBy(col("cid")).agg(count(lit(1)).as("n_c"))
+      val gtf = tokc.groupBy(col("t")).agg(count(lit(1)).as("g"))
+      val tot = tokc.agg(count(lit(1)).as("n"))
+      val scored = ctf
+        .join(broadcast(ctot), Seq("cid"))
+        .join(gtf, Seq("t"))
+        .crossJoin(broadcast(tot))
+        .select(col("cid"), col("t"), col("tf"),
+          floor(col("tf") * lit(1.0) * col("n") * lit(1000000.0)
+            / (col("n_c") * lit(1.0) * col("g"))).cast("long").as("lift_q6"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("lift_q6").desc, col("t"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("cid"), col("rk"), col("t").as("term"), col("tf"), col("lift_q6"))
+        .orderBy(col("cid"), col("rk"))
     }
   )
 }

@@ -36,6 +36,52 @@ object Corpus {
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0))).as("t"))
 
+  /** One BPE training round over (doc_id, i, t) token rows: global argmax
+    * pair (ties to the lexicographically smallest), greedy left-to-right
+    * non-overlapping apply, returning (stat row, merged tokens). The
+    * greedy apply is pure window algebra — overlapping candidate
+    * boundaries force equal tokens, so each island of consecutive
+    * matching boundaries merges exactly its even offsets (CorpusSpec
+    * fuzz-proves ≡ the sequential greedy scan). Positions stay
+    * monotonic-not-dense. Public so the spec can drive single rounds. */
+  def bpeMergeRound(r: Int, toks: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    // pairs feeds best AND applied — persist or the lineage (hence plan
+    // size + recompute) multiplies ~4× per round, the 2^rounds blowup
+    // q_hits hit
+    val pairs = toks
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = pairs.filter(col("nt").isNotNull)
+      .groupBy(col("t"), col("nt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"), col("nt")).limit(1)
+      .select(col("t").as("bt"), col("nt").as("bnt"), col("n").as("bn"))
+    // offset-within-island computed join-free as
+    // rn − (running max rn of the last NON-match) − 1
+    val applied = pairs
+      .crossJoin(broadcast(best))
+      .withColumn("isM",
+        (col("nt").isNotNull && col("t") === col("bt") && col("nt") === col("bnt")).cast("int"))
+      .withColumn("lnm",
+        max(when(col("isM") === 0, col("rn"))).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("mrg",
+        when(col("isM") === 1 &&
+          (col("rn") - coalesce(col("lnm"), lit(0L)) - 1) % 2 === 0, 1).otherwise(0))
+      .withColumn("pm", lag(col("mrg"), 1, 0).over(w))
+      .filter(col("pm") === 0)
+      .select(col("doc_id"), col("i"),
+        when(col("mrg") === 1, concat(col("t"), col("nt"))).otherwise(col("t")).as("t"))
+    val stat = best
+      .crossJoin(broadcast(applied.agg(count(lit(1)).as("n_tokens_after"))))
+      .select(lit(r.toLong).as("round"), col("bt").as("lhs"), col("bnt").as("rhs"),
+        col("bn").as("n_pair"), col("n_tokens_after"))
+    (stat, applied)
+  }
+
   /** Shared CTE prefix of the sparse-cosine family: 5-gram shingle tf
     * vectors in the rare subspace (2 ≤ df ≤ max(20, n_docs/25)),
     * postings-joined dots, and the quantized cosine — through the
@@ -931,59 +977,15 @@ object Corpus {
         |SELECT CAST(3 AS BIGINT), bt, bnt, CAST(bn AS BIGINT),
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok4) FROM best3
         |ORDER BY round""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), lower(substring(col("text"), 1, 100)).as("p"))
         .filter(length(col("p")) >= 2)
       val tok0 = docs
         .select(col("doc_id"), explode(sequence(lit(1L), length(col("p")).cast("long"))).as("i"), col("p"))
         .select(col("doc_id"), col("i"), col("p").substr(col("i").cast("int"), lit(1)).as("t"))
-      // one BPE round: (tokens) => (stat row, merged tokens)
-      def round(r: Int, toks: org.apache.spark.sql.DataFrame)
-          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        // pairs feeds best, merged AND applied — persist or the lineage
-        // (hence plan size + recompute) multiplies ~4× per round, the
-        // same 2^rounds blowup q_hits hit
-        val pairs = toks
-          .withColumn("nt", lead(col("t"), 1).over(w))
-          .withColumn("rn", row_number().over(w))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val best = pairs.filter(col("nt").isNotNull)
-          .groupBy(col("t"), col("nt")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("t"), col("nt")).limit(1)
-          .select(col("t").as("bt"), col("nt").as("bnt"), col("n").as("bn"))
-        // islands of consecutive matching boundaries; the greedy scan
-        // keeps even offsets (overlap needs bt == bnt, see header
-        // comment). Offset-within-island is computed join-free as
-        // rn − (running max rn of the last NON-match) − 1 — one window
-        // pass on the existing doc_id partitioning instead of a
-        // (doc_id, i) shuffle join of markers back onto the tokens.
-        val applied = pairs
-          .crossJoin(broadcast(best))
-          .withColumn("isM",
-            (col("nt").isNotNull && col("t") === col("bt") && col("nt") === col("bnt")).cast("int"))
-          .withColumn("lnm",
-            max(when(col("isM") === 0, col("rn"))).over(
-              w.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("mrg",
-            when(col("isM") === 1 &&
-              (col("rn") - coalesce(col("lnm"), lit(0L)) - 1) % 2 === 0, 1).otherwise(0))
-          .withColumn("pm", lag(col("mrg"), 1, 0).over(w))
-          .filter(col("pm") === 0)
-          // positions only need to stay MONOTONIC per doc (windows order
-          // by i, never index by it) — no dense-reindex window pass
-          .select(col("doc_id"), col("i"),
-            when(col("mrg") === 1, concat(col("t"), col("nt"))).otherwise(col("t")).as("t"))
-        val stat = best
-          .crossJoin(broadcast(applied.agg(count(lit(1)).as("n_tokens_after"))))
-          .select(lit(r.toLong).as("round"), col("bt").as("lhs"), col("bnt").as("rhs"),
-            col("bn").as("n_pair"), col("n_tokens_after"))
-        (stat, applied)
-      }
-      val (s1, t1) = round(1, tok0)
-      val (s2, t2) = round(2, t1)
-      val (s3, _) = round(3, t2)
+      val (s1, t1) = bpeMergeRound(1, tok0)
+      val (s2, t2) = bpeMergeRound(2, t1)
+      val (s3, _) = bpeMergeRound(3, t2)
       s1.unionByName(s2).unionByName(s3).orderBy(col("round"))
     },
 

@@ -453,6 +453,86 @@ object Lexical {
         .agg(countDistinct(col("url")).as("n_raw_forms"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("canon"))
+    },
+
+    // Lexical richness per source: type-token ratio + hapax-legomena
+    // share — the corpus-curation readout that separates genuinely
+    // diverse sources from template/boilerplate-heavy ones. All counts
+    // exact BIGINTs off the (source, token) frequency table (combiner-
+    // backed, vocabulary-sized — raw tokens never shuffle twice);
+    // ratios are integer q6 divisions, bit-identical on both engines.
+    QueryDef.sql(
+      "q_hapax_ttr",
+      """WITH tok AS (
+        |  SELECT source, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, t)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS ttr_q6,
+        |  CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+        |    AS BIGINT) AS hapax_q6
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit(tokPat), lit(0))).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_q6"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_q6"))
+        .orderBy(col("source"))
+    },
+
+    // Zipf rank-frequency fit: bucket the vocabulary by floor(log2 freq)
+    // — computed EXACTLY as length(bin(c)) − 1 in both engines, no
+    // runtime log — then an integer-moment OLS of floor(log2 #types) on
+    // the bucket index. A natural-text corpus slopes steeply negative; a
+    // deduplicated template corpus flattens — the drift signal for
+    // corpus mixing. One output row: exact moment sums + the single
+    // floor-quantized slope division (zero-variance guarded).
+    QueryDef.sql(
+      "q_zipf_slope",
+      """WITH tok AS (
+        |  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        |pts AS (
+        |  SELECT CAST(LENGTH(BIN(c)) - 1 AS BIGINT) AS x,
+        |    CAST(LENGTH(BIN(COUNT(*))) - 1 AS BIGINT) AS y
+        |  FROM uni GROUP BY LENGTH(BIN(c)) - 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n AS n_buckets, sx, sy, sxy, sxx,
+        |  CASE WHEN (n*sxx - sx*sx) = 0 THEN NULL
+        |  ELSE CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |    / (n*sxx - sx*sx)) AS BIGINT) END AS slope_q6
+        |FROM m""".stripMargin) { (s, d) =>
+      val uni = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")), lit(tokPat), lit(0))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val pts = uni
+        .groupBy((length(bin(col("c"))) - 1).cast("long").as("x"))
+        .agg((length(bin(count(lit(1)))) - 1).cast("long").as("y"))
+      val m = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      m.select(col("n").as("n_buckets"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        when(varx === 0, lit(null))
+          .otherwise(floor((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1000000.0)
+            / varx).cast("long")).as("slope_q6"))
     }
   )
 }

@@ -235,4 +235,59 @@ class CorpusSpec extends SparkSpec {
     assert(passed >= matching)        // no false negatives
     assert(passed < total / 2, s"prefilter not selective: $passed of $total")
   }
+
+  test("bpe merge round: window-island apply == sequential greedy scan (fuzz)") {
+    // q_bpe_merges applies each merge with gaps-and-islands window algebra
+    // (even offsets within islands of consecutive matching boundaries);
+    // this fuzz pins that formulation to the textbook sequential greedy
+    // left-to-right non-overlapping scan on run-heavy random docs — the
+    // chain case ("aaaa" under merge (a,a)) is exactly where a naive
+    // non-overlap regex/replace formulation goes wrong
+    def greedyApply(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    def refRound(docs: Map[Long, Vector[String]])
+        : ((String, String, Long), Map[Long, Vector[String]]) = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.values.foreach { tk =>
+        tk.indices.dropRight(1).foreach { i =>
+          counts((tk(i), tk(i + 1))) = counts.getOrElse((tk(i), tk(i + 1)), 0L) + 1
+        }
+      }
+      val ((ba, bb), bn) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      ((ba, bb, bn), docs.map { case (id, tk) => id -> greedyApply(tk, ba, bb) })
+    }
+    val rnd = new scala.util.Random(42)
+    // alphabet weighted toward 'a' to force long equal-token runs
+    var docs: Map[Long, Vector[String]] = (0L until 150L).map { id =>
+      id -> Vector.fill(1 + rnd.nextInt(14))("aaabbc" (rnd.nextInt(6)).toString)
+    }.toMap
+    var sparkToks = docs.toSeq
+      .flatMap { case (id, tk) => tk.zipWithIndex.map { case (t, i) => (id, (i + 1).toLong, t) } }
+      .toDF("doc_id", "i", "t")
+    (1 to 3).foreach { r =>
+      val ((ba, bb, bn), refApplied) = refRound(docs)
+      val (stat, applied) = Corpus.bpeMergeRound(r, sparkToks)
+      val st = stat.collect().head
+      assert((st.getAs[String]("lhs"), st.getAs[String]("rhs"), st.getAs[Long]("n_pair"))
+        === ((ba, bb, bn)), s"round $r argmax diverged")
+      assert(st.getAs[Long]("n_tokens_after") === refApplied.values.map(_.size.toLong).sum,
+        s"round $r token count diverged")
+      val got = applied.collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getAs[Long]("i")).map(_.getAs[String]("t")).toVector }
+      assert(got === refApplied, s"round $r apply diverged")
+      docs = refApplied
+      sparkToks = applied
+    }
+  }
 }
