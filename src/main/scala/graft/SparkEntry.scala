@@ -36,6 +36,7 @@ object SparkEntry {
       pipeline.Corpus.queries ++
       pipeline.Lexical.queries ++
       pipeline.Clustering.queries ++
+      pipeline.Multimodal.queries ++
       pipeline.Sketches.queries ++
       pipeline.Graphs.queries ++
       sources.EmbeddedDb.queries

@@ -129,6 +129,52 @@ object AsOfJoin {
           unix_micros(col("asof_ts")).as("click_ts_us"),
           col("asof_click_val_q2").as("click_val_q2"))
         .orderBy(col("event_id"))
+    },
+
+    // NEAREST direction: each event attached to the temporally closest
+    // purchase anchor of the same user, either side, ties to the earlier
+    // (backward) anchor. Composed from the two one-shuffle passes —
+    // backward then forward — and a per-row pick; total cost two keyed
+    // window shuffles, still no join. The oracle ranks the per-user
+    // candidate set by (|Δt|, anchor ts) — quadratic per user, fine as a
+    // replay, which is exactly the plan shape the operator exists to
+    // avoid at scale.
+    QueryDef.sql(
+      "q_asof_join_nearest",
+      """WITH r AS (
+        |  SELECT user_id, ts, CAST(MIN(event_id) AS BIGINT) AS rid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events),
+        |cand AS (
+        |  SELECT l.event_id, r.rid,
+        |    ABS(EPOCH_US(l.ts) - EPOCH_US(r.ts)) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |      ORDER BY ABS(EPOCH_US(l.ts) - EPOCH_US(r.ts)), EPOCH_US(r.ts)) AS rn
+        |  FROM l JOIN r ON r.user_id = l.user_id)
+        |SELECT l.user_id, CAST(l.event_id AS BIGINT) AS event_id,
+        |  c.rid AS near_rid, CAST(c.dist AS BIGINT) AS near_dist_us
+        |FROM l LEFT JOIN (SELECT event_id, rid, dist FROM cand WHERE rn = 1) c
+        |  ON c.event_id = l.event_id
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val lefts = ev.select(col("user_id"), col("event_id"), col("ts"))
+      // anchors unique per (key, time): equal-timestamp ties pre-aggregated
+      // to the smallest id, so both engines attach the same row
+      val rights = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("rid"))
+      val b = asOf(lefts, rights, Seq("user_id"), "ts", prefix = "b_")
+      val bf = asOf(b, rights, Seq("user_id"), "ts", prefix = "f_",
+        direction = "forward")
+      val db = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+      val dfw = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+      // ties (db == dfw) go backward — the earlier anchor, matching the
+      // oracle's ORDER BY (|Δt|, anchor ts)
+      val useB = col("f_ts").isNull || (col("b_ts").isNotNull && db <= dfw)
+      bf.select(col("user_id"), col("event_id"),
+          when(useB, col("b_rid")).otherwise(col("f_rid")).as("near_rid"),
+          when(useB, db).otherwise(dfw).cast("long").as("near_dist_us"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 }

@@ -53,12 +53,16 @@ object Multimodal {
   }
 
   /** Deterministic per-payload feature vector (stub for an embedding model):
-    * byte-histogram moments over the body. */
+    * byte-histogram moments over the body. Every term is exactly
+    * representable (integer bytes, mean with 5 fractional bits, squares
+    * under 2^26 significand bits), so the moments are bit-reproducible in
+    * any IEEE engine — which is what lets q_media_features oracle this
+    * path; explicit multiplication, not math.pow, keeps that guarantee. */
   def extractFeatures(meta: MediaMeta, payload: Array[Byte]): Array[Double] = {
     val body = payload.drop(21)
     val n = math.max(body.length, 1)
     val mean = body.map(b => (b & 0xff).toDouble).sum / n
-    val m2 = body.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
+    val m2 = body.map { b => val dmm = (b & 0xff).toDouble - mean; dmm * dmm }.sum / n
     Array(meta.width.toDouble, meta.height.toDouble, mean, math.sqrt(m2))
   }
 
@@ -98,4 +102,78 @@ object Multimodal {
       .select(col("id"),
         explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
   }
+
+  val queries: Seq[graft.QueryDef] = Seq(
+
+    // The multimodal decode path, ORACLE-VERIFIED: synthesize binary
+    // payloads from doc ids, run the real bytes-in path (header parse via
+    // ByteBuffer, mapPartitions feature extraction — the mapInPandas-
+    // shaped contract), and hash-match a pure-arithmetic DuckDB replay of
+    // the synthetic format (body byte i = (id·31 + i·7) mod 251; every
+    // IEEE term in the moments is exactly representable, see
+    // extractFeatures). A drift anywhere in encode→decode→extract breaks
+    // the hash. Blobs never shuffle — only the compact features do.
+    graft.QueryDef.sql(
+      "q_media_features",
+      """WITH b AS (
+        |  SELECT doc_id AS id,
+        |    CAST(SUM((doc_id * 31 + i.i * 7) % 251) AS BIGINT) AS s
+        |  FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS i) i
+        |  GROUP BY doc_id),
+        |g AS (
+        |  SELECT d.doc_id AS id,
+        |    SUM(((d.doc_id * 31 + i.i * 7) % 251 - b.s / 32.0)
+        |      * ((d.doc_id * 31 + i.i * 7) % 251 - b.s / 32.0)) AS sq
+        |  FROM documents d
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS i) i
+        |  JOIN b ON b.id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id AS id,
+        |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CAST(64 + d.doc_id % 64 AS BIGINT) AS width,
+        |  CAST(48 + d.doc_id % 48 AS BIGINT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN 24 + d.doc_id % 8 ELSE 1 END
+        |    AS BIGINT) AS n_frames,
+        |  CAST(53 AS BIGINT) AS n_bytes,
+        |  CAST(FLOOR((b.s / 32.0) * 1000000.0) AS BIGINT) AS mean_q6,
+        |  CAST(FLOOR(SQRT(g.sq / 32.0) * 1000000.0) AS BIGINT) AS std_q6
+        |FROM documents d
+        |JOIN b ON b.id = d.doc_id
+        |JOIN g ON g.id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val ids = graft.Tables.documents(s, d).select(col("doc_id").as("id"))
+      val feats = decodeAndFeaturize(synthesize(ids))
+      feats.select(col("id"), col("modality"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.sampleRate").cast("long").as("sample_rate"),
+          col("meta.nFrames").cast("long").as("n_frames"),
+          col("meta.nBytes").cast("long").as("n_bytes"),
+          floor(element_at(col("features"), 3) * lit(1000000.0)).cast("long").as("mean_q6"),
+          floor(element_at(col("features"), 4) * lit(1000000.0)).cast("long").as("std_q6"))
+        .orderBy(col("id"))
+    },
+
+    // Frame sampling through the same decoded-metadata path: every 4th
+    // frame of each video payload, oracled against the synthetic format's
+    // frame count (24 + id mod 8). Metadata-driven — payload bytes are
+    // read once at decode, never re-shuffled per frame.
+    graft.QueryDef.sql(
+      "q_frame_sample",
+      """SELECT d.doc_id AS id, CAST(u.f AS BIGINT) AS frame_idx
+        |FROM documents d, UNNEST(RANGE(0, 24 + d.doc_id % 8, 4)) AS u(f)
+        |WHERE d.doc_id % 3 = 2
+        |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = graft.Tables.documents(s, d).select(col("doc_id").as("id"))
+      val meta = decodeAndFeaturize(synthesize(ids))
+        .select(col("meta.*")).as[MediaMeta]
+      sampleFrames(meta, 4)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("id"), col("frame_idx"))
+    }
+  )
 }

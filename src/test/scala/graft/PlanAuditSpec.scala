@@ -530,6 +530,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.forall(_.contains("qid")), s"rank window not per-probe:\n$p")
   }
 
+  test("cluster terms: centroid argmin broadcasts, token stats combine map-side") {
+    val p = plan("q_cluster_terms")
+    // k = 4 centroid side under the assignment NLJ must broadcast; the
+    // (cid, t) / t token aggregates must keep their partial (combiner)
+    // phase — losing either shuffles raw tokens or vectors
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    assert(p.contains("partial_count"), s"token stats lost combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("media features never shuffle payload blobs") {
+    val p = plan("q_media_features")
+    // decode + extract are partition-local (mapPartitions); the only
+    // exchanges allowed are the final ordering's range partition (and
+    // AQE shims) — a hash exchange would mean blobs moved by key
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"payload bytes crossed a hash shuffle:\n$p")
+  }
+
   test("every global window runs over a bounded (post-aggregation/limit) input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     // the six deliberate Window.orderBy-without-partitionBy sites in source
