@@ -555,6 +555,68 @@ object Sketches {
         .select(col("t").as("token"), col("n"),
           expr("(n * 1000000) div tot").as("share_q6"))
         .orderBy(col("token"))
+    },
+
+    // Mergeable log-histogram quantile sketch — the one classic sketch
+    // the family was missing (the production shape behind DDSketch/
+    // approx quantiles): value v → bucket (e, m) with e = ⌊log2 v⌋
+    // (EXACT via length(bin(v))−1, no runtime log) and m one of 16
+    // mantissa sub-buckets, giving ≤ 1/16 relative error. Bucket counts
+    // are plain mergeable BIGINTs (map-side combined); a quantile is the
+    // first bucket whose running count reaches the ceil-rank, answered
+    // as the bucket's [lb, ub) bracket — all integer-exact, so the
+    // oracle replays bit-for-bit. The cumulative window runs over the
+    // BUCKET AGGREGATES (≈ e·16 rows — a few hundred for any int64
+    // range), one of the audited bounded-global-window sites; raw rows
+    // contribute only through the combiner-backed groupBy.
+    QueryDef.sql(
+      "q_quantile_sketch",
+      """WITH v AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |b AS (
+        |  SELECT CAST(LENGTH(BIN(v)) - 1 AS BIGINT) AS e,
+        |    (v * 16) // CAST(POWER(2, LENGTH(BIN(v)) - 1) AS BIGINT) - 16 AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT e, m, cnt,
+        |    SUM(cnt) OVER (ORDER BY e, m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |p AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |k AS (SELECT pm, (n.n * pm + 999) // 1000 AS rk FROM p CROSS JOIN n),
+        |q AS (
+        |  SELECT k.pm, k.rk, c.e, c.m,
+        |    ROW_NUMBER() OVER (PARTITION BY k.pm ORDER BY c.e, c.m) AS rn
+        |  FROM k JOIN c ON c.cum >= k.rk)
+        |SELECT CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
+        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_lb,
+        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_ub
+        |FROM q WHERE rn = 1 ORDER BY p_permille""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      val b = v
+        .select(col("v"), (length(bin(col("v"))) - 1).cast("long").as("e"))
+        .select(col("e"),
+          expr("(v * 16) div cast(pow(2, e) as bigint) - 16").as("m"))
+        .groupBy(col("e"), col("m")).agg(count(lit(1)).as("cnt"))
+      val n = b.agg(sum(col("cnt")).as("n"))
+      val c = b.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("e"), col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      import s.implicits._
+      val ks = Seq(500L, 900L, 990L).toDF("pm").crossJoin(broadcast(n))
+        .select(col("pm"), expr("(n * pm + 999) div 1000").as("rk"))
+      val q = broadcast(ks).join(c, col("cum") >= col("rk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pm")).orderBy(col("e"), col("m"))))
+        .filter(col("rn") === 1)
+      q.select(col("pm").as("p_permille"), col("rk").as("rank_k"),
+          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
+          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
+        .orderBy(col("p_permille"))
     }
   )
 

@@ -155,4 +155,24 @@ class SketchesSpec extends SparkSpec {
       assert(rate >= 200 && rate < 900, s"$src rate $rate")
     }
   }
+
+  test("quantile sketch brackets the exact quantile within one mantissa bucket") {
+    import org.apache.spark.sql.functions._
+    // the oracle proves both engines compute the same sketch; this spec
+    // proves the sketch answers the QUESTION: for each p, the exact
+    // rank-k order statistic lies in the reported [lb, ub) bucket, whose
+    // width is the advertised <= 1/16 relative error
+    val rows = SparkEntry.queries("q_quantile_sketch")(spark, sf())
+      .collect().map(r => (r.getAs[Long]("p_permille"), r.getAs[Long]("rank_k"),
+        r.getAs[Long]("q_lb"), r.getAs[Long]("q_ub")))
+    assert(rows.map(_._1).toSeq == Seq(500L, 900L, 990L))
+    val vs = Tables.lineitem(spark, sf())
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      .orderBy(col("v")).as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    rows.foreach { case (p, k, lb, ub) =>
+      val exact = vs((k - 1).toInt)
+      assert(lb <= exact && exact < ub, s"p$p: exact $exact outside [$lb, $ub)")
+      assert(ub - lb <= lb / 16 + 1, s"p$p: bucket wider than 1/16 relative")
+    }
+  }
 }
