@@ -47,11 +47,15 @@ object Stats {
         |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
         |  FROM daily GROUP BY event_type)
         |SELECT event_type, n,
-        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |  ELSE CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
         |    / (SQRT((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))
-        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT) AS corr_q6,
-        |  CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
-        |    / ((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))) AS BIGINT) AS slope_q6
+        |       * SQRT((n*syy - sy*sy) * CAST(1.0 AS DOUBLE)))) AS BIGINT)
+        |  END AS corr_q6,
+        |  CASE WHEN (n*sxx - sx*sx) = 0 THEN NULL
+        |  ELSE CAST(FLOOR((n*sxy - sx*sy) * CAST(1000000.0 AS DOUBLE)
+        |    / ((n*sxx - sx*sx) * CAST(1.0 AS DOUBLE))) AS BIGINT)
+        |  END AS slope_q6
         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -64,11 +68,18 @@ object Stats {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
-      val vx = (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1.0)
-      val vy = (col("n") * col("syy") - col("sy") * col("sy")) * lit(1.0)
+      val vxI = col("n") * col("sxx") - col("sx") * col("sx")
+      val vyI = col("n") * col("syy") - col("sy") * col("sy")
+      // zero-variance guard (the q_autocorr_lag lesson): a constant daily
+      // series must yield NULL, not a NaN/Inf cast divergence
       m.select(col("event_type"), col("n"),
-          floor(cov * lit(1000000.0) / (sqrt(vx) * sqrt(vy))).cast("long").as("corr_q6"),
-          floor(cov * lit(1000000.0) / vx).cast("long").as("slope_q6"))
+          when(vxI === 0 || vyI === 0, lit(null))
+            .otherwise(floor(cov * lit(1000000.0)
+              / (sqrt(vxI * lit(1.0)) * sqrt(vyI * lit(1.0)))).cast("long"))
+            .as("corr_q6"),
+          when(vxI === 0, lit(null))
+            .otherwise(floor(cov * lit(1000000.0) / (vxI * lit(1.0))).cast("long"))
+            .as("slope_q6"))
         .orderBy(col("event_type"))
     },
 
@@ -96,11 +107,13 @@ object Stats {
         |    MAX(CASE WHEN cohort = 1 THEN k END) AS k1
         |  FROM c)
         |SELECT n0, k0, n1, k1,
-        |  CAST(FLOOR(
+        |  CASE WHEN (k0 + k1) = 0 OR (k0 + k1) = (n0 + n1) THEN NULL
+        |  ELSE CAST(FLOOR(
         |    (k0 * CAST(1.0 AS DOUBLE) / n0 - k1 * CAST(1.0 AS DOUBLE) / n1)
         |    / SQRT(((k0 + k1) * CAST(1.0 AS DOUBLE) / (n0 + n1))
         |           * (1.0 - (k0 + k1) * CAST(1.0 AS DOUBLE) / (n0 + n1))
-        |           * (1.0 / n0 + 1.0 / n1)) * 1000000.0) AS BIGINT) AS z_q6
+        |           * (1.0 / n0 + 1.0 / n1)) * 1000000.0) AS BIGINT)
+        |  END AS z_q6
         |FROM w""".stripMargin) { (s, d) =>
       val u = Tables.events(s, d)
         .groupBy(col("user_id"))
@@ -118,8 +131,13 @@ object Stats {
       val p1 = col("k1") * lit(1.0) / col("n1")
       val pp = (col("k0") + col("k1")) * lit(1.0) / (col("n0") + col("n1"))
       val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      // saturation guard: zero or all-converted pools zero the SE — NULL,
+      // not a NaN/Inf cast divergence (the q_autocorr_lag lesson)
+      val degenerate = (col("k0") + col("k1")) === 0 ||
+        (col("k0") + col("k1")) === (col("n0") + col("n1"))
       w.select(col("n0"), col("k0"), col("n1"), col("k1"),
-        floor((p0 - p1) / se * lit(1000000.0)).cast("long").as("z_q6"))
+        when(degenerate, lit(null))
+          .otherwise(floor((p0 - p1) / se * lit(1000000.0)).cast("long")).as("z_q6"))
     },
 
     // Per-user lag / delta / rolling-3 features (supervised-learning
