@@ -152,6 +152,37 @@ object Sessions {
       }
   }
 
+  final case class SampleDoc(source: String, doc_id: Long)
+  final case class MinKRow(source: String, rk: Long, doc_id: Long)
+
+  /** Streaming uniform sample — the continuous twin of the batch
+    * q_sample_exact_k (min-k-by-multiplicative-hash per source): per-key
+    * state is the k smallest (hash, id) pairs seen so far — bounded and
+    * MERGEABLE (the min-k of a union is the min-k of the min-k's), which
+    * also makes it the KMV distinct-count sketch shape. Each micro-batch
+    * emits the current ranked sample; after one availableNow drop the
+    * snapshot equals the batch operator exactly (StreamingSpec). Same
+    * hash, so the sample is deterministic, never rand(). */
+  def minKSampleStream(ds: Dataset[SampleDoc], k: Int = 5): Dataset[MinKRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState[Seq[(Long, Long)], MinKRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Seq[(Long, Long)]]) =>
+          def h(id: Long): Long =
+            java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+          var st = state.getOption.getOrElse(Seq.empty)
+          rows.foreach { r =>
+            st = ((h(r.doc_id), r.doc_id) +: st).distinct.sorted.take(k)
+          }
+          state.update(st)
+          st.iterator.zipWithIndex.map { case ((_, id), i) =>
+            MinKRow(key, (i + 1).toLong, id)
+          }
+      }
+  }
+
   final case class CmRowState(counters: Array[Long])
   final case class CmCell(i: Int, bucket: Int, cnt: Long)
 

@@ -213,6 +213,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming min-k sample after one availableNow drop equals the batch sample") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mink").toString
+    val inDir = s"$tmp/in"
+    Tables.documents(spark, sf()).select($"source", $"doc_id")
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Sessions.SampleDoc]
+    val q = Sessions.minKSampleStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mink_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("mink_stream")
+      .select($"source", $"rk", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_sample_exact_k")(spark, sf())
+      .select($"source", $"rk", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming count-min sketch equals the batch sketch (fixed state)") {
     import graft.pipeline.Sketches
     import org.apache.spark.sql.streaming.Trigger
