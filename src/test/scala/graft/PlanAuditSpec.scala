@@ -550,6 +550,30 @@ class PlanAuditSpec extends SparkSpec {
       s"payload bytes crossed a hash shuffle:\n$p")
   }
 
+  test("nearest as-of join is two keyed window shuffles, no join of raw streams") {
+    val p = plan("q_asof_join_nearest")
+    // each asOf pass unions two branches and each branch moves to its
+    // key partition exactly once (union erases partitioning info, so the
+    // window re-clusters both) — two passes = at most 4 user_id hash
+    // exchanges, each touching a branch's rows once; a SortMergeJoin
+    // would mean the union+running-last formulation regressed to a join
+    val hashEx = countOccurrences(p, "hashpartitioning\\(user_id")
+    assert(hashEx <= 4, s"$hashEx user_id exchanges (expected <= 4):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"raw-stream join appeared:\n$p")
+  }
+
+  test("bpe merge rounds: every window is doc-partitioned, argmax is TakeOrdered") {
+    val p = plan("q_bpe_merges")
+    // the per-round token windows must all carry doc_id partitioning (a
+    // global window would single-task the token stream); the per-round
+    // argmax must stay a TakeOrdered(1), never a global sort of counts
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      s"global window in BPE round:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"argmax lost TakeOrdered:\n$p")
+  }
+
   test("every global window runs over a bounded (post-aggregation/limit) input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     // the six deliberate Window.orderBy-without-partitionBy sites in source
