@@ -617,6 +617,67 @@ object Sketches {
           ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
           ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
         .orderBy(col("p_permille"))
+    },
+
+    // Per-group quantiles from the same mergeable log-histogram — the
+    // shape production actually runs (p50/p90/p99 per key): bucket
+    // counts key by (group, e, m), the cumulative window partitions by
+    // GROUP (key-local, scales with executors — never the global window
+    // the ungrouped sketch is allowed only because its bucket table is
+    // bounded), and each group answers from its own ceil-rank.
+    QueryDef.sql(
+      "q_quantile_by_group",
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |b AS (
+        |  SELECT grp, CAST(LENGTH(BIN(v)) - 1 AS BIGINT) AS e,
+        |    (v * 16) // CAST(POWER(2, LENGTH(BIN(v)) - 1) AS BIGINT) - 16 AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |n AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY grp),
+        |c AS (
+        |  SELECT grp, e, m, cnt,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY e, m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |p AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |k AS (
+        |  SELECT n.grp, p.pm, (n.n * p.pm + 999) // 1000 AS rk
+        |  FROM p CROSS JOIN n),
+        |q AS (
+        |  SELECT k.grp, k.pm, k.rk, c.e, c.m,
+        |    ROW_NUMBER() OVER (PARTITION BY k.grp, k.pm ORDER BY c.e, c.m) AS rn
+        |  FROM k JOIN c ON c.grp = k.grp AND c.cum >= k.rk)
+        |SELECT grp, CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
+        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_lb,
+        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_ub
+        |FROM q WHERE rn = 1 ORDER BY grp, p_permille""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      val b = v
+        .select(col("grp"), col("v"), (length(bin(col("v"))) - 1).cast("long").as("e"))
+        .select(col("grp"), col("e"),
+          expr("(v * 16) div cast(pow(2, e) as bigint) - 16").as("m"))
+        .groupBy(col("grp"), col("e"), col("m")).agg(count(lit(1)).as("cnt"))
+      val n = b.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      val c = b.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("e"), col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      import s.implicits._
+      val ks = Seq(500L, 900L, 990L).toDF("pm").crossJoin(n)
+        .select(col("grp"), col("pm"), expr("(n * pm + 999) div 1000").as("rk"))
+      val q = broadcast(ks).join(c, Seq("grp"))
+        .filter(col("cum") >= col("rk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp"), col("pm")).orderBy(col("e"), col("m"))))
+        .filter(col("rn") === 1)
+      q.select(col("grp"), col("pm").as("p_permille"), col("rk").as("rank_k"),
+          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
+          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
+        .orderBy(col("grp"), col("p_permille"))
     }
   )
 
