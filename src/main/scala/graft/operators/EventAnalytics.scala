@@ -760,6 +760,121 @@ object EventAnalytics {
         .select(col("day"), col("dau"), col("mau"),
           expr("(dau * 1000000) div mau").as("stick_q6"))
         .orderBy(col("day"))
+    },
+
+    // Week-over-week churn flow (the growth-accounting waterfall): each
+    // active (user, week) is classified new / retained / resurrected by
+    // the user's previous active week, and counted as churning OUT of a
+    // week when the next active week is not the immediately following
+    // one. Weeks are exact integer indices (epoch-day // 7), the per-user
+    // LAG/LEAD windows run over the DISTINCT (user, week) grid — bounded
+    // by users × weeks, never raw events — and the final rollup is one
+    // combiner-backed groupBy per week.
+    QueryDef.sql(
+      "q_churn_flow",
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((EPOCH_US(ts) // 86400000000) // 7 AS BIGINT) AS mi
+        |  FROM events),
+        |mx AS (SELECT CAST(MAX(mi) AS BIGINT) AS max_mi FROM um),
+        |seq AS (
+        |  SELECT user_id, mi,
+        |    LAG(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev_mi,
+        |    LEAD(mi) OVER (PARTITION BY user_id ORDER BY mi) AS next_mi
+        |  FROM um),
+        |st AS (
+        |  SELECT s.mi,
+        |    CASE WHEN prev_mi IS NULL THEN 'new'
+        |         WHEN prev_mi = s.mi - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status,
+        |    CASE WHEN s.mi < mx.max_mi
+        |              AND (next_mi IS NULL OR next_mi > s.mi + 1)
+        |         THEN 1 ELSE 0 END AS churn_out
+        |  FROM seq s CROSS JOIN mx)
+        |SELECT mi AS week,
+        |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(churn_out) AS BIGINT) AS n_churn_out
+        |FROM st GROUP BY mi ORDER BY week""".stripMargin) { (s, d) =>
+      val um = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("mi"))
+        .distinct()
+      val mx = um.agg(max(col("mi")).as("max_mi"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("mi"))
+      val seq0 = um.select(col("user_id"), col("mi"),
+        lag(col("mi"), 1).over(w).as("prev_mi"),
+        lead(col("mi"), 1).over(w).as("next_mi"))
+      val st = seq0.crossJoin(broadcast(mx))
+        .select(col("mi"),
+          when(col("prev_mi").isNull, "new")
+            .when(col("prev_mi") === col("mi") - 1, "retained")
+            .otherwise("resurrected").as("status"),
+          when(col("mi") < col("max_mi") &&
+            (col("next_mi").isNull || col("next_mi") > col("mi") + 1), 1)
+            .otherwise(0).as("churn_out"))
+      st.groupBy(col("mi").as("week"))
+        .agg(sum(when(col("status") === "new", 1).otherwise(0)).cast("long").as("n_new"),
+          sum(when(col("status") === "retained", 1).otherwise(0)).cast("long").as("n_retained"),
+          sum(when(col("status") === "resurrected", 1).otherwise(0)).cast("long").as("n_resurrected"),
+          sum(col("churn_out")).cast("long").as("n_churn_out"))
+        .orderBy(col("week"))
+    },
+
+    // Cohort LTV curves: users grouped by first-activity week, purchase
+    // revenue (exact cents) accumulated by week-age with a per-cohort
+    // running total and per-user LTV (integer division by the cohort's
+    // size). The per-user week rollup bounds everything downstream by
+    // users × weeks; the cumulative window partitions by cohort over the
+    // (cohort × age) AGGREGATE; cohort sizes broadcast back.
+    QueryDef.sql(
+      "q_cohort_ltv",
+      """WITH um AS (
+        |  SELECT user_id,
+        |    CAST((EPOCH_US(ts) // 86400000000) // 7 AS BIGINT) AS mi,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_c
+        |  FROM events GROUP BY user_id, (EPOCH_US(ts) // 86400000000) // 7),
+        |co AS (SELECT user_id, CAST(MIN(mi) AS BIGINT) AS cohort_mi
+        |       FROM um GROUP BY user_id),
+        |cs AS (SELECT cohort_mi, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |       FROM co GROUP BY cohort_mi),
+        |age AS (
+        |  SELECT co.cohort_mi, um.mi - co.cohort_mi AS age,
+        |    CAST(SUM(um.rev_c) AS BIGINT) AS rev_c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM um JOIN co USING (user_id)
+        |  GROUP BY co.cohort_mi, um.mi - co.cohort_mi),
+        |cum AS (
+        |  SELECT cohort_mi, age, rev_c, n_active,
+        |    CAST(SUM(rev_c) OVER (PARTITION BY cohort_mi ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+        |  FROM age)
+        |SELECT c.cohort_mi AS cohort_week, c.age, c.rev_c, c.n_active,
+        |  s.cohort_size, c.cum_rev_c,
+        |  CAST(c.cum_rev_c // s.cohort_size AS BIGINT) AS ltv_pu_c
+        |FROM cum c JOIN cs s USING (cohort_mi)
+        |ORDER BY cohort_week, age""".stripMargin) { (s, d) =>
+      val um = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("mi"))
+        .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("rev_c"))
+      val co = um.groupBy(col("user_id")).agg(min(col("mi")).as("cohort_mi"))
+      val cs = co.groupBy(col("cohort_mi")).agg(count(lit(1)).as("cohort_size"))
+      val age = um.join(co, Seq("user_id"))
+        .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi")).as("age"))
+        .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("n_active"))
+      val wc = Window.partitionBy(col("cohort_mi")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      age
+        .withColumn("cum_rev_c", sum(col("rev_c")).over(wc).cast("long"))
+        .join(broadcast(cs), Seq("cohort_mi"))
+        .select(col("cohort_mi").as("cohort_week"), col("age"), col("rev_c"),
+          col("n_active"), col("cohort_size"), col("cum_rev_c"),
+          expr("cum_rev_c div cohort_size").as("ltv_pu_c"))
+        .orderBy(col("cohort_week"), col("age"))
     }
   )
 }

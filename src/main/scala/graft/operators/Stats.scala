@@ -420,6 +420,151 @@ object Stats {
               (sqrt(vxInt * lit(1.0)) * sqrt(vyInt * lit(1.0)))).cast("long"))
             .as("acf_q6"))
         .orderBy(col("event_type"), col("lag"))
+    },
+
+    // Wilson-score lower bound ranking (the "sort by positive rate, but
+    // don't let 2-of-2 beat 90-of-100" fix): per-part return rate from
+    // lineitem with the z=1.96 lower confidence bound. Counts are one
+    // combiner-backed groupBy; the bound is one shared IEEE tree over
+    // (n, k) — every op (+,-,*,/,sqrt) is correctly rounded, so both
+    // engines agree bit-for-bit before the q6 floor. Parts with n < 20
+    // are dropped (the bound is meaningless below minimal support).
+    QueryDef.sql(
+      "q_wilson_lb",
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY l_partkey
+        |  HAVING COUNT(*) >= 20),
+        |w AS (
+        |  SELECT l_partkey, n, k,
+        |    k * CAST(1.0 AS DOUBLE) / n AS p, CAST(1.96 AS DOUBLE) AS z
+        |  FROM c)
+        |SELECT l_partkey, n, k,
+        |  CAST(FLOOR((p + z*z/(2*n) - z*SQRT((p*(1.0-p) + z*z/(4*n))/n))
+        |    / (1.0 + z*z/n) * 1000000.0) AS BIGINT) AS wilson_lb_q6
+        |FROM w ORDER BY wilson_lb_q6 DESC, l_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long").as("k"))
+        .filter(col("n") >= 20)
+      val z = lit(1.96)
+      val p = col("k") * lit(1.0) / col("n")
+      val lb = (p + z * z / (lit(2) * col("n"))
+        - z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4) * col("n"))) / col("n"))) /
+        (lit(1.0) + z * z / col("n"))
+      c.select(col("l_partkey"), col("n"), col("k"),
+          floor(lb * lit(1000000.0)).cast("long").as("wilson_lb_q6"))
+        .orderBy(col("wilson_lb_q6").desc, col("l_partkey"))
+        .limit(100)
+    },
+
+    // Chi-square test of independence over the (event_type × ISO weekday)
+    // contingency table — the data-audit screen for "is activity mix
+    // uniform across the week". Marginals and cells are exact BIGINTs;
+    // the per-cell deviation d = O·N − r·c is an exact int64 (< 2^53 at
+    // rehearsal scales), and each cell's χ² contribution is one shared
+    // IEEE tree floor-quantized to q6 BEFORE the global sum, so the
+    // total is an order-independent BIGINT sum. Cells ≤ |types| × 7 —
+    // the marginal joins broadcast, the stat row cross-joins broadcast.
+    QueryDef.sql(
+      "q_chi2_independence",
+      """WITH cell AS (
+        |  SELECT event_type, CAST(ISODOW(ts) AS BIGINT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS tr FROM cell GROUP BY event_type),
+        |cc AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS tc FROM cell GROUP BY dow),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS tn FROM cell),
+        |x AS (
+        |  SELECT c.event_type, c.dow, c.o, r.tr, cc.tc, nn.tn,
+        |    (c.o * nn.tn - r.tr * cc.tc) * CAST(1.0 AS DOUBLE) AS dd
+        |  FROM cell c JOIN r USING (event_type) JOIN cc USING (dow) CROSS JOIN nn),
+        |y AS (
+        |  SELECT event_type, dow, o,
+        |    CAST(FLOOR(tr * CAST(1.0 AS DOUBLE) * tc / tn * 100.0) AS BIGINT) AS exp_c,
+        |    CAST(FLOOR(dd * dd / (tr * CAST(1.0 AS DOUBLE) * tc * tn)
+        |      * 1000000.0) AS BIGINT) AS contrib_q6
+        |  FROM x),
+        |tot AS (SELECT CAST(SUM(contrib_q6) AS BIGINT) AS chi2_q6 FROM y)
+        |SELECT y.event_type, y.dow, y.o, y.exp_c, y.contrib_q6, tot.chi2_q6
+        |FROM y CROSS JOIN tot ORDER BY y.event_type, y.dow""".stripMargin) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val r = cell.groupBy(col("event_type")).agg(sum(col("o")).as("tr"))
+      val cc = cell.groupBy(col("dow")).agg(sum(col("o")).as("tc"))
+      val nn = cell.agg(sum(col("o")).as("tn"))
+      val x = cell
+        .join(broadcast(r), Seq("event_type"))
+        .join(broadcast(cc), Seq("dow"))
+        .crossJoin(broadcast(nn))
+        .withColumn("dd", (col("o") * col("tn") - col("tr") * col("tc")) * lit(1.0))
+      val y = x.select(col("event_type"), col("dow"), col("o"),
+        floor(col("tr") * lit(1.0) * col("tc") / col("tn") * lit(100.0))
+          .cast("long").as("exp_c"),
+        floor(col("dd") * col("dd") / (col("tr") * lit(1.0) * col("tc") * col("tn"))
+          * lit(1000000.0)).cast("long").as("contrib_q6"))
+      val tot = y.agg(sum(col("contrib_q6")).as("chi2_q6"))
+      y.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("o"), col("exp_c"),
+          col("contrib_q6"), col("chi2_q6"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    // Additive seasonal decomposition of the daily event-count series:
+    // trend = centered 7-day moving average (NULL at the edges where the
+    // window is short), seasonal = per-ISO-weekday mean of the detrended
+    // series, residual = detrended − seasonal. The only global window
+    // runs over the BOUNDED daily grid (an Aggregate input — gated by
+    // PlanAuditSpec); everything stays integer-exact in centi-units: the
+    // MA is (Σ·100) div 7, the per-dow mean is one negative-safe FLOOR
+    // of an exact-sum division, both identical across engines.
+    QueryDef.sql(
+      "q_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ma AS (
+        |  SELECT day, x,
+        |    CAST(SUM(x) OVER w7 AS BIGINT) AS s7,
+        |    CAST(COUNT(*) OVER w7 AS BIGINT) AS c7
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, x,
+        |    CASE WHEN c7 = 7 THEN CAST((s7 * 100) // 7 AS BIGINT) END AS trend_c,
+        |    CASE WHEN c7 = 7 THEN x * 100 - CAST((s7 * 100) // 7 AS BIGINT) END AS detr_c
+        |  FROM ma),
+        |seas AS (
+        |  SELECT CAST(ISODOW(day) AS BIGINT) AS dow,
+        |    CAST(FLOOR(SUM(detr_c) * CAST(1.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS seas_c
+        |  FROM det WHERE detr_c IS NOT NULL GROUP BY 1)
+        |SELECT d.day, d.x, d.trend_c, s.seas_c,
+        |  d.detr_c - s.seas_c AS resid_c
+        |FROM det d JOIN seas s ON s.dow = CAST(ISODOW(d.day) AS BIGINT)
+        |ORDER BY d.day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val ma = daily.select(col("day"), col("x"),
+        sum(col("x")).over(w7).as("s7"),
+        count(lit(1)).over(w7).as("c7"))
+      val det = ma.select(col("day"), col("x"),
+        when(col("c7") === 7, expr("(s7 * 100) div 7")).as("trend_c"),
+        when(col("c7") === 7, col("x") * 100 - expr("(s7 * 100) div 7")).as("detr_c"))
+      val seas = det.filter(col("detr_c").isNotNull)
+        .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
+        .agg(floor(sum(col("detr_c")) * lit(1.0) / count(lit(1)))
+          .cast("long").as("seas_c"))
+      det
+        .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+        .join(broadcast(seas), Seq("dow"))
+        .select(col("day"), col("x"), col("trend_c"), col("seas_c"),
+          (col("detr_c") - col("seas_c")).as("resid_c"))
+        .orderBy(col("day"))
     }
   )
 }

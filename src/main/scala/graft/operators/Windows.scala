@@ -23,6 +23,16 @@ object Windows {
   def ewmaStep(s: Long, x: Long): (Long, Boolean) =
     (math.floor((16.0 * x + 48.0 * s) / 64.0).toLong, math.abs(x - s) > 500)
 
+  /** One Holt (double exponential smoothing) step, α = β = 1/2 in exact
+    * binary halving: lₜ = ⌊(xₜ + lₜ₋₁ + bₜ₋₁)/2⌋, bₜ = ⌊(lₜ − lₜ₋₁ + bₜ₋₁)/2⌋.
+    * Halving a < 2⁵³ integer in a double is exact and FLOOR is negative-
+    * safe, so the DuckDB recursive CTE replays the fold bit-for-bit.
+    * THE single definition of the recursion (q_ewma discipline). */
+  def holtStep(l: Long, b: Long, x: Long): (Long, Long) = {
+    val l2 = math.floor((x + l + b) / 2.0).toLong
+    (l2, math.floor((l2 - l + b) / 2.0).toLong)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // W1: FIRST_VALUE over partition (build_frame_db.py:173-187), with a
@@ -366,6 +376,68 @@ object Windows {
         }
         .toDF("user_id", "n_events", "ewma_final", "n_spikes")
         .orderBy(col("user_id"))
+    },
+
+    // Holt linear-trend (double exponential) smoothing of the per-type
+    // daily count series, α = β = 1/2 as exact binary halving — the
+    // level+trend forecaster a metrics pipeline runs per series. The
+    // sequential fold runs over the BOUNDED daily grid (days × types —
+    // an aggregate, never raw events), per-key in-partition like q_ewma;
+    // state is two longs per series. Output: final level/trend per type
+    // plus the 7-day-ahead linear forecast. The oracle replays the fold
+    // as a recursive CTE (exact halving, see holtStep).
+    QueryDef.sql(
+      "q_holt_linear",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, x * 100 AS xc,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |walk(event_type, rn, l, b) AS (
+        |  SELECT event_type, rn, xc, CAST(0 AS BIGINT) FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn,
+        |    CAST(FLOOR((s.xc + w.l + w.b) / 2.0) AS BIGINT),
+        |    CAST(FLOOR((CAST(FLOOR((s.xc + w.l + w.b) / 2.0) AS BIGINT)
+        |      - w.l + w.b) / 2.0) AS BIGINT)
+        |  FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1),
+        |last AS (
+        |  SELECT event_type, rn, l, b,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+        |  FROM walk)
+        |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+        |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+        |  CAST(l + 7 * b AS BIGINT) AS fc7_c
+        |FROM last WHERE rr = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("ep"),
+          (col("x") * 100).as("xc"))
+        .as[(String, Long, Long)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("ep"))
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long, Long)]
+          var cur: String = null
+          var n = 0L; var l = 0L; var b = 0L
+          def flush(): Unit = if (n > 0) out += ((cur, n, l, b, l + 7 * b))
+          it.foreach { case (t, _, xc) =>
+            if (t != cur) { flush(); cur = t; n = 0L; l = 0L; b = 0L }
+            if (n == 0) { l = xc; b = 0L }
+            else { val (l2, b2) = holtStep(l, b, xc); l = l2; b = b2 }
+            n += 1
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("event_type", "n_days", "level_c", "trend_c", "fc7_c")
+        .orderBy(col("event_type"))
     },
 
     // Debounce / alert throttling: keep an event only if it arrives ≥ 6

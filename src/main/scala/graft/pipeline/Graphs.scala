@@ -318,6 +318,58 @@ object Graphs {
        |  FROM nodes nd LEFT JOIN ${cur}r r ON r.doc_id = nd.doc_id
        |  CROSS JOIN ${cur}m)""".stripMargin
 
+  /** Synchronous k-core peeling census over the undirected link graph:
+    * round r keeps the vertices whose degree in the subgraph INDUCED by
+    * round r−1's survivors is ≥ k. Returns one row per round
+    * (round, n_core, sum_ids) — round 0 is the initial vertex set.
+    *
+    * Scale posture: each round is two semi-joins of the (once-persisted)
+    * edge list against the survivor set plus one combiner-backed degree
+    * aggregate — the textbook distributed peel; survivor sets persist per
+    * round so round r+1's plan never re-derives round r. Rounds are
+    * bounded (a fixpoint census, not full coreness), matching the BFS /
+    * Bellman-Ford convention in this module. */
+  def kCoreCensus(docs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1 && rounds >= 1)
+    val ue = undirectedEdges(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    var surv = ue.select(col("a").as("v"))
+      .unionAll(ue.select(col("b").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def censusRow(r: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_core"), sum(col("v")).as("sum_ids"))
+        .select(lit(r.toLong).as("round"), col("n_core"),
+          col("sum_ids").cast("long").as("sum_ids"))
+    val rows = scala.collection.mutable.ListBuffer(censusRow(0, surv))
+    for (r <- 1 to rounds) {
+      val induced = ue
+        .join(surv.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("v").as("b")), Seq("b"), "left_semi")
+      val next = induced.select(col("a").as("v"))
+        .unionAll(induced.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rows += censusRow(r, next)
+      surv = next
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** One k=3 peeling round as a CTE: survivors of `prev` with induced
+    * degree ≥ 3. */
+  private def peelSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT v FROM (
+       |    SELECT e.a AS v FROM ue e
+       |      JOIN $prev x ON x.v = e.a JOIN $prev y ON y.v = e.b
+       |    UNION ALL
+       |    SELECT e.b AS v FROM ue e
+       |      JOIN $prev x ON x.v = e.a JOIN $prev y ON y.v = e.b)
+       |  GROUP BY v HAVING COUNT(*) >= 3)""".stripMargin
+
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.doc_id, 150000 + COALESCE(SUM(c.c), 0) AS r
@@ -534,6 +586,37 @@ object Graphs {
         .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"))
         .orderBy(col("n_members").desc, col("community"))
         .limit(25)
+    },
+
+    // 3-core peeling census, 4 synchronous rounds: per-round survivor
+    // count + id checksum. The oracle unrolls each peel as a
+    // semi-join + HAVING CTE.
+    QueryDef.sql(
+      "q_kcore",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |s0 AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)),
+         |${peelSql("s0", "s1")},
+         |${peelSql("s1", "s2")},
+         |${peelSql("s2", "s3")},
+         |${peelSql("s3", "s4")},
+         |census AS (
+         |  SELECT CAST(0 AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_core,
+         |    CAST(SUM(v) AS BIGINT) AS sum_ids FROM s0
+         |  UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s3
+         |  UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s4)
+         |SELECT round, n_core, sum_ids FROM census ORDER BY round""".stripMargin) { (s, d) =>
+      kCoreCensus(Tables.documents(s, d), k = 3, rounds = 4)
+        .orderBy(col("round"))
     }
   )
 }

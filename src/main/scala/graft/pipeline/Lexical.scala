@@ -533,6 +533,40 @@ object Lexical {
         when(varx === 0, lit(null))
           .otherwise(floor((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1000000.0)
             / varx).cast("long")).as("slope_q6"))
+    },
+
+    // Simpson concentration / Gini–Simpson diversity of each source's
+    // language mix — the corpus-balance readout next to the mixture
+    // operators. Pure integer: Simpson = Σc(c−1)/(N(N−1)) as one q6
+    // integer division (no IEEE anywhere), over a (source × lang) cell
+    // aggregate bounded by the vocabulary. Sources with N < 2 drop (the
+    // index is undefined).
+    QueryDef.sql(
+      "q_simpson_diversity",
+      """WITH c AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, lang),
+        |t AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+        |  FROM c GROUP BY source)
+        |SELECT source, n AS n_docs, n_langs,
+        |  CAST((s2 * 1000000) // (n * (n - 1)) AS BIGINT) AS simpson_q6,
+        |  CAST(1000000 - (s2 * 1000000) // (n * (n - 1)) AS BIGINT) AS gini_simpson_q6
+        |FROM t WHERE n >= 2 ORDER BY source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val t = c.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_langs"),
+          sum(col("c") * (col("c") - 1)).as("s2"))
+      t.filter(col("n") >= 2)
+        .select(col("source"), col("n").as("n_docs"), col("n_langs"),
+          expr("(s2 * 1000000) div (n * (n - 1))").as("simpson_q6"),
+          (lit(1000000L) - expr("(s2 * 1000000) div (n * (n - 1))"))
+            .cast("long").as("gini_simpson_q6"))
+        .orderBy(col("source"))
     }
   )
 }

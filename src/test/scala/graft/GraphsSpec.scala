@@ -74,6 +74,28 @@ class GraphsSpec extends SparkSpec {
     assert(got(0L) == 0L && got.size > 1)
   }
 
+  test("kCoreCensus matches driver-side synchronous peeling") {
+    val docs = Tables.documents(spark, sf())
+    val got = Graphs.kCoreCensus(docs, k = 3, rounds = 4)
+      .select($"round".as[Long], $"n_core".as[Long], $"sum_ids".as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val edges = Graphs.undirectedEdges(docs).as[(Long, Long)].collect()
+    var surv = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expect = scala.collection.mutable.Map(
+      0L -> ((surv.size.toLong, surv.sum)))
+    for (r <- 1 to 4) {
+      val deg = edges.filter(e => surv(e._1) && surv(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      surv = deg.collect { case (v, d) if d >= 3 => v }.toSet
+      expect(r.toLong) = (surv.size.toLong, surv.sum)
+    }
+    assert(got == expect.toMap)
+    // peeling is monotone: core sizes never grow round over round
+    val sizes = (0L to 4L).map(r => got(r)._1)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a })
+  }
+
   test("skyline output is exactly the non-dominated set") {
     val pp = Tables.part(spark, sf())
       .select($"p_partkey".as[Long], $"p_size".cast("long").as[Long],
