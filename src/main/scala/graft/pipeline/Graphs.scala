@@ -333,10 +333,14 @@ object Graphs {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1 && rounds >= 1)
     val ue = undirectedEdges(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // survivor sets are EAGERLY materialized per round (localCheckpoint):
+    // the 5-branch census union would otherwise race every branch through
+    // the full lazy peel chain — measured 30 s of recompute at ANY scale
+    // versus ~1 job per round materialized
     var surv = ue.select(col("a").as("v"))
       .unionAll(ue.select(col("b").as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def censusRow(r: Int, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_core"), sum(col("v")).as("sum_ids"))
         .select(lit(r.toLong).as("round"), col("n_core"),
@@ -351,7 +355,7 @@ object Graphs {
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       rows += censusRow(r, next)
       surv = next
     }
