@@ -513,6 +513,124 @@ object Stats {
         .orderBy(col("event_type"), col("dow"))
     },
 
+    // Theil–Sen robust trend: the median of all pairwise slopes of the
+    // per-type daily count series — the outlier-proof alternative to the
+    // OLS slope in q_daily_corr_ols. The pair self-join runs on the
+    // TIME-bounded daily grid (≤ days²/2 pairs per type, independent of
+    // row count), each slope is one exact-numerator IEEE division
+    // floor-quantized to q6, and the median pick is a deterministic
+    // (slope, d1, d2) rank inside each type partition.
+    QueryDef.sql(
+      "q_theilsen",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    CAST(FLOOR((b.x - a.x) * CAST(1000000.0 AS DOUBLE)
+        |      / (b.di - a.di)) AS BIGINT) AS sl,
+        |    a.di AS d1, b.di AS d2
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.di < b.di),
+        |rk AS (
+        |  SELECT event_type, sl,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sl, d1, d2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM pr)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        |  CAST(sl AS BIGINT) AS ts_slope_q6
+        |FROM rk WHERE rn = (m + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val pr = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.di") < col("b.di"))
+        .select(col("a.event_type").as("event_type"),
+          floor((col("b.x") - col("a.x")) * lit(1000000.0)
+            / (col("b.di") - col("a.di"))).cast("long").as("sl"),
+          col("a.di").as("d1"), col("b.di").as("d2"))
+      val wp = Window.partitionBy(col("event_type"))
+      pr.select(col("event_type"), col("sl"),
+          row_number().over(wp.orderBy(col("sl"), col("d1"), col("d2"))).as("rn"),
+          count(lit(1)).over(wp).as("m"))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("m").cast("long").as("n_pairs"),
+          col("sl").as("ts_slope_q6"))
+        .orderBy(col("event_type"))
+    },
+
+    // Mann–Kendall trend test (with the textbook tie correction) on the
+    // same daily grid: S = Σ sign(x_j − x_i) over ordered day pairs, the
+    // variance 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5) stays a pure
+    // integer, and the continuity-corrected z is one shared IEEE tree.
+    // A constant series zeroes the variance → NULL (the q_autocorr_lag
+    // guard discipline).
+    QueryDef.sql(
+      "q_mann_kendall",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.di < b.di),
+        |s AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+        |      FROM pr GROUP BY event_type),
+        |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM daily GROUP BY event_type),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY event_type, x)
+        |  GROUP BY event_type),
+        |v AS (
+        |  SELECT nn.event_type, nn.n, s.s_stat,
+        |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS var18
+        |  FROM nn JOIN s ON s.event_type = nn.event_type
+        |  JOIN ties ON ties.event_type = nn.event_type)
+        |SELECT event_type, n AS n_days, s_stat,
+        |  CASE WHEN var18 <= 0 THEN NULL
+        |  ELSE CAST(FLOOR(
+        |    (s_stat - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+        |    * CAST(1000000.0 AS DOUBLE)
+        |    / SQRT(var18 * CAST(1.0 AS DOUBLE) / 18.0)) AS BIGINT)
+        |  END AS z_q6
+        |FROM v ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val pr = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.di") < col("b.di"))
+        .select(col("a.event_type").as("event_type"),
+          when(col("b.x") > col("a.x"), 1)
+            .when(col("b.x") < col("a.x"), -1).otherwise(0).as("sg"))
+      val sS = pr.groupBy(col("event_type")).agg(sum(col("sg")).cast("long").as("s_stat"))
+      val nn = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"))
+      val v = nn.join(sS, Seq("event_type")).join(ties, Seq("event_type"))
+        .withColumn("var18",
+          col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie18"))
+      val corr = col("s_stat") -
+        when(col("s_stat") > 0, 1).when(col("s_stat") < 0, -1).otherwise(0)
+      v.select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          when(col("var18") <= 0, lit(null))
+            .otherwise(floor(corr * lit(1000000.0)
+              / sqrt(col("var18") * lit(1.0) / lit(18.0))).cast("long"))
+            .as("z_q6"))
+        .orderBy(col("event_type"))
+    },
+
     // Additive seasonal decomposition of the daily event-count series:
     // trend = centered 7-day moving average (NULL at the edges where the
     // window is short), seasonal = per-ISO-weekday mean of the detrended

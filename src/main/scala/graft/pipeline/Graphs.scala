@@ -621,6 +621,58 @@ object Graphs {
          |SELECT round, n_core, sum_ids FROM census ORDER BY round""".stripMargin) { (s, d) =>
       kCoreCensus(Tables.documents(s, d), k = 3, rounds = 4)
         .orderBy(col("round"))
+    },
+
+    // Degree assortativity of the undirected link graph: Pearson r over
+    // the (deg(a), deg(b)) samples taken once per edge ORIENTATION (both
+    // directions, so the marginals are identical and the formula
+    // simplifies to (MΣjk − (Σj)²)/(MΣj² − (Σj)²)). Two keyed joins of
+    // the edge list against the degree table, exact integer moment sums,
+    // one guarded IEEE division.
+    QueryDef.sql(
+      "q_assortativity",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |deg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+         |  FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+         |  GROUP BY v),
+         |sam AS (
+         |  SELECT da.dg AS j, db.dg AS k
+         |  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b
+         |  UNION ALL
+         |  SELECT db.dg, da.dg
+         |  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(j) AS BIGINT) AS sj,
+         |    CAST(SUM(j * k) AS BIGINT) AS sjk, CAST(SUM(j * j) AS BIGINT) AS sjj
+         |  FROM sam)
+         |SELECT m AS n_samples, sj, sjk, sjj,
+         |  CASE WHEN (m * sjj - sj * sj) = 0 THEN NULL
+         |  ELSE CAST(FLOOR((m * sjk - sj * sj) * CAST(1000000.0 AS DOUBLE)
+         |    / (m * sjj - sj * sj)) AS BIGINT) END AS r_q6
+         |FROM m""".stripMargin) { (s, d) =>
+      val ue = undirectedEdges(Tables.documents(s, d))
+      val deg = ue.select(col("a").as("v"))
+        .unionAll(ue.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val joined = ue
+        .join(deg.select(col("v").as("a"), col("dg").as("ja")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("dg").as("jb")), Seq("b"))
+      val sam = joined.select(col("ja").as("j"), col("jb").as("k"))
+        .unionAll(joined.select(col("jb").as("j"), col("ja").as("k")))
+      val m = sam.agg(count(lit(1)).as("m"), sum(col("j")).as("sj"),
+        sum(col("j") * col("k")).as("sjk"), sum(col("j") * col("j")).as("sjj"))
+      val den = col("m") * col("sjj") - col("sj") * col("sj")
+      m.select(col("m").as("n_samples"), col("sj"), col("sjk"), col("sjj"),
+        when(den === 0, lit(null))
+          .otherwise(floor((col("m") * col("sjk") - col("sj") * col("sj"))
+            * lit(1000000.0) / den).cast("long")).as("r_q6"))
     }
   )
 }

@@ -567,6 +567,104 @@ object Lexical {
           (lit(1000000L) - expr("(s2 * 1000000) div (n * (n - 1))"))
             .cast("long").as("gini_simpson_q6"))
         .orderBy(col("source"))
+    },
+
+    // Stupid-backoff bigram scoring of HELD-OUT documents: the LM trains
+    // on the even-doc_id half and scores the odd half, so unseen bigrams
+    // genuinely back off (score = 0.4 · c(w)/N in q6) and unseen words
+    // count as OOV — the perplexity-style quality filter a corpus
+    // pipeline runs against a held-out LM. All scores are integer q6
+    // (counts div context / 0.4e6·c div N), so both engines agree
+    // bit-for-bit. Scale shape = q_bigram_lm: bigram histograms reduce
+    // once per DISTINCT text (train counts clone-weighted by the text's
+    // even-doc multiplicity), model joins key on the bigram/word
+    // vocabulary, per-doc results fan back out through the rep map.
+    QueryDef.sql(
+      "q_stupid_backoff",
+      """WITH tk AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |trbg AS (
+        |  SELECT tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+        |  WHERE doc_id % 2 = 0 AND LEN(tk) >= 2),
+        |cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg
+        |        FROM trbg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_ctx
+        |        FROM trbg GROUP BY w1),
+        |tru AS (
+        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c_u
+        |  FROM (SELECT UNNEST(tk) AS t FROM tk WHERE doc_id % 2 = 0)
+        |  GROUP BY t),
+        |nt AS (SELECT CAST(SUM(c_u) AS BIGINT) AS n FROM tru),
+        |tebg AS (
+        |  SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+        |  WHERE doc_id % 2 = 1 AND LEN(tk) >= 2),
+        |sc AS (
+        |  SELECT te.doc_id,
+        |    CASE WHEN cbg.c_bg IS NOT NULL THEN (cbg.c_bg * 1000000) // ctx.c_ctx
+        |         WHEN tru.c_u IS NOT NULL THEN (tru.c_u * 400000) // nt.n
+        |         ELSE 0 END AS s_q6,
+        |    CASE WHEN cbg.c_bg IS NULL AND tru.c_u IS NOT NULL THEN 1 ELSE 0 END AS is_backoff,
+        |    CASE WHEN cbg.c_bg IS NULL AND tru.c_u IS NULL THEN 1 ELSE 0 END AS is_oov
+        |  FROM tebg te
+        |  LEFT JOIN cbg ON cbg.w1 = te.w1 AND cbg.w2 = te.w2
+        |  LEFT JOIN ctx ON ctx.w1 = te.w1
+        |  LEFT JOIN tru ON tru.w = te.w2
+        |  CROSS JOIN nt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |  CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(s_q6) // COUNT(*) AS BIGINT) AS lm_q6
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"),
+          sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("wt"),
+          collect_list(when(pmod(col("doc_id"), lit(2)) === 1, col("doc_id")))
+            .as("test_ids"))
+        .select(col("r"), col("wt"), col("test_ids"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .persist()
+      // per-rep bigram histogram (the clone-collapse)
+      val rb = reps.filter(size(col("tk")) >= 2)
+        .select(col("r"), col("wt"),
+          explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+        .select(col("r"), col("wt"),
+          element_at(col("tk"), col("i")).as("w1"),
+          element_at(col("tk"), col("i") + 1).as("w2"))
+        .groupBy(col("r"), col("wt"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val cbg = rb.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c") * col("wt")).as("c_bg")).filter(col("c_bg") > 0)
+      val ctx = rb.groupBy(col("w1"))
+        .agg(sum(col("c") * col("wt")).as("c_ctx")).filter(col("c_ctx") > 0)
+      val ru = reps.select(col("wt"), explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(sum(col("wt")).as("c_u")).filter(col("c_u") > 0)
+      val nt = ru.agg(sum(col("c_u")).as("n"))
+      val sc = rb
+        .join(cbg, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(ru.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("r"), col("c"),
+          when(col("c_bg").isNotNull, expr("(c_bg * 1000000) div c_ctx"))
+            .when(col("c_u").isNotNull, expr("(c_u * 400000) div n"))
+            .otherwise(0L).as("s_q6"),
+          when(col("c_bg").isNull && col("c_u").isNotNull, 1L).otherwise(0L).as("is_backoff"),
+          when(col("c_bg").isNull && col("c_u").isNull, 1L).otherwise(0L).as("is_oov"))
+        .groupBy(col("r"))
+        .agg(sum(col("c")).as("n_bg"),
+          sum(col("c") * col("is_backoff")).as("n_backoff"),
+          sum(col("c") * col("is_oov")).as("n_oov"),
+          sum(col("c") * col("s_q6")).as("tot"))
+      reps.select(col("r"), explode(col("test_ids")).as("doc_id"))
+        .join(sc, Seq("r"))
+        .select(col("doc_id"), col("n_bg"), col("n_backoff"), col("n_oov"),
+          expr("tot div n_bg").cast("long").as("lm_q6"))
+        .orderBy(col("doc_id"))
     }
   )
 }
