@@ -95,6 +95,85 @@ object Quality {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") < 10)
         .orderBy(col("lang"), col("source"), col("band"))
+    },
+
+    // Column profiling (the pandas-profiling / Deequ-analyzer shape):
+    // per-column row/null/distinct counts plus typed min/max — numerics
+    // and dates land in a quantized BIGINT lane (cents / epoch-µs),
+    // strings in a VARCHAR lane, the other lane NULL. Each column is ONE
+    // pruned single-column aggregate scan (at 100 TB the profile reads
+    // each parquet column chunk once, no shuffle beyond the combiner);
+    // the report is the union of the per-column one-row aggregates.
+    QueryDef.sql(
+      "q_column_profile",
+      """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_q,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_q,
+        |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |  NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+        |  CAST(MIN(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT),
+        |  CAST(MAX(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |  NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def num(name: String, v: org.apache.spark.sql.Column): DataFrame =
+        orders.agg(count(lit(1)).as("n"),
+            sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(v).as("n_distinct"),
+            min(v).cast("long").as("min_q"), max(v).cast("long").as("max_q"))
+          .select(lit(name).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_q"), col("max_q"),
+            lit(null).cast("string").as("min_s"), lit(null).cast("string").as("max_s"))
+      def str(name: String, v: org.apache.spark.sql.Column): DataFrame =
+        orders.agg(count(lit(1)).as("n"),
+            sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(v).as("n_distinct"),
+            min(v).as("min_s"), max(v).as("max_s"))
+          .select(lit(name).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), lit(null).cast("long").as("min_q"),
+            lit(null).cast("long").as("max_q"), col("min_s"), col("max_s"))
+      num("o_orderkey", col("o_orderkey"))
+        .unionByName(num("o_custkey", col("o_custkey")))
+        .unionByName(str("o_orderstatus", col("o_orderstatus")))
+        .unionByName(num("o_totalprice", floor(col("o_totalprice") * 100).cast("long")))
+        .unionByName(num("o_orderdate",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))))
+        .unionByName(str("o_orderpriority", col("o_orderpriority")))
+        .orderBy(col("col_name"))
     }
   )
 

@@ -1099,6 +1099,111 @@ object Corpus {
       ones.unionByName(diff)
         .orderBy(col("jw_q6").desc, col("p1"), col("p2"))
         .limit(200)
+    },
+
+    // WordPiece-style tokenizer APPLY (the greedy longest-match
+    // counterpart to the BPE trainer): vocab = frequent whole words
+    // (corpus-scaling threshold, length ≤ 10) ∪ every single character,
+    // each DISTINCT word segmented by repeated longest-vocab-prefix
+    // match, subword stats weighted back by word frequency. The greedy
+    // walk is precomputed as a (word, pos) → longest-match table via one
+    // EQUI join of enumerated substrings against the vocab (never a
+    // theta join), then chained: the engine iterates ≤20 bounded rounds
+    // over the VOCABULARY-sized word table (segmentation cost scales
+    // with the dictionary, not the corpus), the oracle replays the same
+    // chain as a recursive CTE over the same best table. Single chars
+    // guarantee progress, so the walk always terminates.
+    QueryDef.sql(
+      "q_wordpiece_apply",
+      """WITH RECURSIVE tok AS (
+        |  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        |  WHERE LENGTH(w) <= 20 GROUP BY w),
+        |thr AS (SELECT GREATEST(20, CAST(SUM(c) AS BIGINT) // 5000) AS t FROM wf),
+        |vw AS (SELECT w AS e FROM wf CROSS JOIN thr
+        |       WHERE c >= thr.t AND LENGTH(w) <= 10),
+        |vc AS (
+        |  SELECT DISTINCT SUBSTR(w, CAST(i AS INTEGER), 1) AS e
+        |  FROM wf, UNNEST(RANGE(1, LENGTH(w) + 1)) AS u(i)),
+        |vocab AS (SELECT DISTINCT e FROM
+        |  (SELECT e FROM vw UNION ALL SELECT e FROM vc)),
+        |cand AS (
+        |  SELECT f.w, CAST(p.i AS BIGINT) AS pos, CAST(l.j AS BIGINT) AS L,
+        |    SUBSTR(f.w, CAST(p.i AS INTEGER), CAST(l.j AS INTEGER)) AS sub
+        |  FROM wf f
+        |  CROSS JOIN UNNEST(RANGE(1, 21)) AS p(i)
+        |  CROSS JOIN UNNEST(RANGE(1, 11)) AS l(j)
+        |  WHERE CAST(p.i AS BIGINT) + CAST(l.j AS BIGINT) - 1 <= LENGTH(f.w)),
+        |best AS (
+        |  SELECT c.w, c.pos, CAST(MAX(c.L) AS BIGINT) AS L
+        |  FROM cand c JOIN vocab v ON v.e = c.sub
+        |  GROUP BY c.w, c.pos),
+        |walk(w, pos, piece) AS (
+        |  SELECT b.w, 1 + b.L, SUBSTR(b.w, 1, CAST(b.L AS INTEGER))
+        |  FROM best b WHERE b.pos = 1
+        |  UNION ALL
+        |  SELECT t.w, t.pos + b.L,
+        |    SUBSTR(t.w, CAST(t.pos AS INTEGER), CAST(b.L AS INTEGER))
+        |  FROM walk t JOIN best b ON b.w = t.w AND b.pos = t.pos),
+        |pm AS (SELECT w, piece, CAST(COUNT(*) AS BIGINT) AS mult
+        |       FROM walk GROUP BY w, piece),
+        |st AS (
+        |  SELECT pm.piece AS subword, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(pm.mult * wf.c) AS BIGINT) AS total_count
+        |  FROM pm JOIN wf ON wf.w = pm.w GROUP BY pm.piece)
+        |SELECT subword, n_words, total_count
+        |FROM st ORDER BY total_count DESC, subword LIMIT 100""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val wf = tokRows(s, d)
+        .filter(length(col("t")) <= 20)
+        .groupBy(col("t").as("w")).agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val thr = wf.agg(greatest(lit(20L), expr("sum(c) div 5000")).as("thr"))
+      val vw = wf.crossJoin(broadcast(thr))
+        .filter(col("c") >= col("thr") && length(col("w")) <= 10)
+        .select(col("w").as("sub"))
+      val vc = wf
+        .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+        .select(expr("substring(w, i, 1)").as("sub"))
+      val vocab = vw.unionAll(vc).distinct()
+      val cand = wf.select(col("w"))
+        .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
+        .select(col("w"), col("pos"),
+          explode(sequence(lit(1),
+            least(lit(10), length(col("w")) - col("pos") + 1))).as("L"))
+        .select(col("w"), col("pos").cast("long").as("pos"),
+          col("L").cast("long").as("L"), expr("substring(w, pos, L)").as("sub"))
+      val best = cand.join(vocab, Seq("sub"))
+        .groupBy(col("w"), col("pos")).agg(max(col("L")).as("L"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // greedy chain: bounded rounds over the vocabulary-sized word set,
+      // each round eagerly materialized (the kCore census lesson)
+      var cur = best.filter(col("pos") === 1)
+        .select(col("w"), (lit(1L) + col("L")).as("npos"),
+          expr("substring(w, 1, L)").as("piece"))
+        .localCheckpoint(true)
+      val acc = scala.collection.mutable.ListBuffer(
+        cur.select(col("w"), col("piece")))
+      var round = 1
+      while (round < 20 && !cur.isEmpty) {
+        cur = cur.select(col("w"), col("npos").as("pos"))
+          .join(best, Seq("w", "pos"))
+          .select(col("w"), (col("pos") + col("L")).as("npos"),
+            expr("substring(w, pos, L)").as("piece"))
+          .localCheckpoint(true)
+        acc += cur.select(col("w"), col("piece"))
+        round += 1
+      }
+      val pm = acc.reduce(_ unionAll _)
+        .groupBy(col("w"), col("piece")).agg(count(lit(1)).as("mult"))
+      pm.join(wf, Seq("w"))
+        .groupBy(col("piece").as("subword"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("mult") * col("c")).as("total_count"))
+        .orderBy(col("total_count").desc, col("subword"))
+        .limit(100)
     }
   )
 }

@@ -673,6 +673,72 @@ object Graphs {
         when(den === 0, lit(null))
           .otherwise(floor((col("m") * col("sjk") - col("sj") * col("sj"))
             * lit(1000000.0) / den).cast("long")).as("r_q6"))
+    },
+
+    // Newman modularity of the 2-round label-propagation partition:
+    // Q = Σ_c (e_c/m − (d_c/2m)²) computed as ONE exact integer numerator
+    // Σ_c (4m·e_c − d_c²) over 4m² — the within/between edge quality
+    // readout for the community structure. Per-community sums are keyed
+    // joins of the edge list against the label table; the final division
+    // is one shared IEEE expression (numerator can be negative — FLOOR is
+    // negative-safe in both engines).
+    QueryDef.sql(
+      "q_modularity",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+         |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS u FROM ue UNION ALL SELECT b, a FROM ue),
+         |nodes AS (SELECT doc_id AS v FROM documents),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+         |${lpRoundSql("l0", "l1")},
+         |${lpRoundSql("l1", "l2")},
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY v),
+         |dc AS (
+         |  SELECT c.lbl, CAST(SUM(d.dg) AS BIGINT) AS d_c
+         |  FROM l2 c JOIN deg d ON d.v = c.v GROUP BY c.lbl),
+         |ec AS (
+         |  SELECT ca.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+         |  FROM ue JOIN l2 ca ON ca.v = ue.a
+         |          JOIN l2 cb ON cb.v = ue.b AND cb.lbl = ca.lbl
+         |  GROUP BY ca.lbl),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+         |s AS (
+         |  SELECT CAST(SUM(4 * mm.m * COALESCE(e.e_c, 0) - d.d_c * d.d_c)
+         |    AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS n_comm
+         |  FROM dc d LEFT JOIN ec e ON e.lbl = d.lbl CROSS JOIN mm)
+         |SELECT mm.m AS n_edges, s.n_comm AS n_communities,
+         |  CAST(FLOOR(s.num * CAST(1000000.0 AS DOUBLE) / (4 * mm.m * mm.m))
+         |    AS BIGINT) AS q_q6
+         |FROM s CROSS JOIN mm""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val docs = Tables.documents(s, d)
+      val ue = undirectedEdges(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      val lbl = labelPropagation(docs, rounds = 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = ue.select(col("a").as("v"))
+        .unionAll(ue.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val dc = lbl.join(deg, Seq("v"))
+        .groupBy(col("lbl")).agg(sum(col("dg")).as("d_c"))
+      val ec = ue
+        .join(lbl.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(lbl.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+      val mm = ue.agg(count(lit(1)).as("m"))
+      val sRow = dc.join(ec, Seq("lbl"), "left")
+        .crossJoin(broadcast(mm))
+        .agg(sum(lit(4) * col("m") * coalesce(col("e_c"), lit(0L))
+          - col("d_c") * col("d_c")).as("num"),
+          count(lit(1)).as("n_comm"))
+      sRow.crossJoin(broadcast(mm))
+        .select(col("m").as("n_edges"), col("n_comm").as("n_communities"),
+          floor(col("num") * lit(1000000.0) / (lit(4) * col("m") * col("m")))
+            .cast("long").as("q_q6"))
     }
   )
 }
