@@ -513,6 +513,107 @@ object Stats {
         .orderBy(col("event_type"), col("dow"))
     },
 
+    // CUPED variance reduction (the modern experimentation readout):
+    // per-user pre-period spend (first 15 days, whole-dollar floor) as
+    // the covariate x, post-period spend as the metric y; θ = cov/var(x)
+    // from exact BIGINT moments over users; the cohort (user parity)
+    // difference reported raw AND CUPED-adjusted (diff_y − θ·diff_x),
+    // plus the theoretical variance-reduction share ρ². Zero pre-period
+    // variance NULLs everything downstream (the guard discipline). One
+    // user-keyed reduction, then 1-row broadcast algebra.
+    QueryDef.sql(
+      "q_cuped",
+      """WITH span AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS cohort,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < d0 + 15
+        |      THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) >= d0 + 15
+        |      THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events CROSS JOIN span GROUP BY user_id, user_id % 2),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM u),
+        |c AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(x) AS BIGINT) AS cx, CAST(SUM(y) AS BIGINT) AS cy
+        |  FROM u GROUP BY cohort),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN cohort = 0 THEN cn END) AS n0,
+        |    MAX(CASE WHEN cohort = 0 THEN cx END) AS x0,
+        |    MAX(CASE WHEN cohort = 0 THEN cy END) AS y0,
+        |    MAX(CASE WHEN cohort = 1 THEN cn END) AS n1,
+        |    MAX(CASE WHEN cohort = 1 THEN cx END) AS x1,
+        |    MAX(CASE WHEN cohort = 1 THEN cy END) AS y1
+        |  FROM c)
+        |SELECT m.n AS n_users,
+        |  CASE WHEN (m.n*m.sxx - m.sx*m.sx) = 0 THEN NULL
+        |  ELSE CAST(FLOOR((m.n*m.sxy - m.sx*m.sy) * CAST(1000000.0 AS DOUBLE)
+        |    / (m.n*m.sxx - m.sx*m.sx)) AS BIGINT) END AS theta_q6,
+        |  CASE WHEN (m.n*m.sxx - m.sx*m.sx) = 0 OR (m.n*m.syy - m.sy*m.sy) = 0 THEN NULL
+        |  ELSE CAST(FLOOR(
+        |    ((m.n*m.sxy - m.sx*m.sy) * CAST(1.0 AS DOUBLE))
+        |    * ((m.n*m.sxy - m.sx*m.sy) * CAST(1.0 AS DOUBLE))
+        |    / ((m.n*m.sxx - m.sx*m.sx) * CAST(1.0 AS DOUBLE))
+        |    / (m.n*m.syy - m.sy*m.sy) * 1000000.0) AS BIGINT) END AS rho2_q6,
+        |  CAST(FLOOR((w.y0 * CAST(1.0 AS DOUBLE) / w.n0
+        |    - w.y1 * CAST(1.0 AS DOUBLE) / w.n1) * 1000000.0) AS BIGINT) AS diff_raw_q6,
+        |  CASE WHEN (m.n*m.sxx - m.sx*m.sx) = 0 THEN NULL
+        |  ELSE CAST(FLOOR(
+        |    ((w.y0 * CAST(1.0 AS DOUBLE) / w.n0 - w.y1 * CAST(1.0 AS DOUBLE) / w.n1)
+        |     - ((m.n*m.sxy - m.sx*m.sy) * CAST(1.0 AS DOUBLE) / (m.n*m.sxx - m.sx*m.sx))
+        |       * (w.x0 * CAST(1.0 AS DOUBLE) / w.n0 - w.x1 * CAST(1.0 AS DOUBLE) / w.n1))
+        |    * 1000000.0) AS BIGINT) END AS diff_adj_q6
+        |FROM m CROSS JOIN w""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val span = ev.agg(min(col("ts")).cast("date").as("d0"))
+      val u = ev.crossJoin(broadcast(span))
+        .select(col("user_id"), pmod(col("user_id"), lit(2)).cast("long").as("cohort"),
+          when(col("ts").cast("date") < date_add(col("d0"), 15),
+            floor(col("value")).cast("long")).otherwise(0L).as("xv"),
+          when(col("ts").cast("date") >= date_add(col("d0"), 15),
+            floor(col("value")).cast("long")).otherwise(0L).as("yv"))
+        .groupBy(col("user_id"), col("cohort"))
+        .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val c = u.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cn"), sum(col("x")).as("cx"), sum(col("y")).as("cy"))
+      val w = c.agg(
+        max(when(col("cohort") === 0, col("cn"))).as("n0"),
+        max(when(col("cohort") === 0, col("cx"))).as("x0"),
+        max(when(col("cohort") === 0, col("cy"))).as("y0"),
+        max(when(col("cohort") === 1, col("cn"))).as("n1"),
+        max(when(col("cohort") === 1, col("cx"))).as("x1"),
+        max(when(col("cohort") === 1, col("cy"))).as("y1"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val my0 = col("y0") * lit(1.0) / col("n0")
+      val my1 = col("y1") * lit(1.0) / col("n1")
+      val mx0 = col("x0") * lit(1.0) / col("n0")
+      val mx1 = col("x1") * lit(1.0) / col("n1")
+      m.crossJoin(broadcast(w))
+        .select(col("n").as("n_users"),
+          when(vx === 0, lit(null))
+            .otherwise(floor(cov * lit(1000000.0) / vx).cast("long")).as("theta_q6"),
+          when(vx === 0 || vy === 0, lit(null))
+            .otherwise(floor((cov * lit(1.0)) * (cov * lit(1.0))
+              / (vx * lit(1.0)) / vy * lit(1000000.0)).cast("long")).as("rho2_q6"),
+          floor((my0 - my1) * lit(1000000.0)).cast("long").as("diff_raw_q6"),
+          when(vx === 0, lit(null))
+            .otherwise(floor(((my0 - my1)
+              - (cov * lit(1.0) / vx) * (mx0 - mx1)) * lit(1000000.0)).cast("long"))
+            .as("diff_adj_q6"))
+    },
+
     // Theil–Sen robust trend: the median of all pairwise slopes of the
     // per-type daily count series — the outlier-proof alternative to the
     // OLS slope in q_daily_corr_ols. The pair self-join runs on the

@@ -433,6 +433,84 @@ object Graphs {
         .orderBy(col("i"), col("j"))
     },
 
+    // Item-based collaborative-filtering serving: recommendation score
+    // (u, i) = Σ over u's history items j of the item-item Jaccard weight
+    // w(j, i), already-consumed items anti-joined out, top-3 per user
+    // with a deterministic (score DESC, item) rank. Every stage is keyed:
+    // the similarity table comes from the q_bipartite_cooccur projection
+    // (per-user distinct-degree bounded), scoring is one (item-keyed)
+    // join + per-user aggregate, the rank window partitions by user.
+    QueryDef.sql(
+      "q_item_cf_recs",
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        |  FROM events),
+        |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
+        |pair AS (
+        |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING COUNT(*) >= 5),
+        |simh AS (
+        |  SELECT p.i, p.j,
+        |    CAST(FLOOR(p.n_both * CAST(1000000.0 AS DOUBLE)
+        |               / (da.d + db.d - p.n_both)) AS BIGINT) AS w
+        |  FROM pair p JOIN deg da ON da.item = p.i JOIN deg db ON db.item = p.j),
+        |sim AS (SELECT i, j, w FROM simh UNION ALL SELECT j, i, w FROM simh),
+        |score AS (
+        |  SELECT u.user_id, s.j AS item, CAST(SUM(s.w) AS BIGINT) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        |  FROM ui u JOIN sim s ON s.i = u.item
+        |  GROUP BY u.user_id, s.j),
+        |filtered AS (
+        |  SELECT sc.user_id, sc.item, sc.score, sc.n_neighbors
+        |  FROM score sc LEFT JOIN ui h
+        |    ON h.user_id = sc.user_id AND h.item = sc.item
+        |  WHERE h.item IS NULL),
+        |top AS (
+        |  SELECT user_id, item, score, n_neighbors,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY score DESC, item) AS rk
+        |  FROM filtered)
+        |SELECT user_id, CAST(rk AS BIGINT) AS rk, item, score, n_neighbors
+        |FROM top WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin) { (s, d) =>
+      val ui = graft.Tables.events(s, d)
+        .select(col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("item"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("d"))
+      val pair = ui.as("a")
+        .join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+      val simh = pair
+        .join(deg.select(col("item").as("i"), col("d").as("d_i")), Seq("i"))
+        .join(deg.select(col("item").as("j"), col("d").as("d_j")), Seq("j"))
+        .select(col("i"), col("j"),
+          floor(col("n_both") * lit(1000000.0)
+            / (col("d_i") + col("d_j") - col("n_both"))).cast("long").as("w"))
+      val sim = simh.select(col("i"), col("j"), col("w"))
+        .unionAll(simh.select(col("j").as("i"), col("i").as("j"), col("w")))
+      val score = ui.join(sim, ui("item") === sim("i"))
+        .groupBy(col("user_id"), col("j").as("ritem"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_neighbors"))
+      val filtered = score.join(ui.select(col("user_id"), col("item").as("ritem")),
+          Seq("user_id", "ritem"), "left_anti")
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("ritem"))
+      filtered.withColumn("rk", row_number().over(wU).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("ritem").as("item"),
+          col("score"), col("n_neighbors"))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // 3 unrolled power-iteration rounds; top 20 authorities
     QueryDef.sql(
       "q_pagerank",
