@@ -875,6 +875,126 @@ object EventAnalytics {
           col("n_active"), col("cohort_size"), col("cum_rev_c"),
           expr("cum_rev_c div cohort_size").as("ltv_pu_c"))
         .orderBy(col("cohort_week"), col("age"))
+    },
+
+    // Sequence-pattern detection (the behavioral-regex screen): each
+    // user's event history collapses to an initial-letter string in
+    // exact (ts, event_id) order, then counted against ordered-funnel /
+    // exclusion / repeat patterns. The per-user string is key-local
+    // (one collect per user, bounded by per-user activity); the pattern
+    // sweep is 3 one-row aggregates unioned. Event initials are unique
+    // in this schema (c/e/p/s/v), and the regexes stick to portable
+    // syntax (classes + star) so Java and RE2 agree.
+    QueryDef.sql(
+      "q_seq_pattern",
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id),
+        |pats AS (
+        |  SELECT 'funnel_vcp' AS pattern, 'v.*c.*p' AS re
+        |  UNION ALL SELECT 'repeat_purchase', 'p.*p'
+        |  UNION ALL SELECT 'vcp_no_error', 'v[^e]*c[^e]*p')
+        |SELECT p.pattern,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(s.s, p.re) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM pats p CROSS JOIN seq s
+        |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin) { (s, d) =>
+      val seqDf = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 1).as("i")))),
+          x => x.getField("i")), "").as("s"))
+      Seq(("funnel_vcp", "v.*c.*p"),
+          ("repeat_purchase", "p.*p"),
+          ("vcp_no_error", "v[^e]*c[^e]*p"))
+        .map { case (nm, re) =>
+          seqDf.agg(
+              sum(when(col("s").rlike(re), 1L).otherwise(0L)).as("n_matched"),
+              count(lit(1)).as("n_users"))
+            .select(lit(nm).as("pattern"), col("n_matched"), col("n_users"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("pattern"))
+    },
+
+    // Kaplan–Meier survival of time-to-first-error per user (duration =
+    // first error day − first activity day; users with no error are
+    // right-censored at the corpus horizon): the estimator's running
+    // product stays a pure-integer q6 recursion
+    // S_t = ⌊S_{t−1}·(n_t − d_t)/n_t⌋ over the TIME-bounded duration
+    // timeline, so the DuckDB recursive CTE replays it exactly. Risk
+    // sets come from one descending cumulative window over the per-
+    // duration aggregate (gated as bounded input); the fold itself runs
+    // over ≤ |durations| rows.
+    QueryDef.sql(
+      "q_kaplan_meier",
+      """WITH RECURSIVE f AS (
+        |  SELECT user_id,
+        |    CAST(MIN(EPOCH_US(ts) // 86400000000) AS BIGINT) AS d0,
+        |    CAST(MIN(CASE WHEN event_type = 'error'
+        |      THEN EPOCH_US(ts) // 86400000000 END) AS BIGINT) AS de
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT CAST(MAX(EPOCH_US(ts) // 86400000000) AS BIGINT) AS maxd
+        |       FROM events),
+        |obs AS (
+        |  SELECT CASE WHEN f.de IS NOT NULL THEN f.de - f.d0
+        |              ELSE mx.maxd - f.d0 END AS t,
+        |    CASE WHEN f.de IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM f CROSS JOIN mx),
+        |byt AS (
+        |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_ev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM obs GROUP BY t),
+        |tl AS (
+        |  SELECT t, d_ev,
+        |    CAST(SUM(cnt) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM byt),
+        |km(rn, s) AS (
+        |  SELECT rn, CAST((1000000 * (n_risk - d_ev)) // n_risk AS BIGINT)
+        |  FROM tl WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rn, CAST((k.s * (e.n_risk - e.d_ev)) // e.n_risk AS BIGINT)
+        |  FROM km k JOIN tl e ON e.rn = k.rn + 1)
+        |SELECT e.t AS duration_days, e.n_risk, e.d_ev AS n_events, k.s AS surv_q6
+        |FROM tl e JOIN km k ON k.rn = e.rn
+        |ORDER BY duration_days""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val day = expr("unix_micros(ts) div 86400000000")
+      val f = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(day).as("d0"),
+          min(when(col("event_type") === "error", day)).as("de"))
+      val mx = Tables.events(s, d).agg(max(day).as("maxd"))
+      val obs = f.crossJoin(broadcast(mx))
+        .select(
+          when(col("de").isNotNull, col("de") - col("d0"))
+            .otherwise(col("maxd") - col("d0")).as("t"),
+          when(col("de").isNotNull, 1L).otherwise(0L).as("ev"))
+      val byt = obs.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d_ev"), count(lit(1)).as("cnt"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAsc = Window.orderBy(col("t"))
+      val tl = byt
+        .select(col("t"), col("d_ev"),
+          sum(col("cnt")).over(wDesc).cast("long").as("n_risk"),
+          row_number().over(wAsc).cast("long").as("rn"))
+      tl.select(col("t"), col("rn"), col("n_risk"), col("d_ev"))
+        .as[(Long, Long, Long, Long)]
+        .coalesce(1)
+        .sortWithinPartitions(col("rn"))
+        .mapPartitions { it =>
+          var sQ = 1000000L
+          it.map { case (t, _, nRisk, dEv) =>
+            sQ = sQ * (nRisk - dEv) / nRisk
+            (t, nRisk, dEv, sQ)
+          }
+        }
+        .toDF("duration_days", "n_risk", "n_events", "surv_q6")
+        .orderBy(col("duration_days"))
     }
   )
 }

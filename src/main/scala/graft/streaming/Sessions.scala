@@ -152,6 +152,41 @@ object Sessions {
       }
   }
 
+  final case class HoltDaily(event_type: String, ep: Long, xc: Long)
+  final case class HoltSnapshot(event_type: String, n_days: Long,
+      level_c: Long, trend_c: Long, fc7_c: Long)
+
+  /** Streaming Holt linear-trend smoothing — the continuous twin of the
+    * batch q_holt_linear fold (operators/Windows): per-series state is
+    * (n, level, trend) regardless of history length; each micro-batch
+    * folds its daily rows in day order through the SAME
+    * Windows.holtStep (exact binary halving), so one availableNow drop
+    * reproduces the batch operator's (n_days, level_c, trend_c, fc7_c)
+    * exactly (StreamingSpec proves it). Rows are per-day aggregates —
+    * the stream is assumed day-complete per micro-batch, the same
+    * pre-reduction contract as the batch operator's daily grid. */
+  def holtStream(ds: Dataset[HoltDaily]): Dataset[HoltSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltSnapshot, HoltSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[HoltSnapshot]) =>
+          var st = state.getOption.getOrElse(HoltSnapshot(key, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.ep).foreach { r =>
+            st =
+              if (st.n_days == 0) HoltSnapshot(key, 1L, r.xc, 0L, r.xc)
+              else {
+                val (l2, b2) = graft.operators.Windows.holtStep(
+                  st.level_c, st.trend_c, r.xc)
+                HoltSnapshot(key, st.n_days + 1, l2, b2, l2 + 7 * b2)
+              }
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
   final case class SampleDoc(source: String, doc_id: Long)
   final case class MinKRow(source: String, rk: Long, doc_id: Long)
 

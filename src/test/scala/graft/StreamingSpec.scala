@@ -192,6 +192,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming holt after one availableNow drop equals the batch fold") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    val inDir = s"$tmp/in"
+    Tables.events(spark, sf())
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select($"event_type",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("ep"),
+        ($"x" * 100).as("xc"))
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Sessions.HoltDaily]
+    val q = Sessions.holtStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("holt_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("holt_stream")
+      .select($"event_type", $"n_days", $"level_c", $"trend_c", $"fc7_c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_holt_linear")(spark, sf())
+      .select($"event_type", $"n_days", $"level_c", $"trend_c", $"fc7_c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming debounce after one availableNow drop equals the batch fold") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-deb").toString
