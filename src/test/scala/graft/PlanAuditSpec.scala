@@ -602,6 +602,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("wilson/chi2 marginals broadcast; contingency joins never cartesian") {
+    val pw = plan("q_wilson_lb")
+    assert(pw.contains("TakeOrderedAndProject"), s"top-k lost TakeOrdered:\n$pw")
+    val pc = plan("q_chi2_independence")
+    assert(!pc.contains("CartesianProduct"), s"cartesian in chi2:\n$pc")
+    assert(pc.contains("BroadcastHashJoin") || pc.contains("BroadcastNestedLoopJoin"),
+      s"marginals not broadcast:\n$pc")
+  }
+
+  test("item CF scores through keyed joins; history anti-join stays keyed") {
+    val p = plan("q_item_cf_recs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in CF:\n$p")
+    assert(p.contains("LeftAnti"), s"consumed-item anti join lost:\n$p")
+    // the rank window partitions by user — never a global sort of scores
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.forall(_.contains("user_id")), s"global window in CF:\n$p")
+  }
+
+  test("wordpiece matches by EQUI substring join, never a theta join") {
+    val p = plan("q_wordpiece_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi vocab match:\n$p")
+  }
+
+  test("churn and cohort windows partition by user; rollups combine map-side") {
+    val p = plan("q_churn_flow")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"global window in churn:\n$p")
+    assert(p.contains("partial_"), s"rollup lost map-side combine:\n$p")
+    val pl = plan("q_cohort_ltv")
+    val winL = pl.linesIterator.filter(_.contains("Window")).toList
+    assert(winL.nonEmpty && winL.forall(_.contains("cohort_mi")),
+      s"cumulative window not cohort-partitioned:\n$pl")
+  }
+
   test("rake word stats join on the vocabulary key, phrases rebuilt sorted") {
     val p = plan("q_rake_keywords")
     // word-stat join keyed by token (shuffle on vocabulary, fine) or
