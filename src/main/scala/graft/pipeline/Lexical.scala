@@ -665,6 +665,52 @@ object Lexical {
         .select(col("doc_id"), col("n_bg"), col("n_backoff"), col("n_oov"),
           expr("tot div n_bg").cast("long").as("lm_q6"))
         .orderBy(col("doc_id"))
+    },
+
+    // Flesch reading-ease per source (the readability lane of corpus
+    // quality scoring): words = [a-z0-9]+ tokens, sentences = [.!?]+
+    // runs, syllables ≈ vowel-group runs — three regex counts per doc,
+    // reduced to exact per-source BIGINT sums, then ONE shared IEEE
+    // tree (206.835 − 1.015·W/S − 84.6·Y/W) floor-quantized to q3.
+    // Degenerate sources (no sentences/words) clamp via GREATEST(1,·)
+    // per doc, so the ratios never divide by zero.
+    QueryDef.sql(
+      "q_readability",
+      """WITH d AS (
+        |  SELECT source,
+        |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS BIGINT)) AS w,
+        |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')) AS BIGINT)) AS sen,
+        |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) AS BIGINT)) AS sy
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(sen) AS BIGINT) AS sents,
+        |    CAST(SUM(sy) AS BIGINT) AS sylls
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, words, sents, sylls,
+        |  CAST(FLOOR((CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (words * CAST(1.0 AS DOUBLE) / sents)
+        |    - CAST(84.6 AS DOUBLE) * (sylls * CAST(1.0 AS DOUBLE) / words))
+        |    * 1000.0) AS BIGINT) AS flesch_q3
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          greatest(lit(1L), size(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).cast("long")).as("w"),
+          greatest(lit(1L), size(regexp_extract_all(col("text"),
+            lit("[.!?]+"), lit(0))).cast("long")).as("sen"),
+          greatest(lit(1L), size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long")).as("sy"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("sen")).as("sents"), sum(col("sy")).as("sylls"))
+        .select(col("source"), col("n_docs"), col("words"), col("sents"),
+          col("sylls"),
+          floor((lit(206.835)
+            - lit(1.015) * (col("words") * lit(1.0) / col("sents"))
+            - lit(84.6) * (col("sylls") * lit(1.0) / col("words")))
+            * lit(1000.0)).cast("long").as("flesch_q3"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -678,6 +678,78 @@ object Sketches {
           ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
           ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
         .orderBy(col("grp"), col("p_permille"))
+    },
+
+    // Conversion-latency quantiles (view → first later purchase per
+    // user) answered from the SAME mergeable log-histogram as
+    // q_quantile_sketch — p50/p90/p99 in seconds without ever sorting
+    // the raw latency set (the production funnel-latency shape). The
+    // per-user reduction is two keyed aggregates; latencies clamp to
+    // ≥ 1 s so the log2 bucketing never sees zero.
+    QueryDef.sql(
+      "q_conversion_latency",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS tv
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id,
+        |    GREATEST(1, (MIN(EPOCH_US(e.ts)) - p.tv) // 1000000) AS v
+        |  FROM events e JOIN pu p ON p.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND p.tv IS NOT NULL
+        |    AND EPOCH_US(e.ts) > p.tv
+        |  GROUP BY e.user_id, p.tv),
+        |b AS (
+        |  SELECT CAST(LENGTH(BIN(v)) - 1 AS BIGINT) AS e,
+        |    (v * 16) // CAST(POWER(2, LENGTH(BIN(v)) - 1) AS BIGINT) - 16 AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM conv GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT e, m, cnt,
+        |    SUM(cnt) OVER (ORDER BY e, m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |p AS (SELECT UNNEST([500, 900, 990]) AS pm),
+        |k AS (SELECT pm, (n.n * pm + 999) // 1000 AS rk FROM p CROSS JOIN n),
+        |q AS (
+        |  SELECT k.pm, k.rk, c.e, c.m,
+        |    ROW_NUMBER() OVER (PARTITION BY k.pm ORDER BY c.e, c.m) AS rn
+        |  FROM k JOIN c ON c.cum >= k.rk)
+        |SELECT CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
+        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS lat_lb_s,
+        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS lat_ub_s
+        |FROM q WHERE rn = 1 ORDER BY p_permille""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = graft.Tables.events(s, d)
+      val pu = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", unix_micros(col("ts")))).as("tv"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(pu.filter(col("tv").isNotNull), Seq("user_id"))
+        .filter(unix_micros(col("ts")) > col("tv"))
+        .groupBy(col("user_id"), col("tv"))
+        .agg(min(unix_micros(col("ts"))).as("tp"))
+        .select(greatest(lit(1L), expr("(tp - tv) div 1000000")).as("v"))
+      val b = conv
+        .select(col("v"), (length(bin(col("v"))) - 1).cast("long").as("e"))
+        .select(col("e"),
+          expr("(v * 16) div cast(pow(2, e) as bigint) - 16").as("m"))
+        .groupBy(col("e"), col("m")).agg(count(lit(1)).as("cnt"))
+      val n = b.agg(sum(col("cnt")).as("n"))
+      val c = b.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("e"), col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ks = Seq(500L, 900L, 990L).toDF("pm").crossJoin(broadcast(n))
+        .select(col("pm"), expr("(n * pm + 999) div 1000").as("rk"))
+      broadcast(ks).join(c, col("cum") >= col("rk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pm")).orderBy(col("e"), col("m"))))
+        .filter(col("rn") === 1)
+        .select(col("pm").as("p_permille"), col("rk").as("rank_k"),
+          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_lb_s"),
+          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_ub_s"))
+        .orderBy(col("p_permille"))
     }
   )
 

@@ -585,7 +585,8 @@ class PlanAuditSpec extends SparkSpec {
     // fails here before it can single-task a 100 TB shuffle.
     val audited = Seq("q_id_gaps", "q_skyline", "q_quantile_normalize",
       "q_cumulative_users", "q_pmi_bigrams", "q_catalog_frames_meta",
-      "q_quantile_sketch", "q_seasonal_decompose", "q_kaplan_meier")
+      "q_quantile_sketch", "q_seasonal_decompose", "q_kaplan_meier",
+      "q_conversion_latency")
     audited.foreach { name =>
       val lp = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.optimizedPlan
