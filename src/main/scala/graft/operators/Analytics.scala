@@ -797,6 +797,53 @@ object Analytics {
       tgt.join(spine, Seq("idx"))
         .select(col("doc_id"), col("source"), col("x"), col("norm_x"))
         .orderBy(col("doc_id"))
+    },
+
+    // Market-basket lift on the FACT table (co-purchased parts within an
+    // order, lift = P(ab)/(P(a)P(b))): the within-order self-join fans
+    // out at most (items-per-order choose 2) pairs per basket — bounded
+    // by the order line cap, never by part vocabulary — then one
+    // combiner-backed pair aggregate, frequency joins keyed by part, and
+    // a single shared IEEE lift division. Top 50 by (lift, pair).
+    QueryDef.sql(
+      "q_copurchase_lift",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |  HAVING COUNT(*) >= 3)
+        |SELECT p.p1, p.p2, p.n_ab, fa.c AS c1, fb.c AS c2,
+        |  CAST(FLOOR(p.n_ab * CAST(1000000.0 AS DOUBLE) * n.n_orders
+        |    / (fa.c * CAST(1.0 AS DOUBLE) * fb.c)) AS BIGINT) AS lift_q6
+        |FROM pairs p
+        |JOIN freq fa ON fa.pk = p.p1
+        |JOIN freq fb ON fb.pk = p.p2
+        |CROSS JOIN n
+        |ORDER BY lift_q6 DESC, p1, p2 LIMIT 50""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(freq.select(col("pk").as("p1"), col("c").as("c1")), Seq("p1"))
+        .join(freq.select(col("pk").as("p2"), col("c").as("c2")), Seq("p2"))
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("n_ab"), col("c1"), col("c2"),
+          floor(col("n_ab") * lit(1000000.0) * col("n_orders")
+            / (col("c1") * lit(1.0) * col("c2"))).cast("long").as("lift_q6"))
+        .orderBy(col("lift_q6").desc, col("p1"), col("p2"))
+        .limit(50)
     }
   )
 }

@@ -919,6 +919,50 @@ object EventAnalytics {
         .orderBy(col("pattern"))
     },
 
+    // Weekly top movers (the leaderboard-delta readout): items ranked by
+    // weekly interaction count (dense ties broken by item id via
+    // row_number), each week's top 5 reported with the rank change from
+    // the previous week (NULL on debut). Rank windows partition by week
+    // over the (week × item) AGGREGATE — bounded by the item vocabulary
+    // per week; the week-over-week join keys on (item, week−1).
+    QueryDef.sql(
+      "q_weekly_top_movers",
+      """WITH wi AS (
+        |  SELECT (EPOCH_US(ts) // 86400000000) // 7 AS wk,
+        |    CAST(props->>'k' AS BIGINT) AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT wk, item, n,
+        |    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY n DESC, item) AS rank
+        |  FROM wi)
+        |SELECT CAST(a.wk AS BIGINT) AS week, a.item, a.n,
+        |  CAST(a.rank AS BIGINT) AS rank,
+        |  CAST(b.rank AS BIGINT) AS prev_rank,
+        |  CAST(b.rank - a.rank AS BIGINT) AS rank_delta
+        |FROM rk a LEFT JOIN rk b ON b.item = a.item AND b.wk = a.wk - 1
+        |WHERE a.rank <= 5
+        |ORDER BY week, rank""".stripMargin) { (s, d) =>
+      val wi = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000 div 7").as("wk"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("item"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("wk")).orderBy(col("n").desc, col("item"))
+      val rk = wi.withColumn("rank", row_number().over(w).cast("long"))
+      rk.as("a")
+        .join(rk.as("b"),
+          col("b.item") === col("a.item") && col("b.wk") === col("a.wk") - 1,
+          "left")
+        .filter(col("a.rank") <= 5)
+        .select(col("a.wk").as("week"), col("a.item").as("item"),
+          col("a.n").as("n"), col("a.rank").as("rank"),
+          col("b.rank").as("prev_rank"),
+          (col("b.rank") - col("a.rank")).cast("long").as("rank_delta"))
+        .orderBy(col("week"), col("rank"))
+    },
+
     // Kaplan–Meier survival of time-to-first-error per user (duration =
     // first error day − first activity day; users with no error are
     // right-censored at the corpus horizon): the estimator's running
