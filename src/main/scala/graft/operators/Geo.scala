@@ -136,6 +136,69 @@ object Geo {
         .orderBy(col("n_nationkey"))
     },
 
+    // Radius-bounded nearest-neighbor spatial join: for each customer
+    // point the closest supplier point within R = 10 units, exact
+    // integer squared distances, deterministic (dist², key) tie-break.
+    // The grid cell size EQUALS the radius, so the 3×3 neighbor-cell
+    // equi-join is complete by construction (no ring expansion, no
+    // theta join): suppliers replicate into their 9 neighbor cells
+    // (bounded 9×), the join keys on the cell id, and the per-customer
+    // argmin is a key-partitioned window. The oracle is the quadratic
+    // brute force — same radius, same tie-break.
+    QueryDef.sql(
+      "q_spatial_nn_radius",
+      """WITH cp AS (
+        |  SELECT c_custkey, CAST((c_custkey*37) % 360 AS BIGINT) AS x,
+        |    CAST((c_custkey*73) % 160 AS BIGINT) AS y
+        |  FROM customer),
+        |sp AS (
+        |  SELECT s_suppkey, CAST((s_suppkey*41) % 360 AS BIGINT) AS x,
+        |    CAST((s_suppkey*67) % 160 AS BIGINT) AS y
+        |  FROM supplier),
+        |pairs AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |    (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+        |  FROM cp c JOIN sp s
+        |    ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 100),
+        |rk AS (
+        |  SELECT c_custkey, s_suppkey, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |                       ORDER BY d2, s_suppkey) AS rn
+        |  FROM pairs)
+        |SELECT c_custkey, s_suppkey AS nn_suppkey, CAST(d2 AS BIGINT) AS dist2
+        |FROM rk WHERE rn = 1 ORDER BY c_custkey LIMIT 2000""".stripMargin) { (s, d) =>
+      val cell = 10L
+      val cp = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_custkey") * 37 % 360).cast("long").as("x"),
+        (col("c_custkey") * 73 % 160).cast("long").as("y"))
+      val sp = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_suppkey") * 41 % 360).cast("long").as("x"),
+        (col("s_suppkey") * 67 % 160).cast("long").as("y"))
+      // suppliers replicate into the 9 neighbor cells; customers key by
+      // their own cell — cell = radius makes the neighborhood complete
+      val sCells = sp.select(col("s_suppkey"), col("x").as("sx"), col("y").as("sy"),
+          explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+            struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)).as("o"))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (expr(s"sx div $cell") + col("o.dx")).as("cx"),
+          (expr(s"sy div $cell") + col("o.dy")).as("cy"))
+      val cCells = cp.select(col("c_custkey"), col("x").as("px"), col("y").as("py"),
+        expr(s"x div $cell").as("cx"), expr(s"y div $cell").as("cy"))
+      val d2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
+        (col("py") - col("sy")) * (col("py") - col("sy"))
+      val pairs = cCells.join(sCells, Seq("cx", "cy"))
+        .select(col("c_custkey"), col("s_suppkey"), d2.as("d2"))
+        .filter(col("d2") <= cell * cell)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("d2"), col("s_suppkey"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("s_suppkey").as("nn_suppkey"),
+          col("d2").cast("long").as("dist2"))
+        .orderBy(col("c_custkey"))
+        .limit(2000)
+    },
+
     // JTS union aggregator, ORACLE-VERIFIED numerically: grid-snapped unit
     // squares make the union's area equal the count of distinct occupied
     // cells and its envelope the cell min/max — quantities plain SQL can

@@ -639,6 +639,14 @@ class PlanAuditSpec extends SparkSpec {
       s"cumulative window not cohort-partitioned:\n$pl")
   }
 
+  test("spatial NN join keys on grid cells — no cartesian, no theta join") {
+    val p = plan("q_spatial_nn_radius")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"NN join lost the grid equi-join:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.forall(_.contains("c_custkey")), s"argmin window not keyed:\n$p")
+  }
+
   test("rake word stats join on the vocabulary key, phrases rebuilt sorted") {
     val p = plan("q_rake_keywords")
     // word-stat join keyed by token (shuffle on vocabulary, fine) or
