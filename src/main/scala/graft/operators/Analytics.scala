@@ -844,6 +844,85 @@ object Analytics {
             / (col("c1") * lit(1.0) * col("c2"))).cast("long").as("lift_q6"))
         .orderBy(col("lift_q6").desc, col("p1"), col("p2"))
         .limit(50)
+    },
+
+    // Hierarchical subtree rollup WITHOUT iteration: over the synthetic
+    // part tree (parent(p) = p div 7, depth ≤ 8 at any tested scale),
+    // each node explodes into its ancestor chain (p div 7^j, j = 0..7 —
+    // a closed form, so no recursion and no level-synchronized joins),
+    // and one combiner-backed groupBy per ancestor yields descendant
+    // counts + subtree sums. The org-chart / BOM rollup shape: bounded
+    // 8× fanout of the fact table, a single shuffle.
+    QueryDef.sql(
+      "q_hierarchy_rollup",
+      """WITH v AS (
+        |  SELECT p_partkey AS pk,
+        |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS val_c
+        |  FROM part),
+        |chain AS (
+        |  SELECT CAST(pk // j AS BIGINT) AS anc, val_c
+        |  FROM v CROSS JOIN
+        |    UNNEST([1, 7, 49, 343, 2401, 16807, 117649, 823543]) AS u(j)
+        |  WHERE pk // j >= 1)
+        |SELECT anc AS node, CAST(COUNT(*) AS BIGINT) AS n_subtree,
+        |  CAST(SUM(val_c) AS BIGINT) AS subtree_c
+        |FROM chain GROUP BY anc
+        |HAVING COUNT(*) >= 50
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val v = Tables.part(s, d).select(col("p_partkey").as("pk"),
+        floor(col("p_retailprice") * 100).cast("long").as("val_c"))
+      val powers = Seq(1L, 7L, 49L, 343L, 2401L, 16807L, 117649L, 823543L)
+      v.select(explode(array(powers.map(lit): _*)).as("j"), col("pk"), col("val_c"))
+        .select(expr("pk div j").as("anc"), col("val_c"))
+        .filter(col("anc") >= 1)
+        .groupBy(col("anc").as("node"))
+        .agg(count(lit(1)).as("n_subtree"), sum(col("val_c")).as("subtree_c"))
+        .filter(col("n_subtree") >= 50)
+        .orderBy(col("node"))
+    },
+
+    // Largest-remainder (Hamilton) allocation: distribute a budget of
+    // 10,000 units across event types proportionally to their counts —
+    // base = ⌊c·B/N⌋ per type, the leftover units going to the largest
+    // remainders (ties by type name). Pure integer arithmetic + one
+    // window over the ≤|types| aggregate; the exactness property
+    // Σ alloc = B holds by construction.
+    QueryDef.sql(
+      "q_largest_remainder",
+      """WITH c AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events
+        |  GROUP BY event_type),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+        |b AS (
+        |  SELECT event_type, c, (c * 10000) // n.n AS base,
+        |    (c * 10000) % n.n AS rem
+        |  FROM c CROSS JOIN n),
+        |l AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT event_type, c, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+        |  FROM b)
+        |SELECT r.event_type, r.c, CAST(r.base AS BIGINT) AS base,
+        |  CAST(CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN l ORDER BY r.event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val n = c.agg(sum(col("c")).as("n"))
+      val b = c.crossJoin(broadcast(n))
+        .select(col("event_type"), col("c"),
+          expr("(c * 10000) div n").as("base"),
+          expr("(c * 10000) % n").as("rem"))
+      val l = b.agg((lit(10000L) - sum(col("base"))).cast("long").as("leftover"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("event_type"))
+      b.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(l))
+        .select(col("event_type"), col("c"), col("base").cast("long").as("base"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy(col("event_type"))
     }
   )
 }
