@@ -513,6 +513,135 @@ object Stats {
         .orderBy(col("event_type"), col("dow"))
     },
 
+    // Kolmogorov–Smirnov two-sample drift between the first-15-days and
+    // later value distributions per event type — the distribution-shift
+    // screen next to q_drift_weekly's total variation. ENTIRELY integer:
+    // per-(type, whole-dollar-value) histograms, key-partitioned
+    // cumulative windows over the bounded value vocabulary, and the KS
+    // statistic as max |cumA·nB − cumB·nA| cross-multiplied so no
+    // division happens until the final q6 quantization.
+    QueryDef.sql(
+      "q_ks_drift",
+      """WITH span AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+        |h AS (
+        |  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) >= d0 + 15 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events CROSS JOIN span GROUP BY event_type, CAST(FLOOR(value) AS BIGINT)),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM h GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, v,
+        |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM h),
+        |d AS (
+        |  SELECT c.event_type,
+        |    CAST(MAX(ABS(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS dnum
+        |  FROM c JOIN t ON t.event_type = c.event_type
+        |  GROUP BY c.event_type)
+        |SELECT d.event_type, t.na, t.nb,
+        |  CAST((d.dnum * 1000000) // (t.na * t.nb) AS BIGINT) AS ks_q6
+        |FROM d JOIN t ON t.event_type = d.event_type
+        |ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val span = ev.agg(min(col("ts")).cast("date").as("d0"))
+      val h = ev.crossJoin(broadcast(span))
+        .groupBy(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .agg(sum(when(col("ts").cast("date") < date_add(col("d0"), 15), 1L)
+          .otherwise(0L)).as("ca"),
+          sum(when(col("ts").cast("date") >= date_add(col("d0"), 15), 1L)
+            .otherwise(0L)).as("cb"))
+      val t = h.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val c = h.select(col("event_type"), col("v"),
+        sum(col("ca")).over(wCum).as("cuma"),
+        sum(col("cb")).over(wCum).as("cumb"))
+      val dMax = c.join(broadcast(t), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .cast("long").as("dnum"))
+      dMax.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("na"), col("nb"),
+          expr("(dnum * 1000000) div (na * nb)").as("ks_q6"))
+        .orderBy(col("event_type"))
+    },
+
+    // Binary (at-most-one-change) changepoint per event type: over the
+    // bounded daily-count grid, the split k maximizing the CUSUM²
+    // objective (S_k·n − S·k)²/(k·(n−k)). Prefix sums are exact; the
+    // score is one shared IEEE tree floor-quantized BEFORE the argmax so
+    // the (score, k) rank is deterministic in both engines. Left/right
+    // means report as exact integer centi-divisions.
+    QueryDef.sql(
+      "q_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, di, x,
+        |    SUM(x) OVER w AS sk,
+        |    ROW_NUMBER() OVER w AS k,
+        |    SUM(x) OVER (PARTITION BY event_type) AS s,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY di
+        |               ROWS UNBOUNDED PRECEDING)),
+        |sc AS (
+        |  SELECT event_type, di, k, n, sk, s,
+        |    CAST(FLOOR(((sk * n - s * k) * CAST(1.0 AS DOUBLE))
+        |      * ((sk * n - s * k) * CAST(1.0 AS DOUBLE))
+        |      / (k * (n - k)) / (s * CAST(1.0 AS DOUBLE) / n)
+        |      * 1000000.0 / s) AS BIGINT) AS score_q6
+        |  FROM p WHERE k < n),
+        |best AS (
+        |  SELECT event_type, di, k, n, sk, s, score_q6,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY score_q6 DESC, k) AS rn
+        |  FROM sc)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(k AS BIGINT) AS k_hat, CAST(di AS BIGINT) AS split_day,
+        |  score_q6,
+        |  CAST((sk * 100) // k AS BIGINT) AS mean_left_c,
+        |  CAST(((s - sk) * 100) // (n - k) AS BIGINT) AS mean_right_c
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("event_type"))
+      val p = daily.select(col("event_type"), col("di"), col("x"),
+        sum(col("x")).over(wRun).as("sk"),
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("di"))).as("k"),
+        sum(col("x")).over(wAll).as("s"),
+        count(lit(1)).over(wAll).as("n"))
+      val dd = (col("sk") * col("n") - col("s") * col("k")) * lit(1.0)
+      val sc = p.filter(col("k") < col("n"))
+        .select(col("event_type"), col("di"), col("k"), col("n"), col("sk"), col("s"),
+          floor(dd * dd / (col("k") * (col("n") - col("k")))
+            / (col("s") * lit(1.0) / col("n")) * lit(1000000.0) / col("s"))
+            .cast("long").as("score_q6"))
+      val wBest = Window.partitionBy(col("event_type"))
+        .orderBy(col("score_q6").desc, col("k"))
+      sc.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("k").cast("long").as("k_hat"), col("di").as("split_day"),
+          col("score_q6"),
+          expr("(sk * 100) div k").as("mean_left_c"),
+          expr("((s - sk) * 100) div (n - k)").as("mean_right_c"))
+        .orderBy(col("event_type"))
+    },
+
     // CUPED variance reduction (the modern experimentation readout):
     // per-user pre-period spend (first 15 days, whole-dollar floor) as
     // the covariate x, post-period spend as the metric y; θ = cov/var(x)
