@@ -586,6 +586,94 @@ object Relational {
         floor(sqrt(col("p_partkey").cast("double")) * 1e6).cast("long").as("sqrt_q6"))
         .orderBy(col("p_partkey"))
         .limit(300)
+    },
+
+    // National market share (TPC-H Q8 shape): within the ASIA customer
+    // market, each supplier nation's share of yearly revenue. Revenue is
+    // the exact q4-integer reduction; only the one final share division is
+    // floating (shared IEEE tree — nat_rev*1e6 would overflow int64 at
+    // rehearsal scale, so the ratio is computed in DOUBLE and floored).
+    // Scale posture: nation/region/supplier are fixed-size dims
+    // (broadcast); orders/customer shuffle on their keys and AQE picks
+    // the fact-join strategy.
+    QueryDef.sql(
+      "q_market_share",
+      """WITH rev AS (
+        |  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+        |    n2.n_name AS supp_nation,
+        |    CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT) AS r
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region rg ON rg.r_regionkey = n1.n_regionkey AND rg.r_name = 'ASIA'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey),
+        |a AS (
+        |  SELECT o_year, supp_nation, CAST(SUM(r) AS BIGINT) AS nat_rev_q4
+        |  FROM rev GROUP BY o_year, supp_nation)
+        |SELECT o_year, supp_nation, nat_rev_q4,
+        |  CAST(FLOOR(nat_rev_q4 * CAST(1000000.0 AS DOUBLE)
+        |    / SUM(nat_rev_q4) OVER (PARTITION BY o_year)) AS BIGINT) AS share_q6
+        |FROM a ORDER BY o_year, supp_nation""".stripMargin) { (s, d) =>
+      val suppNation = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val a = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("supp_nation"))
+        .agg(sum(q4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("nat_rev_q4"))
+      a.withColumn("share_q6",
+        floor(col("nat_rev_q4") * lit(1000000.0)
+          / sum(col("nat_rev_q4")).over(Window.partitionBy(col("o_year")))).cast("long"))
+        .orderBy(col("o_year"), col("supp_nation"))
+    },
+
+    // Waiting-supplier audit (TPC-H Q21 shape, DE-correlated): suppliers
+    // who were the sole late shipper (>60 days after order date) on a
+    // multi-supplier order. The reference formulation is two correlated
+    // EXISTS subqueries; the Spark-first rewrite reduces each order once
+    // — groupBy (order, supplier) with a MAX(late) flag, then a single
+    // order-partitioned window supplies both "other suppliers exist" and
+    // "no other supplier was late" without rescanning the fact table.
+    QueryDef.sql(
+      "q_late_supplier",
+      """WITH ol AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY l.l_orderkey, l.l_suppkey),
+        |f AS (
+        |  SELECT l_orderkey, l_suppkey, late,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS ns,
+        |    SUM(late) OVER (PARTITION BY l_orderkey) AS nl
+        |  FROM ol)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM f JOIN supplier s ON s.s_suppkey = f.l_suppkey
+        |WHERE f.late = 1 AND f.ns >= 2 AND f.nl = 1
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin) { (s, d) =>
+      val ol = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1).otherwise(0)).as("late"))
+      val wo = Window.partitionBy(col("l_orderkey"))
+      ol.withColumn("ns", count(lit(1)).over(wo))
+        .withColumn("nl", sum(col("late")).over(wo))
+        .filter(col("late") === 1 && col("ns") >= 2 && col("nl") === 1)
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 }

@@ -913,6 +913,82 @@ object Stats {
         .select(col("day"), col("x"), col("trend_c"), col("seas_c"),
           (col("detr_c") - col("seas_c")).as("resid_c"))
         .orderBy(col("day"))
+    },
+
+    // Spearman rank correlation (tie-corrected, per return flag) between
+    // quantity and price — the monotone-association twin of Pearson
+    // q_daily_corr_ols. Average ranks are kept EXACT as doubled integers:
+    // 2·avgrank = 2·(count below) + (count equal) + 1, from one
+    // value-vocabulary cumulative window per variable, joined back to
+    // rows. Sum of average ranks is n(n+1)/2 exactly even under ties, so
+    // centering at (n+1) makes Σd = 0 and the three remaining moments
+    // Σdx·dy, Σdx², Σdy² are exact — accumulated in DECIMAL(38,0) /
+    // HUGEINT (the q_table_checksum 128-bit discipline: |d| ≤ n makes the
+    // sums O(n³), past int64 at rehearsal scale). One shared IEEE tree
+    // computes ρ at the end; zero rank variance → NULL (guard
+    // discipline).
+    QueryDef.sql(
+      "q_spearman",
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |rx AS (
+        |  SELECT g, x,
+        |    2 * (SUM(c) OVER (PARTITION BY g ORDER BY x
+        |           ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS rx2
+        |  FROM (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x)),
+        |ry AS (
+        |  SELECT g, y,
+        |    2 * (SUM(c) OVER (PARTITION BY g ORDER BY y
+        |           ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS ry2
+        |  FROM (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y)),
+        |r AS (
+        |  SELECT base.g, CAST(rx.rx2 AS BIGINT) AS rx2, CAST(ry.ry2 AS BIGINT) AS ry2
+        |  FROM base JOIN rx ON rx.g = base.g AND rx.x = base.x
+        |            JOIN ry ON ry.g = base.g AND ry.y = base.y),
+        |nn AS (SELECT g, COUNT(*) + 1 AS nn1 FROM base GROUP BY g),
+        |m AS (
+        |  SELECT r.g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM((rx2 - nn1) * (ry2 - nn1)) AS sxy,
+        |    SUM((rx2 - nn1) * (rx2 - nn1)) AS sxx,
+        |    SUM((ry2 - nn1) * (ry2 - nn1)) AS syy
+        |  FROM r JOIN nn ON nn.g = r.g
+        |  GROUP BY r.g)
+        |SELECT g, n,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |    ELSE CAST(FLOOR(CAST(sxy AS DOUBLE) / SQRT(CAST(sxx AS DOUBLE))
+        |      / SQRT(CAST(syy AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |  END AS rho_q6
+        |FROM m ORDER BY g""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      def doubledRanks(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+        val w = Window.partitionBy(col("g")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        df.groupBy(col("g"), col(v)).agg(count(lit(1)).as("c"))
+          .select(col("g"), col(v),
+            (lit(2) * (sum(col("c")).over(w) - col("c")) + col("c") + 1).as(out))
+      }
+      val nn = base.groupBy(col("g")).agg((count(lit(1)) + 1).as("nn1"))
+      val r = base
+        .join(doubledRanks(base, "x", "rx2"), Seq("g", "x"))
+        .join(doubledRanks(base, "y", "ry2"), Seq("g", "y"))
+        .join(broadcast(nn), Seq("g"))
+      val dec = "decimal(38,0)"
+      val m = r.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(((col("rx2") - col("nn1")) * (col("ry2") - col("nn1"))).cast(dec)).as("sxy"),
+        sum(((col("rx2") - col("nn1")) * (col("rx2") - col("nn1"))).cast(dec)).as("sxx"),
+        sum(((col("ry2") - col("nn1")) * (col("ry2") - col("nn1"))).cast(dec)).as("syy"))
+      m.select(col("g"), col("n"),
+        when(col("sxx") === 0 || col("syy") === 0, lit(null))
+          .otherwise(floor(col("sxy").cast("double") / sqrt(col("sxx").cast("double"))
+            / sqrt(col("syy").cast("double")) * lit(1000000.0)).cast("long"))
+          .as("rho_q6"))
+        .orderBy(col("g"))
     }
   )
 }

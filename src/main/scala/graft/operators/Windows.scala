@@ -558,6 +558,65 @@ object Windows {
           (col("valid_to") === hi).cast("long").as("is_current"),
           col("n_events"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // Floor-clamped running inventory balance per part: receipts (+qty)
+    // and returns (−qty for R lines) applied in ship order, with the
+    // balance clamped at zero — the Lindley recursion
+    // B_t = max(0, B_{t−1} + x_t). The recursion has the closed form
+    // B_t = S_t − min(0, min_{k≤t} S_k) (reflection at zero via the
+    // running-minimum of the prefix sum), so a genuinely sequential
+    // per-key fold becomes two stacked partitioned windows — no
+    // mapPartitions state needed (ClampedBalanceSpec proves the identity
+    // against a sequential fold). All arithmetic integer; per-part
+    // output: ending/peak balance and how often the floor absorbed a
+    // return.
+    QueryDef.sql(
+      "q_clamped_balance",
+      """WITH mv AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+        |         ELSE CAST(l_quantity AS BIGINT) END AS x,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_partkey, x, l_shipdate, l_orderkey, l_linenumber,
+        |    SUM(x) OVER w AS srun
+        |  FROM mv
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        |b AS (
+        |  SELECT l_partkey, x, srun,
+        |    srun - LEAST(0, MIN(srun) OVER w) AS bal
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_moves,
+        |  CAST(SUM(x) - LEAST(0, MIN(srun)) AS BIGINT) AS end_bal,
+        |  CAST(MAX(bal) AS BIGINT) AS peak_bal,
+        |  CAST(SUM(CASE WHEN x < 0 AND bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_floor_hits
+        |FROM b GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      val mv = Tables.lineitem(s, d).select(
+        col("l_partkey"),
+        when(col("l_returnflag") === "R", -col("l_quantity").cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("x"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val b = mv.withColumn("srun", sum(col("x")).over(w))
+        .withColumn("bal", col("srun") - least(lit(0L), min(col("srun")).over(w)))
+      b.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_moves"),
+          (sum(col("x")) - least(lit(0L), min(col("srun")))).as("end_bal"),
+          max(col("bal")).as("peak_bal"),
+          sum(when(col("x") < 0 && col("bal") === 0, 1L).otherwise(0L))
+            .as("n_floor_hits"))
+        .orderBy(col("l_partkey"))
     }
   )
 }

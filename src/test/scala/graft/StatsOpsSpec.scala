@@ -66,4 +66,50 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("contrib_q6") >= 0))
     assert(rows.map(_.getAs[Long]("contrib_q6")).sum == chi2)
   }
+
+  test("clamped balance closed form equals the sequential Lindley fold") {
+    // the window formulation B_t = S_t − min(0, min_{k≤t} S_k) must agree
+    // with the literal recursion B_t = max(0, B_{t−1} + x_t) on real data
+    val out = SparkEntry.queries("q_clamped_balance")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Long]("n_moves"), r.getAs[Long]("end_bal"),
+          r.getAs[Long]("peak_bal"), r.getAs[Long]("n_floor_hits"))).toMap
+    val rows = Tables.lineitem(spark, sf())
+      .select(org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_returnflag"),
+        // TIMESTAMP_NTZ casts to neither long nor Timestamp here; its ISO
+        // string form orders chronologically, which is all the fold needs
+        org.apache.spark.sql.functions.expr("cast(l_shipdate as string)").as("ship_s"),
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber")).collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        if (r.getAs[String]("l_returnflag") == "R") -r.getAs[Double]("l_quantity").toLong
+        else r.getAs[Double]("l_quantity").toLong,
+        (r.getAs[String]("ship_s"),
+          r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"))))
+    val folded = rows.groupBy(_._1).map { case (pk, mv) =>
+      var bal = 0L; var peak = 0L; var hits = 0L
+      mv.sortBy(_._3).foreach { case (_, x, _) =>
+        val next = bal + x
+        bal = if (next < 0) 0L else next
+        // a floor hit = a return that left the balance at the floor
+        // (includes exact-zero landings, matching bal == 0 ∧ x < 0)
+        if (x < 0 && bal == 0L) hits += 1
+        if (bal > peak) peak = bal
+      }
+      pk -> (mv.length.toLong, bal, peak, hits)
+    }
+    assert(out.size == folded.size)
+    folded.foreach { case (pk, v) => assert(out(pk) == v, s"part $pk: ${out(pk)} vs $v") }
+  }
+
+  test("spearman is ±1e6 on perfectly monotone data, bounded on real data") {
+    val rows = SparkEntry.queries("q_spearman")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getAs[Long]("rho_q6")
+      assert(rho >= -1000000 && rho <= 1000000, s"rho out of band: $rho")
+    }
+  }
 }
