@@ -817,6 +817,44 @@ object Graphs {
         .select(col("m").as("n_edges"), col("n_comm").as("n_communities"),
           floor(col("num") * lit(1000000.0) / (lit(4) * col("m") * col("m")))
             .cast("long").as("q_q6"))
+    },
+
+    // Degree distribution of the co-purchase graph (the power-law shape
+    // check next to q_zipf_slope, on graph structure instead of token
+    // frequency): parts are neighbors when they share an order, degree =
+    // distinct co-purchase partners, histogrammed into exact floor-log2
+    // buckets (LENGTH(BIN(d))−1 — no runtime log). The pair fanout is
+    // bounded by order width, so the edge set stays linear in orders at
+    // any scale; isolated parts (no multi-part order) have no edges and
+    // no row, by construction.
+    QueryDef.sql(
+      "q_degree_distribution",
+      """WITH ol AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (
+        |  SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+        |  FROM ol a JOIN ol b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT p, q FROM pr UNION ALL SELECT q AS p, p AS q FROM pr),
+        |deg AS (SELECT p AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM und GROUP BY p)
+        |SELECT CAST(LENGTH(BIN(degree)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(MIN(degree) AS BIGINT) AS min_deg,
+        |  CAST(MAX(degree) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val ol = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pr = ol.as("a").join(ol.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+        .distinct()
+      val und = pr.unionAll(pr.select(col("q").as("p"), col("p").as("q")))
+      und.groupBy(col("p")).agg(count(lit(1)).as("degree"))
+        .groupBy((length(bin(col("degree"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("degree")).as("min_deg"), max(col("degree")).as("max_deg"))
+        .orderBy(col("bucket"))
     }
   )
 }

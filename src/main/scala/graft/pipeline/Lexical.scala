@@ -711,6 +711,53 @@ object Lexical {
             - lit(84.6) * (col("sylls") * lit(1.0) / col("words")))
             * lit(1000.0)).cast("long").as("flesch_q3"))
         .orderBy(col("source"))
+    },
+
+    // Word burstiness (Katz dispersion): the variance-to-mean ratio of a
+    // word's per-document count, zeros included — content words cluster
+    // (VMR > the Poisson 1), function words spread evenly. Zeros never
+    // materialize: with per-doc counts c over N docs, VMR =
+    // (N·Σc² − (Σc)²)/(N·Σc) from the present-doc moments alone. The
+    // engine side reduces once per DISTINCT text (rep-collapse: the
+    // histogram is a pure function of the text) and fans out through the
+    // multiplicity w; the frequency floor scales with the corpus
+    // (Σc·100 ≥ N), so clone factors can't empty or explode the output.
+    QueryDef.sql(
+      "q_word_burstiness",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+        |w AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+        |  FROM hist GROUP BY t)
+        |SELECT t AS word, df, s1 AS total_count,
+        |  CAST(FLOOR((n*s2 - s1*s1) * CAST(1000000.0 AS DOUBLE) / (n*s1))
+        |    AS BIGINT) AS vmr_q6
+        |FROM w CROSS JOIN nd WHERE s1 * 100 >= n
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("r"), count(lit(1)).as("w"))
+        .select(col("r"), col("w"),
+          regexp_extract_all(lower(col("text")), lit(tokPat), lit(0)).as("tk"))
+        .filter(size(col("tk")) >= 1)
+      val hist = reps.select(col("r"), col("w"), explode(col("tk")).as("t"))
+        .groupBy(col("r"), col("w"), col("t")).agg(count(lit(1)).as("c"))
+      val nd = reps.agg(sum(col("w")).as("n"))
+      hist.groupBy(col("t"))
+        .agg(sum(col("w")).as("df"), sum(col("w") * col("c")).as("s1"),
+          sum(col("w") * col("c") * col("c")).as("s2"))
+        .crossJoin(broadcast(nd))
+        .filter(col("s1") * 100 >= col("n"))
+        .select(col("t").as("word"), col("df"), col("s1").as("total_count"),
+          floor((col("n") * col("s2") - col("s1") * col("s1"))
+            * lit(1000000.0) / (col("n") * col("s1"))).cast("long").as("vmr_q6"))
+        .orderBy(col("word"))
     }
   )
 }

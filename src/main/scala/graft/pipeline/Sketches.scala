@@ -750,6 +750,83 @@ object Sketches {
           ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_lb_s"),
           ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_ub_s"))
         .orderBy(col("p_permille"))
+    },
+
+    // Rolling p90 per event type over a trailing 7-day window — the
+    // sketch-MERGE rollup for quantiles (the q_hll_rolling pattern applied
+    // to the log-histogram): daily bucket counts are built once, each
+    // day's window answer merges ≤7 daily sketches through a bounded
+    // day-grid join (fanout ≤ 7 per bucket row, never a re-scan of raw
+    // rows per window), and the per-(type, day) cumulative walk over the
+    // bounded bucket vocabulary picks the ceil-rank bucket. Values are
+    // shifted +1 so zero survives the floor-log2 bucketing.
+    QueryDef.sql(
+      "q_rolling_quantile",
+      """WITH v AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(FLOOR(value * 100) AS BIGINT) + 1 AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, di, CAST(LENGTH(BIN(v)) - 1 AS BIGINT) AS e,
+        |    (v * 16) // CAST(POWER(2, LENGTH(BIN(v)) - 1) AS BIGINT) - 16 AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2, 3, 4),
+        |days AS (SELECT DISTINCT event_type, di FROM b),
+        |roll AS (
+        |  SELECT days.event_type, days.di, b.e, b.m,
+        |    CAST(SUM(b.cnt) AS BIGINT) AS cnt
+        |  FROM days JOIN b ON b.event_type = days.event_type
+        |    AND b.di BETWEEN days.di - 6 AND days.di
+        |  GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT event_type, di, CAST(SUM(cnt) AS BIGINT) AS n
+        |      FROM roll GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, di, e, m,
+        |    SUM(cnt) OVER (PARTITION BY event_type, di ORDER BY e, m
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM roll),
+        |q AS (
+        |  SELECT c.event_type, c.di, n.n, c.e, c.m,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_type, c.di
+        |      ORDER BY c.e, c.m) AS rn
+        |  FROM c JOIN n ON n.event_type = c.event_type AND n.di = c.di
+        |    AND c.cum >= (n.n * 900 + 999) // 1000)
+        |SELECT event_type, di, n,
+        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS p90_lb,
+        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS p90_ub
+        |FROM q WHERE rn = 1
+        |ORDER BY event_type, di""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("di"),
+        (floor(col("value") * 100).cast("long") + 1).as("v"))
+      val b = v
+        .withColumn("e", (length(bin(col("v"))) - 1).cast("long"))
+        .select(col("event_type"), col("di"), col("e"),
+          expr("(v * 16) div cast(pow(2, e) as bigint) - 16").as("m"))
+        .groupBy(col("event_type"), col("di"), col("e"), col("m"))
+        .agg(count(lit(1)).as("cnt"))
+      val days = b.select(col("event_type"), col("di")).distinct()
+      val roll = days.as("g").join(b.as("h"),
+          col("h.event_type") === col("g.event_type") &&
+            col("h.di").between(col("g.di") - 6, col("g.di")))
+        .groupBy(col("g.event_type").as("event_type"), col("g.di").as("di"),
+          col("h.e").as("e"), col("h.m").as("m"))
+        .agg(sum(col("h.cnt")).as("cnt"))
+      val n = roll.groupBy(col("event_type"), col("di")).agg(sum(col("cnt")).as("n"))
+      val c = roll.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"), col("di"))
+          .orderBy(col("e"), col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      c.join(n, Seq("event_type", "di"))
+        .filter(col("cum") >= expr("(n * 900 + 999) div 1000"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"), col("di")).orderBy(col("e"), col("m"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("di"), col("n"),
+          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("p90_lb"),
+          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("p90_ub"))
+        .orderBy(col("event_type"), col("di"))
     }
   )
 
