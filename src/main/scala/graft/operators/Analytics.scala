@@ -923,6 +923,39 @@ object Analytics {
           (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
             .cast("long").as("alloc"))
         .orderBy(col("event_type"))
+    },
+
+    // Inter-purchase gap distribution: days between a customer's
+    // consecutive orders (per-customer lag window — never a global
+    // sort), histogrammed into exact floor-log2 buckets. The +1 shift
+    // keeps same-day repeat orders (gap 0) in bucket 0 without breaking
+    // the binary-length bucketing.
+    QueryDef.sql(
+      "q_order_gaps",
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT CAST(LENGTH(BIN(gap + 1)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_orderkey"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)).cast("long"))
+        .filter(col("gap").isNotNull)
+        .groupBy((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+        .orderBy(col("bucket"))
     }
   )
 }

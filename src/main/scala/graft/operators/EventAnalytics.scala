@@ -1039,6 +1039,62 @@ object EventAnalytics {
         }
         .toDF("duration_days", "n_risk", "n_events", "surv_q6")
         .orderBy(col("duration_days"))
+    },
+
+    // Pairwise audience overlap (exact Jaccard between every pair of
+    // event-type audiences) WITHOUT a per-pair self-join of the user
+    // table: one pass folds each user into a type-set BITMASK, the mask
+    // histogram is at most 2^K rows (K = event-type vocabulary, bounded),
+    // and every pair's |A|, |B|, |A∩B| read off the broadcast histogram
+    // — the 25-pair matrix costs one groupBy over users at any scale.
+    QueryDef.sql(
+      "q_audience_overlap",
+      """WITH idx AS (
+        |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS i
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |ui AS (
+        |  SELECT DISTINCT user_id, i FROM events JOIN idx USING (event_type)),
+        |um AS (SELECT user_id, CAST(SUM(1 << i) AS BIGINT) AS mask
+        |       FROM ui GROUP BY user_id),
+        |mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY mask),
+        |p AS (
+        |  SELECT a.event_type AS type_a, a.i AS ia, b.event_type AS type_b, b.i AS ib
+        |  FROM idx a JOIN idx b ON a.i < b.i),
+        |o AS (
+        |  SELECT type_a, type_b,
+        |    CAST(SUM(CASE WHEN (mask >> ia) % 2 = 1 THEN cnt ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN (mask >> ib) % 2 = 1 THEN cnt ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN (mask >> ia) % 2 = 1 AND (mask >> ib) % 2 = 1
+        |             THEN cnt ELSE 0 END) AS BIGINT) AS n_inter
+        |  FROM p CROSS JOIN mc GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, na, nb, n_inter,
+        |  CAST((n_inter * 1000000) // (na + nb - n_inter) AS BIGINT) AS jaccard_q6
+        |FROM o ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val idx = ev.select(col("event_type")).distinct()
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("event_type"))) - 1)
+      val ui = ev.join(broadcast(idx), Seq("event_type"))
+        .select(col("user_id"), col("i")).distinct()
+      val mc = ui.groupBy(col("user_id"))
+        .agg(sum(expr("shiftleft(1, cast(i as int))")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      val p = idx.as("a").join(idx.as("b"), col("a.i") < col("b.i"))
+        .select(col("a.event_type").as("type_a"), col("a.i").as("ia"),
+          col("b.event_type").as("type_b"), col("b.i").as("ib"))
+      // functions.shiftright only takes a literal shift — the SQL form
+      // accepts a column, and stays inside codegen
+      def hasBit(bit: String) =
+        expr(s"shiftright(mask, cast($bit as int)) % 2 = 1")
+      broadcast(p).crossJoin(mc)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(when(hasBit("ia"), col("cnt")).otherwise(0L)).as("na"),
+          sum(when(hasBit("ib"), col("cnt")).otherwise(0L)).as("nb"),
+          sum(when(hasBit("ia") && hasBit("ib"), col("cnt"))
+            .otherwise(0L)).as("n_inter"))
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_inter"),
+          expr("(n_inter * 1000000) div (na + nb - n_inter)").as("jaccard_q6"))
+        .orderBy(col("type_a"), col("type_b"))
     }
   )
 }

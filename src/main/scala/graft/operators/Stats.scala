@@ -989,6 +989,60 @@ object Stats {
             / sqrt(col("syy").cast("double")) * lit(1000000.0)).cast("long"))
           .as("rho_q6"))
         .orderBy(col("g"))
+    },
+
+    // Seasonal-naive forecast backtest: over each event type's last 14
+    // days, score yesterday's count (naive-1) against the same-weekday
+    // count (naive-7) as forecasts — the sanity baseline every real
+    // forecasting pipeline reports before fitting anything. Missing grid
+    // days forecast 0 via LEFT self-joins on the bounded daily rollup
+    // (a lag window would silently skip gaps); MAE is an exact integer
+    // permille-style division.
+    QueryDef.sql(
+      "q_snaive_mae",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(di) AS d0, MAX(di) AS d1
+        |         FROM daily GROUP BY 1),
+        |ev AS (
+        |  SELECT d.event_type, d.di, d.x,
+        |    COALESCE(l1.x, 0) AS f1, COALESCE(l7.x, 0) AS f7
+        |  FROM daily d
+        |  JOIN span s ON s.event_type = d.event_type
+        |  LEFT JOIN daily l1 ON l1.event_type = d.event_type AND l1.di = d.di - 1
+        |  LEFT JOIN daily l7 ON l7.event_type = d.event_type AND l7.di = d.di - 7
+        |  WHERE d.di > s.d1 - 14 AND d.di - 7 >= s.d0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST((SUM(ABS(x - f1)) * 1000000) // COUNT(*) AS BIGINT) AS mae1_q6,
+        |  CAST((SUM(ABS(x - f7)) * 1000000) // COUNT(*) AS BIGINT) AS mae7_q6
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.groupBy(col("event_type"))
+        .agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      val l1 = daily.select(col("event_type").as("et1"),
+        col("di").as("di1"), col("x").as("x1"))
+      val l7 = daily.select(col("event_type").as("et7"),
+        col("di").as("di7"), col("x").as("x7"))
+      daily
+        .join(broadcast(span), Seq("event_type"))
+        .join(l1, col("et1") === col("event_type")
+          && col("di1") === col("di") - 1, "left")
+        .join(l7, col("et7") === col("event_type")
+          && col("di7") === col("di") - 7, "left")
+        .filter(col("di") > col("d1") - 14 && col("di") - 7 >= col("d0"))
+        .select(col("event_type"), col("x"),
+          coalesce(col("x1"), lit(0L)).as("f1"),
+          coalesce(col("x7"), lit(0L)).as("f7"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          expr("(sum(abs(x - f1)) * 1000000) div count(*)").as("mae1_q6"),
+          expr("(sum(abs(x - f7)) * 1000000) div count(*)").as("mae7_q6"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -855,6 +855,36 @@ object Graphs {
         .agg(count(lit(1)).as("n_parts"),
           min(col("degree")).as("min_deg"), max(col("degree")).as("max_deg"))
         .orderBy(col("bucket"))
+    },
+
+    // Directed-graph reciprocity over the synthetic link graph: the share
+    // of non-loop edges whose reverse edge also exists — the standard
+    // social-graph mutuality statistic. One self-join of the
+    // deduplicated edge list against its swap, keyed on (src, dst); at
+    // scale both sides hash-partition on the same composite key.
+    QueryDef.sql(
+      "q_reciprocity",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+        |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+        |ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed),
+        |r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+        |  FROM ed a JOIN ed b ON b.src = a.dst AND b.dst = a.src)
+        |SELECT m.n_edges, r.n_recip,
+        |  CAST((r.n_recip * 1000000) // m.n_edges AS BIGINT) AS recip_q6
+        |FROM m CROSS JOIN r""".stripMargin) { (s, d) =>
+      val ed = syntheticEdges(Tables.documents(s, d))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = ed.agg(count(lit(1)).as("n_edges"))
+      val r = ed.as("a")
+        .join(ed.as("b"), col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+        .agg(count(lit(1)).as("n_recip"))
+      m.crossJoin(r)
+        .select(col("n_edges"), col("n_recip"),
+          expr("(n_recip * 1000000) div n_edges").as("recip_q6"))
     }
   )
 }
