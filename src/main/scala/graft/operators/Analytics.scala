@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -956,6 +957,101 @@ object Analytics {
         .agg(count(lit(1)).as("n_gaps"),
           min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
         .orderBy(col("bucket"))
+    },
+
+    // FIFO layer matching (cost-accounting allocation): per part, receipts
+    // (non-R lines) and returns (R lines) each form cumulative-quantity
+    // layers in ship order; a return consumes the OLDEST unconsumed
+    // receipt stock, so the matched quantity between receipt i and return
+    // j is the overlap of their cumulative intervals —
+    // max(0, min(Ri, Cj) − max(Ri₋₁, Cj₋₁)). The pairing is an equi-join
+    // on part plus an interval-overlap residual; fanout is bounded by
+    // lines-per-part (a TPC-H constant, independent of scale factor).
+    QueryDef.sql(
+      "q_fifo_match",
+      """WITH rc AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER w - CAST(l_quantity AS BIGINT) AS lo
+        |  FROM lineitem WHERE l_returnflag <> 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        |rt AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER w - CAST(l_quantity AS BIGINT) AS lo
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        |mt AS (
+        |  SELECT rc.l_partkey,
+        |    LEAST(rc.hi, rt.hi) - GREATEST(rc.lo, rt.lo) AS m
+        |  FROM rc JOIN rt ON rt.l_partkey = rc.l_partkey
+        |    AND rc.lo < rt.hi AND rt.lo < rc.hi),
+        |agg AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    CAST(SUM(m) AS BIGINT) AS matched_qty
+        |  FROM mt GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CASE WHEN l_returnflag <> 'R'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS recv,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS ret
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT t.l_partkey, COALESCE(a.n_matches, 0) AS n_matches,
+        |  COALESCE(a.matched_qty, 0) AS matched_qty,
+        |  t.ret - COALESCE(a.matched_qty, 0) AS unmatched_returns,
+        |  t.recv - COALESCE(a.matched_qty, 0) AS leftover_stock
+        |FROM tot t LEFT JOIN agg a ON a.l_partkey = t.l_partkey
+        |ORDER BY t.l_partkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      def layers(df: DataFrame) = df
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("hi", sum(col("q")).over(w))
+        .withColumn("lo", col("hi") - col("q"))
+        .select(col("l_partkey"), col("lo"), col("hi"))
+      val li = Tables.lineitem(s, d)
+      // the oracle's plain inequality join is correct but quadratic in
+      // lines-per-part; the engine buckets the cumulative-quantity axis
+      // (width 64 ≥ the max line quantity, so each layer spans ≤ 2
+      // buckets) and equi-joins on (part, bucket) — candidates are only
+      // the near-diagonal overlaps. A pair overlapping two shared buckets
+      // would match twice; keeping the canonical bucket
+      // (greatest(lo)·div·B) dedups join-free.
+      val B = 64L
+      def bucketed(df: DataFrame, lo: String, hi: String) = df
+        .withColumn("bk", explode(sequence(
+          expr(s"$lo div $B"), expr(s"($hi - 1) div $B"))))
+      val rc = bucketed(layers(li.filter(col("l_returnflag") =!= "R"))
+        .withColumnRenamed("lo", "rlo").withColumnRenamed("hi", "rhi"), "rlo", "rhi")
+      val rt = bucketed(layers(li.filter(col("l_returnflag") === "R"))
+        .withColumnRenamed("lo", "clo").withColumnRenamed("hi", "chi"), "clo", "chi")
+      val agg = rc.join(rt, Seq("l_partkey", "bk"))
+        .filter(col("rlo") < col("chi") && col("clo") < col("rhi")
+          && col("bk") === expr(s"greatest(rlo, clo) div $B"))
+        .select(col("l_partkey"),
+          (least(col("rhi"), col("chi")) - greatest(col("rlo"), col("clo"))).as("m"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_matches"), sum(col("m")).as("matched_qty"))
+      val tot = li.groupBy(col("l_partkey"))
+        .agg(sum(when(col("l_returnflag") =!= "R", col("l_quantity").cast("long"))
+          .otherwise(0L)).as("recv"),
+          sum(when(col("l_returnflag") === "R", col("l_quantity").cast("long"))
+            .otherwise(0L)).as("ret"))
+      tot.join(agg, Seq("l_partkey"), "left")
+        .select(col("l_partkey"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+          (col("ret") - coalesce(col("matched_qty"), lit(0L))).as("unmatched_returns"),
+          (col("recv") - coalesce(col("matched_qty"), lit(0L))).as("leftover_stock"))
+        .orderBy(col("l_partkey"))
     }
   )
 }

@@ -1043,6 +1043,55 @@ object Stats {
           expr("(sum(abs(x - f1)) * 1000000) div count(*)").as("mae1_q6"),
           expr("(sum(abs(x - f7)) * 1000000) div count(*)").as("mae7_q6"))
         .orderBy(col("event_type"))
+    },
+
+    // Rolling 14-day OLS slope of daily event volume — local trend
+    // detection as a windowed twin of the global q_daily_corr_ols fit.
+    // The five moments (n, Σd, Σx, Σdx, Σd²) accumulate exactly inside
+    // one RANGE frame over the bounded daily grid (epoch-day indexes
+    // keep every product well under 2⁶³ — n·Σdx tops out near 10¹³ even
+    // at 1000× volume). One shared IEEE division at the end; single-day
+    // windows (zero variance) emit NULL.
+    QueryDef.sql(
+      "q_rolling_slope",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, di, x,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(di) OVER w AS sd, SUM(x) OVER w AS sx,
+        |    SUM(di * x) OVER w AS sdx, SUM(di * di) OVER w AS sdd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY di
+        |    RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, di, x, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+        |    ELSE CAST(FLOOR((n * sdx - sd * sx) * CAST(1000000.0 AS DOUBLE)
+        |      / (n * sdd - sd * sd)) AS BIGINT)
+        |  END AS slope_q6
+        |FROM m ORDER BY event_type, di""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        .rangeBetween(-13, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sd", sum(col("di")).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sdx", sum(col("di") * col("x")).over(w))
+        .withColumn("sdd", sum(col("di") * col("di")).over(w))
+        .select(col("event_type"), col("di"), col("x"),
+          col("n").cast("long").as("n_days"),
+          when(col("n") * col("sdd") - col("sd") * col("sd") === 0, lit(null))
+            .otherwise(floor((col("n") * col("sdx") - col("sd") * col("sx"))
+              * lit(1000000.0)
+              / (col("n") * col("sdd") - col("sd") * col("sd"))).cast("long"))
+            .as("slope_q6"))
+        .orderBy(col("event_type"), col("di"))
     }
   )
 }
