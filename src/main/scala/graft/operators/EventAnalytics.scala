@@ -1095,6 +1095,55 @@ object EventAnalytics {
         .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_inter"),
           expr("(n_inter * 1000000) div (na + nb - n_inter)").as("jaccard_q6"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // Conversion-window funnel: view → click → purchase where each step
+    // must land within 24 h of the previous one — the time-bounded
+    // variant of q_funnel (unbounded steps overstate conversion badly;
+    // every product funnel uses a window). Same de-correlated shape:
+    // per-step keyed joins + MIN aggregates, never a per-user event
+    // scan; conversion reported as exact permille of the entry stage.
+    QueryDef.sql(
+      "q_funnel_windowed",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |    AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |    AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |k AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_24h,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_24h)
+        |SELECT n_viewed, n_clicked_24h, n_purchased_24h,
+        |  CAST((n_clicked_24h * 1000) // n_viewed AS BIGINT) AS click_permille,
+        |  CAST((n_purchased_24h * 1000) // n_viewed AS BIGINT) AS purchase_permille
+        |FROM k""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val day = expr("INTERVAL 24 HOURS")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id")
+          && col("e.ts") > col("v.t0") && col("e.ts") <= col("v.t0") + day)
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id")
+          && col("e.ts") > col("c.t1") && col("e.ts") <= col("c.t1") + day)
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_24h")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_24h")))
+        .select(col("n_viewed"), col("n_clicked_24h"), col("n_purchased_24h"),
+          expr("(n_clicked_24h * 1000) div n_viewed").as("click_permille"),
+          expr("(n_purchased_24h * 1000) div n_viewed").as("purchase_permille"))
     }
   )
 }

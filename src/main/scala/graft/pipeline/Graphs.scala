@@ -885,6 +885,97 @@ object Graphs {
       m.crossJoin(r)
         .select(col("n_edges"), col("n_recip"),
           expr("(n_recip * 1000000) div n_edges").as("recip_q6"))
+    },
+
+    // Bradley–Terry pairwise strength (3 minorize–maximize rounds) over
+    // within-order quantity contests: when two parts share an order, the
+    // larger-quantity part "wins". The MM update
+    // sᵢ′ = Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ) is made order-free by quantizing each
+    // denominator TERM with integer division (nᵢⱼ·10¹² // (sᵢ+sⱼ)) before
+    // the exact BIGINT sum — IEEE addition order can never matter — and
+    // the final per-item ratio is one shared double tree. Per round: one
+    // shuffle join of the contest edges against the strength table on
+    // each endpoint + a combiner-backed groupBy — the PageRank cost
+    // shape. A zero-win item floors to strength 0; its opponents keep
+    // positive strength (every contest has a winner), so no denominator
+    // can vanish. Oracle: 3 unrolled CTE rounds, same integer divisions.
+    QueryDef.sql(
+      "q_bradley_terry",
+      {
+        def round(prev: String, next: String) =
+          s"""$next AS MATERIALIZED (
+             |  SELECT c.i,
+             |    CAST(FLOOR(COALESCE(w.w, 0) * 1000000000000.0
+             |      / SUM((c.n * 1000000000000) // (a.s + b.s))) AS BIGINT) AS s
+             |  FROM cn c
+             |  JOIN $prev a ON a.i = c.i
+             |  JOIN $prev b ON b.i = c.j
+             |  LEFT JOIN wi w ON w.i = c.i
+             |  GROUP BY c.i, w.w)""".stripMargin
+        s"""WITH op AS MATERIALIZED (
+           |  SELECT l_orderkey, l_partkey,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           |  FROM lineitem GROUP BY 1, 2),
+           |ct AS MATERIALIZED (
+           |  SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+           |    AND a.l_partkey <> b.l_partkey AND a.q > b.q
+           |  GROUP BY 1, 2),
+           |cn AS MATERIALIZED (
+           |  SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+           |    AND a.l_partkey <> b.l_partkey AND a.q <> b.q
+           |  GROUP BY 1, 2),
+           |wi AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS w FROM ct GROUP BY i),
+           |s0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS s FROM cn),
+           |${round("s0", "s1")},
+           |${round("s1", "s2")},
+           |${round("s2", "s3")}
+           |SELECT s3.i AS l_partkey, COALESCE(wi.w, 0) AS n_wins,
+           |  nc.n_contests, s3.s AS strength_q6
+           |FROM s3
+           |LEFT JOIN wi ON wi.i = s3.i
+           |JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n_contests FROM cn GROUP BY i) nc
+           |  ON nc.i = s3.i
+           |ORDER BY strength_q6 DESC, l_partkey LIMIT 50""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val op = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("b.l_orderkey") === col("a.l_orderkey")
+            && col("a.l_partkey") =!= col("b.l_partkey")
+            && col("a.q") =!= col("b.q"))
+        .select(col("a.l_partkey").as("i"), col("b.l_partkey").as("j"),
+          (col("a.q") > col("b.q")).cast("long").as("win"))
+      val cn = pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("win")).as("wdir"))
+        .repartition(col("i"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wi = cn.groupBy(col("i")).agg(sum(col("wdir")).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var st = cn.select(col("i")).distinct()
+        .select(col("i"), lit(1000000L).as("s"))
+      for (_ <- 1 to 3) {
+        val dsum = cn
+          .join(st.select(col("i"), col("s").as("si")), Seq("i"))
+          .join(st.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum(expr("(n * 1000000000000) div (si + sj)")).as("dd"))
+        st = dsum.join(wi, Seq("i"), "left")
+          .select(col("i"),
+            floor(coalesce(col("w"), lit(0L)) * lit(1.0e12)
+              / col("dd")).cast("long").as("s"))
+          .localCheckpoint(true)
+      }
+      val nc = cn.groupBy(col("i")).agg(sum(col("n")).as("n_contests"))
+      st.join(wi, Seq("i"), "left").join(nc, Seq("i"))
+        .select(col("i").as("l_partkey"),
+          coalesce(col("w"), lit(0L)).as("n_wins"),
+          col("n_contests"), col("s").as("strength_q6"))
+        .orderBy(col("strength_q6").desc, col("l_partkey"))
+        .limit(50)
     }
   )
 }

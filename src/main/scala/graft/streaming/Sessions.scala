@@ -362,6 +362,44 @@ object Sessions {
       }
   }
 
+  final case class QSketchState(counts: Map[Long, Long])
+  final case class QSketchRow(key: String, e: Long, m: Long, cnt: Long)
+
+  /** Streaming mergeable log-histogram quantile sketch — the stateful twin
+    * of the batch q_quantile_sketch/q_quantile_by_group family: per key
+    * the state is the bounded bucket-count map (≤ 16 mantissa × 64
+    * exponent cells packed as e·16+m), each micro-batch folds its rows in
+    * and emits the updated cells. Counts are monotone, so the LAST (= max)
+    * snapshot per cell over the append stream is the final sketch, and
+    * any quantile answers from the cumulative walk exactly as in batch
+    * (StreamingSpec proves cell-for-cell equality and p90 agreement).
+    * Input rows: (key, v) with v ≥ 1. */
+  def quantileSketchStream(rows: Dataset[(String, Long)]): Dataset[QSketchRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[QSketchState, QSketchRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[QSketchState]) =>
+          val acc = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => acc ++= s.counts)
+          val touched = scala.collection.mutable.Set.empty[Long]
+          it.foreach { case (_, v) =>
+            // same bucketing as the batch sketch: e = floor(log2 v),
+            // m = v·16 / 2^e − 16 ∈ [0, 16)
+            val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+            val m = (v * 16 >> e) - 16
+            val cell = e * 16 + m
+            acc(cell) = acc.getOrElse(cell, 0L) + 1L
+            touched += cell
+          }
+          state.update(QSketchState(acc.toMap))
+          touched.iterator.map { cell =>
+            QSketchRow(key, cell / 16, cell % 16, acc(cell))
+          }.toList.iterator
+      }
+  }
+
   /** Streaming exact dedup, first-seen-wins (the stateful analogue of the
     * batch q_dedup_keep hash-groupBy: TextPipeline exact dedup, keeper =
     * min doc_id per content key): the FIRST arrival of each key is emitted,

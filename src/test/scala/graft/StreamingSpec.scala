@@ -567,4 +567,50 @@ class StreamingSpec extends SparkSpec {
       streamed.exists(h => h._1 == u && h._2 == 1) &&
         streamed.exists(h => h._1 == u && h._2 == 2)))
   }
+
+  test("streaming quantile sketch: final cells and p90 match batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-qsketch").toString
+    val inDir = s"$tmp/in"
+    val vals = Tables.events(spark, sf())
+      .select($"event_type".as("key"),
+        (floor($"value" * 100).cast("long") + 1).as("v"))
+    // two micro-batches: state must carry the first drop's counts
+    vals.filter($"v" % 2 === 0).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    vals.filter($"v" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[(String, Long)]
+    val q = Sessions.quantileSketchStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qsketch_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // counts are monotone: final sketch = max snapshot per cell
+    val streamed = spark.table("qsketch_stream")
+      .groupBy($"key", $"e", $"m").agg(max($"cnt").as("cnt"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val batch = spark.read.parquet(inDir)
+      .withColumn("e", (length(bin($"v")) - 1).cast("long"))
+      .withColumn("m", expr("(v * 16) div cast(pow(2, e) as bigint) - 16"))
+      .groupBy($"key", $"e", $"m").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // the sketch answers quantiles identically: p90 bucket per key
+    def p90(cells: Map[(String, Long, Long), Long]): Map[String, (Long, Long)] =
+      cells.groupBy(_._1._1).map { case (k, cs) =>
+        val sorted = cs.toSeq.map { case ((_, e, m), c) => (e, m, c) }.sortBy(t => (t._1, t._2))
+        val n = sorted.map(_._3).sum
+        val rk = (n * 900 + 999) / 1000
+        var cum = 0L
+        val hit = sorted.find { t => cum += t._3; cum >= rk }.get
+        k -> (hit._1, hit._2)
+      }
+    assert(p90(streamed) == p90(batch))
+    // bounded state: at most 16 mantissa cells per (key, exponent)
+    assert(streamed.keys.groupBy(k => (k._1, k._2)).forall(_._2.size <= 16))
+  }
 }
