@@ -174,6 +174,41 @@ object Multimodal {
       sampleFrames(meta, 4)
         .select(col("id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("id"), col("frame_idx"))
+    },
+
+    // Exact media dedup — content-hash dedup on the BINARY column (the
+    // multimodal twin of q_dedup_exact): each doc carries the payload of
+    // content class doc_id mod 256, the engine groups by md5 of the REAL
+    // bytes (only the 16-byte digest shuffles, never the blob), and the
+    // oracle replays the equivalence classes semantically (payload bytes
+    // are a pure function of the content id). Any drift in the
+    // encode→hash path splits or merges a class and breaks the hash.
+    graft.QueryDef.sql(
+      "q_media_dedup",
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CASE (doc_id % 256) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(53 AS BIGINT) AS n_bytes
+        |FROM documents
+        |GROUP BY doc_id % 256, (doc_id % 256) % 3
+        |ORDER BY keeper_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { did =>
+          val c = did % 256
+          val modality = (c % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          (did, modality, encodePayload(c, modality))
+        }.toDF("doc_id", "modality", "payload")
+      media
+        .groupBy(md5(col("payload")).as("h"), col("modality"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          max(length(col("payload"))).cast("long").as("n_bytes"))
+        .select(col("keeper_id"), col("modality"), col("n_copies"), col("n_bytes"))
+        .orderBy(col("keeper_id"))
     }
   )
 }
