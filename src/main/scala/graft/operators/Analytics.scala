@@ -1052,6 +1052,47 @@ object Analytics {
           (col("ret") - coalesce(col("matched_qty"), lit(0L))).as("unmatched_returns"),
           (col("recv") - coalesce(col("matched_qty"), lit(0L))).as("leftover_stock"))
         .orderBy(col("l_partkey"))
+    },
+
+    // Weighted median (lower) of price weighted by quantity, per return
+    // flag — "the price at which half the UNITS moved", which differs
+    // from the row median whenever cheap lines carry bigger quantities.
+    // Same vocabulary-cumulative-walk shape as the quantile family: the
+    // per-group window runs over the bounded price vocabulary, never raw
+    // rows.
+    QueryDef.sql(
+      "q_weighted_median",
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM v GROUP BY g),
+        |c AS (
+        |  SELECT g, v, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM v),
+        |p AS (
+        |  SELECT c.g, t.tw, c.v,
+        |    ROW_NUMBER() OVER (PARTITION BY c.g ORDER BY c.v) AS rn
+        |  FROM c JOIN t ON t.g = c.g AND 2 * c.cum >= t.tw)
+        |SELECT g, tw AS total_units, v AS wmedian_price_c
+        |FROM p WHERE rn = 1 ORDER BY g""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val t = v.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+      val c = v.withColumn("cum",
+        sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      c.join(broadcast(t), Seq("g"))
+        .filter(lit(2) * col("cum") >= col("tw"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("g"), col("tw").as("total_units"), col("v").as("wmedian_price_c"))
+        .orderBy(col("g"))
     }
   )
 }

@@ -1144,6 +1144,67 @@ object EventAnalytics {
         .select(col("n_viewed"), col("n_clicked_24h"), col("n_purchased_24h"),
           expr("(n_clicked_24h * 1000) div n_viewed").as("click_permille"),
           expr("(n_purchased_24h * 1000) div n_viewed").as("purchase_permille"))
+    },
+
+    // Absorbing-Markov conversion probability: estimate the per-user
+    // next-event transition matrix (purchase made absorbing), square it
+    // three times — T⁸ in 3 rounds instead of 8 — and read off
+    // P(reach purchase within 8 steps | start state). The matrix is
+    // event-type × event-type (bounded vocabulary), so every squaring is
+    // a tiny keyed join; the fact-scale work is ONE lag window for the
+    // transition counts. Each squared entry is an exact integer
+    // Σ(p·p) // 10⁶ (sum of ≤|S| q6×q6 products is exact, one floored
+    // division) — no accumulation-order hazard. Oracle: 3 unrolled
+    // squaring CTEs, AS MATERIALIZED (each references the previous round
+    // TWICE — the exponential re-inlining lesson).
+    QueryDef.sql(
+      "q_markov_conversion",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS a,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |tc AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM seq
+        |  WHERE b IS NOT NULL AND a <> 'purchase' GROUP BY a, b),
+        |t1 AS MATERIALIZED (
+        |  SELECT a, b, (c * 1000000) // SUM(c) OVER (PARTITION BY a) AS p
+        |  FROM tc
+        |  UNION ALL
+        |  SELECT 'purchase' AS a, 'purchase' AS b, 1000000 AS p),
+        |t2 AS MATERIALIZED (
+        |  SELECT x.a, y.b, CAST(SUM(x.p * y.p) // 1000000 AS BIGINT) AS p
+        |  FROM t1 x JOIN t1 y ON y.a = x.b GROUP BY x.a, y.b),
+        |t4 AS MATERIALIZED (
+        |  SELECT x.a, y.b, CAST(SUM(x.p * y.p) // 1000000 AS BIGINT) AS p
+        |  FROM t2 x JOIN t2 y ON y.a = x.b GROUP BY x.a, y.b),
+        |t8 AS MATERIALIZED (
+        |  SELECT x.a, y.b, CAST(SUM(x.p * y.p) // 1000000 AS BIGINT) AS p
+        |  FROM t4 x JOIN t4 y ON y.a = x.b GROUP BY x.a, y.b)
+        |SELECT a AS start_state, CAST(p AS BIGINT) AS p_convert8_q6
+        |FROM t8 WHERE b = 'purchase' AND a <> 'purchase'
+        |ORDER BY start_state""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d).select(col("user_id"), col("event_type").as("a"),
+        lead(col("event_type"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("b"))
+      val tc = seq.filter(col("b").isNotNull && col("a") =!= "purchase")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val t1 = tc
+        .withColumn("p", expr("(c * 1000000) div sum(c) over (partition by a)"))
+        .select(col("a"), col("b"), col("p"))
+        .unionByName(Tables.events(s, d).sparkSession.range(1)
+          .select(lit("purchase").as("a"), lit("purchase").as("b"),
+            lit(1000000L).as("p")))
+      var t = t1.localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        t = t.as("x").join(t.as("y"), col("y.a") === col("x.b"))
+          .groupBy(col("x.a").as("a"), col("y.b").as("b"))
+          .agg(expr("sum(x.p * y.p) div 1000000").as("p"))
+          .localCheckpoint(true)
+      }
+      t.filter(col("b") === "purchase" && col("a") =!= "purchase")
+        .select(col("a").as("start_state"), col("p").as("p_convert8_q6"))
+        .orderBy(col("start_state"))
     }
   )
 }
