@@ -37,4 +37,39 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq.sorted
     assert(sampled == Seq((1L, 0), (1L, 8), (1L, 16)))
   }
+
+  test("binaryFile source feeds the decode path like synthesize does") {
+    // the production ingestion path: real files on disk read through
+    // Spark's binaryFile source (path + binary content), decoded by the
+    // same operator the synthetic table uses — proving the stand-in and
+    // the real source are interchangeable at the operator boundary
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfile")
+    val ids = 0L until 20L
+    ids.foreach { id =>
+      val modality = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      java.nio.file.Files.write(dir.resolve(f"media_$id%05d.bin"),
+        Multimodal.encodePayload(id, modality))
+    }
+    val fromFiles = spark.read.format("binaryFile")
+      .load(dir.toString + "/*.bin")
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val modality = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        Multimodal.Media(id, modality, payload)
+      }
+    val viaFiles = Multimodal.decodeAndFeaturize(fromFiles)
+      .collect().map(f => f.id -> (f.meta, f.features.toSeq)).toMap
+    val viaSynth = Multimodal.decodeAndFeaturize(
+      Multimodal.synthesize(spark.range(0, 20).toDF("id")))
+      .collect().map(f => f.id -> (f.meta, f.features.toSeq)).toMap
+    assert(viaFiles.size == 20 && viaFiles == viaSynth)
+  }
 }
