@@ -1205,6 +1205,35 @@ object EventAnalytics {
       t.filter(col("b") === "purchase" && col("a") =!= "purchase")
         .select(col("a").as("start_state"), col("p").as("p_convert8_q6"))
         .orderBy(col("start_state"))
+    },
+
+    // Top 3-step behavior paths: the most frequent consecutive
+    // event-type trigrams across user journeys (the "path analysis"
+    // panel). One double-lead window per user, then a combiner-backed
+    // trigram count — the path vocabulary is bounded (|types|³), so the
+    // top-k never ranks raw rows.
+    QueryDef.sql(
+      "q_top_paths",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS a,
+        |    LEAD(event_type, 1) OVER w AS b,
+        |    LEAD(event_type, 2) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY a, b, c
+        |ORDER BY n_paths DESC, a, b, c LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("a"), col("b"), col("c"))
+        .limit(20)
     }
   )
 }

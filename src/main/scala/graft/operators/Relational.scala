@@ -674,6 +674,82 @@ object Relational {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // Laspeyres price index: yearly price level relative to the base
+    // (first) year, weighted by base-year quantities over the parts
+    // traded in both years. Unit prices are integer-divided cents
+    // (floor — deterministic in both engines), the index is ONE shared
+    // double division of two exact BIGINT basket sums (a q6 integer
+    // multiply would overflow int64 at rehearsal quantities); everything reduces
+    // per (year, part) first, so the basket join is vocabulary-sized.
+    QueryDef.sql(
+      "q_price_index",
+      """WITH yp AS (
+        |  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS y, l.l_partkey,
+        |    CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+        |      // SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS unit_c,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |b0 AS (SELECT MIN(y) AS y0 FROM yp),
+        |base AS (
+        |  SELECT l_partkey, unit_c AS p0, qty AS q0
+        |  FROM yp CROSS JOIN b0 WHERE y = y0)
+        |SELECT yp.y, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(FLOOR(SUM(base.q0 * yp.unit_c) * CAST(1000000.0 AS DOUBLE)
+        |    / SUM(base.q0 * base.p0)) AS BIGINT) AS laspeyres_q6
+        |FROM yp JOIN base ON base.l_partkey = yp.l_partkey
+        |GROUP BY yp.y ORDER BY yp.y""".stripMargin) { (s, d) =>
+      val yp = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"), col("l_partkey"))
+        .agg(expr("sum(cast(floor(l_extendedprice * 100) as bigint)) div sum(cast(l_quantity as bigint))").as("unit_c"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val y0 = yp.agg(min(col("y")).as("y0"))
+      val base = yp.crossJoin(broadcast(y0)).filter(col("y") === col("y0"))
+        .select(col("l_partkey"), col("unit_c").as("p0"), col("qty").as("q0"))
+      yp.join(base, Seq("l_partkey"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_parts"),
+          floor(sum(col("q0") * col("unit_c")) * lit(1000000.0)
+            / sum(col("q0") * col("p0"))).cast("long").as("laspeyres_q6"))
+        .orderBy(col("y"))
+    },
+
+    // Duplicate-invoice audit: order pairs from the same customer in the
+    // same thousand-dollar amount band within 90 days — the
+    // double-billing screen (banded, because real dupes rarely match to
+    // the cent). Candidates come only from the (customer, band)
+    // equi-join; the day-window is a residual filter, so the fanout is
+    // the band-group size, not the customer's order count. Output is
+    // pair-level (the audit artifact).
+    QueryDef.sql(
+      "q_dup_invoices",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS band,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders)
+        |SELECT a.o_custkey, a.band,
+        |  a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
+        |  CAST(ABS(b.d - a.d) AS BIGINT) AS day_gap
+        |FROM o a JOIN o b ON b.o_custkey = a.o_custkey
+        |  AND b.band = a.band AND a.o_orderkey < b.o_orderkey
+        |  AND ABS(b.d - a.d) <= 90
+        |ORDER BY a.o_custkey, a.band, orderkey_1, orderkey_2""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") / 1000).cast("long").as("band"),
+        col("o_orderdate").cast("date").as("d"))
+      o.as("a").join(o.as("b"),
+          col("b.o_custkey") === col("a.o_custkey")
+            && col("b.band") === col("a.band")
+            && col("a.o_orderkey") < col("b.o_orderkey")
+            && abs(datediff(col("b.d"), col("a.d"))) <= 90)
+        .select(col("a.o_custkey").as("o_custkey"), col("a.band").as("band"),
+          col("a.o_orderkey").as("orderkey_1"), col("b.o_orderkey").as("orderkey_2"),
+          abs(datediff(col("b.d"), col("a.d"))).cast("long").as("day_gap"))
+        .orderBy(col("o_custkey"), col("band"), col("orderkey_1"), col("orderkey_2"))
     }
   )
 }
