@@ -659,4 +659,44 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(lp.contains("array_sort"), s"phrase order not canonicalized:\n$lp")
   }
+
+  test("market share broadcasts every dim, never a cartesian") {
+    val p = plan("q_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("fifo matching joins on (part, bucket) — no per-part cartesian") {
+    val p = plan("q_fifo_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fifo lost the bucketed equi-join:\n$p")
+    // the overlap predicate must ride the equi-join as a residual, and
+    // the canonical-bucket dedup must appear as a join-side filter, not
+    // a post-join distinct
+    assert(!p.contains("Deduplicate"), s"bucketed join needed a distinct:\n$p")
+  }
+
+  test("audience overlap reduces users once; pair expansion is broadcast") {
+    val p = plan("q_audience_overlap")
+    // the only fact-scale exchange keys on user_id (mask fold); the
+    // 25-pair × mask-histogram cross is a broadcast nested loop over
+    // bounded sides, which is fine and expected
+    val userEx = countOccurrences(p, "hashpartitioning\\(user_id")
+    assert(userEx >= 1, s"mask fold lost its user key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("spearman rank windows run over the value vocabulary, keyed by group") {
+    val p = plan("q_spearman")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("g#")),
+      s"rank window not group-partitioned:\n$p")
+    assert(p.contains("partial_"), s"moment sums lost map-side combine:\n$p")
+  }
+
+  test("bradley-terry rounds stay keyed joins with combiner aggregation") {
+    val p = plan("q_bradley_terry")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_sum"), s"denominator sum lost its combiner:\n$p")
+  }
 }
