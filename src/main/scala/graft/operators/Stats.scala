@@ -1092,6 +1092,67 @@ object Stats {
               / (col("n") * col("sdd") - col("sd") * col("sd"))).cast("long"))
             .as("slope_q6"))
         .orderBy(col("event_type"), col("di"))
+    },
+
+    // Lead–lag cross-correlation between the view and purchase daily
+    // series: Pearson r at every shift k ∈ [−7, 7] (does today's view
+    // volume predict purchases k days later?). One lag-grid expansion
+    // (15×) over the BOUNDED daily rollup, aligned by an equi-join on
+    // the shifted day index; exact moments per lag, zero-variance →
+    // NULL. The full lag profile is reported — argmax is the reader's
+    // one-liner and would hide the shape.
+    QueryDef.sql(
+      "q_lag_xcorr",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT di, x FROM daily WHERE event_type = 'view'),
+        |b AS (SELECT di, x FROM daily WHERE event_type = 'purchase'),
+        |lags AS (SELECT UNNEST(RANGE(-7, 8)) AS k),
+        |m AS (
+        |  SELECT lags.k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.x) AS BIGINT) AS sa, CAST(SUM(b.x) AS BIGINT) AS sb,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sab,
+        |    CAST(SUM(a.x * a.x) AS BIGINT) AS saa,
+        |    CAST(SUM(b.x * b.x) AS BIGINT) AS sbb
+        |  FROM lags JOIN a ON TRUE JOIN b ON b.di = a.di + lags.k
+        |  GROUP BY lags.k)
+        |SELECT k AS lag_days, n AS n_days,
+        |  CASE WHEN n*saa - sa*sa = 0 OR n*sbb - sb*sb = 0 THEN NULL
+        |    ELSE CAST(FLOOR((n*sab - sa*sb) * CAST(1000000.0 AS DOUBLE)
+        |      / SQRT(CAST(n*saa - sa*sa AS DOUBLE))
+        |      / SQRT(CAST(n*sbb - sb*sb AS DOUBLE))) AS BIGINT)
+        |  END AS r_q6
+        |FROM m ORDER BY lag_days""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val a = daily.filter(col("event_type") === "view")
+        .select(col("di").as("dia"), col("x").as("xa"))
+      val b = daily.filter(col("event_type") === "purchase")
+        .select(col("di").as("dib"), col("x").as("xb"))
+      val lags = (-7 to 7).map(_.toLong).toDF("k")
+      val m = broadcast(lags).crossJoin(a)
+        .join(b, col("dib") === col("dia") + col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+          sum(col("xa") * col("xb")).as("sab"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"))
+      m.select(col("k").as("lag_days"), col("n").as("n_days"),
+        when((col("n") * col("saa") - col("sa") * col("sa")) === 0
+          || (col("n") * col("sbb") - col("sb") * col("sb")) === 0, lit(null))
+          .otherwise(floor((col("n") * col("sab") - col("sa") * col("sb"))
+            * lit(1000000.0)
+            / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+            / sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
+            .cast("long"))
+          .as("r_q6"))
+        .orderBy(col("lag_days"))
     }
   )
 }

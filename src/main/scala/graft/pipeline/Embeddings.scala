@@ -508,6 +508,57 @@ object Embeddings {
           when(col("idcg_w") === 0, 0L)
             .otherwise(expr("(dcg_w * 1000000) div idcg_w")).cast("long").as("ndcg_q6"))
         .orderBy(col("qid"))
+    },
+
+    // Label-centroid similarity matrix: pairwise cosine between class
+    // centroids — the embedding-space class-separation diagnostic
+    // (confusable labels show up as high off-diagonal cosine). The n
+    // normalizer cancels in cosine, so centroids stay as exact integer
+    // SUM vectors; the dot/norm sums run in DECIMAL(38,0)/HUGEINT
+    // because Σ(S_a·S_b) passes int64 once per-label sums reach ~10⁹
+    // at rehearsal scale (the 128-bit discipline). Everything is keyed
+    // by dimension index — |labels|²·dims rows at most, never per-vector
+    // pairs.
+    QueryDef.sql(
+      "q_label_centroid_sim",
+      s"""WITH $qelemsSql,
+         |lc AS (
+         |  SELECT e.label, q.i, CAST(SUM(q.qe) AS BIGINT) AS s
+         |  FROM qe q JOIN embeddings e ON e.vec_id = q.vec_id
+         |  GROUP BY e.label, q.i),
+         |n2 AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM lc GROUP BY label),
+         |pr AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    SUM(CAST(a.s AS HUGEINT) * b.s) AS num
+         |  FROM lc a JOIN lc b ON b.i = a.i AND a.label < b.label
+         |  GROUP BY a.label, b.label)
+         |SELECT pr.label_a, pr.label_b,
+         |  CAST(FLOOR(CAST(pr.num AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE))
+         |    / SQRT(CAST(nb.n2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_q6
+         |FROM pr
+         |JOIN n2 na ON na.label = pr.label_a
+         |JOIN n2 nb ON nb.label = pr.label_b
+         |ORDER BY pr.label_a, pr.label_b""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val lc = qelems(s, d)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("qe")).as("s"))
+      val n2 = lc.groupBy(col("label"))
+        .agg(sum(col("s").cast(dec) * col("s")).as("n2"))
+      val pr = lc.as("a").join(lc.as("b"),
+          col("b.i") === col("a.i") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.s").cast(dec) * col("b.s")).as("num"))
+      pr.join(broadcast(n2.select(col("label").as("label_a"), col("n2").as("n2a"))),
+          Seq("label_a"))
+        .join(broadcast(n2.select(col("label").as("label_b"), col("n2").as("n2b"))),
+          Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          floor(col("num").cast("double") / sqrt(col("n2a").cast("double"))
+            / sqrt(col("n2b").cast("double")) * lit(1000000.0)).cast("long")
+            .as("cos_q6"))
+        .orderBy(col("label_a"), col("label_b"))
     }
   )
 }
