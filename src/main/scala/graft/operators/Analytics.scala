@@ -1093,6 +1093,55 @@ object Analytics {
         .filter(col("rn") === 1)
         .select(col("g"), col("tw").as("total_units"), col("v").as("wmedian_price_c"))
         .orderBy(col("g"))
+    },
+
+    // Customer-tier migration: spend-quartile transition matrix between
+    // the first and second half of the order timeline — the segment
+    // movement report behind "are our best customers staying?". NTILE
+    // with a full (spend, custkey) tie-break is deterministic in both
+    // engines; only customers active in both halves transition. The
+    // quartile windows rank the per-customer aggregate (one row per
+    // customer-half), never raw orders.
+    QueryDef.sql(
+      "q_segment_migration",
+      """WITH sp AS (SELECT CAST(MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS d0,
+        |    CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS d1
+        |  FROM orders),
+        |h AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      * 2 <= sp.d0 + sp.d1 THEN 1 ELSE 2 END AS half,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN sp),
+        |cs AS (
+        |  SELECT o_custkey, half, CAST(SUM(cents) AS BIGINT) AS spend
+        |  FROM h GROUP BY o_custkey, half),
+        |tier AS (
+        |  SELECT o_custkey, half,
+        |    NTILE(4) OVER (PARTITION BY half ORDER BY spend, o_custkey) AS t
+        |  FROM cs)
+        |SELECT a.t AS tier_1, b.t AS tier_2, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM tier a JOIN tier b ON b.o_custkey = a.o_custkey
+        |  AND a.half = 1 AND b.half = 2
+        |GROUP BY a.t, b.t ORDER BY tier_1, tier_2""".stripMargin) { (s, d) =>
+      val od = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val sp = Tables.orders(s, d).agg(min(od).as("d0"), max(od).as("d1"))
+      val cs = Tables.orders(s, d).crossJoin(broadcast(sp))
+        .select(col("o_custkey"),
+          when(od * 2 <= col("d0") + col("d1"), 1).otherwise(2).as("half"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_custkey"), col("half"))
+        .agg(sum(col("cents")).as("spend"))
+      val tier = cs.select(col("o_custkey"), col("half"),
+        ntile(4).over(Window.partitionBy(col("half"))
+          .orderBy(col("spend"), col("o_custkey"))).as("t"))
+      tier.as("a").join(tier.as("b"),
+          col("b.o_custkey") === col("a.o_custkey")
+            && col("a.half") === 1 && col("b.half") === 2)
+        .groupBy(col("a.t").as("tier_1"), col("b.t").as("tier_2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("tier_1"), col("tier_2"))
     }
   )
 }

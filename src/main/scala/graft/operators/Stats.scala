@@ -1153,6 +1153,52 @@ object Stats {
             .cast("long"))
           .as("r_q6"))
         .orderBy(col("lag_days"))
+    },
+
+    // Spike/peak detection on the daily volume series: a day is a peak
+    // when it beats both neighbors (strictly the previous, at-least the
+    // next — deterministic plateau handling) AND clears 120% of the
+    // trailing-7-day mean, phrased as the cross-multiplied integer
+    // comparison 10·7·x ≥ 12·Σ₇ so no division ever happens. Pure
+    // lag/lead windows over the bounded daily grid.
+    QueryDef.sql(
+      "q_peak_detection",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, di, x,
+        |    LAG(x) OVER win AS prev, LEAD(x) OVER win AS nxt,
+        |    SUM(x) OVER (PARTITION BY event_type ORDER BY di
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY di
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY di))
+        |SELECT event_type, di, x, CAST(s7 AS BIGINT) AS sum7_prev,
+        |  CAST(n7 AS BIGINT) AS n7
+        |FROM w
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND n7 >= 3
+        |  AND x > prev AND x >= nxt AND 10 * n7 * x >= 12 * s7
+        |ORDER BY event_type, di""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      val trail = win.rowsBetween(-7, -1)
+      daily
+        .withColumn("prev", lag(col("x"), 1).over(win))
+        .withColumn("nxt", lead(col("x"), 1).over(win))
+        .withColumn("s7", sum(col("x")).over(trail))
+        .withColumn("n7", count(lit(1)).over(trail))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull && col("n7") >= 3
+          && col("x") > col("prev") && col("x") >= col("nxt")
+          && lit(10) * col("n7") * col("x") >= lit(12) * col("s7"))
+        .select(col("event_type"), col("di"), col("x"),
+          col("s7").as("sum7_prev"), col("n7"))
+        .orderBy(col("event_type"), col("di"))
     }
   )
 }
