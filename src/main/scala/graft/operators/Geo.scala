@@ -603,6 +603,57 @@ object Geo {
         .join(fbCounts, col("fid") === col("frame_fid"))
         .drop("frame_fid")
         .orderBy(col("fid"))
+    },
+
+    // Grid-density hotspots: customer points binned to a 36×16 degree
+    // grid, each cell scored by its 3×3 neighborhood count (the kernel
+    // density surrogate), top 25 reported. The kernel is a 9-offset
+    // EXPLODE over the bounded cell table — never a point-to-point
+    // distance join — so hotspot scoring stays O(cells), the standard
+    // raster trick at any point count.
+    QueryDef.sql(
+      "q_grid_hotspots",
+      """WITH pts AS (
+        |  SELECT ((c_custkey * 37) % 360) // 10 AS cx,
+        |    ((c_custkey * 73) % 160) // 10 AS cy
+        |  FROM customer),
+        |cells AS (
+        |  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pts GROUP BY cx, cy),
+        |off AS (SELECT dx.d AS dx, dy.d AS dy
+        |  FROM (SELECT UNNEST(RANGE(-1, 2)) AS d) dx
+        |  CROSS JOIN (SELECT UNNEST(RANGE(-1, 2)) AS d) dy),
+        |dens AS (
+        |  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+        |    CAST(SUM(c.cnt) AS BIGINT) AS density9
+        |  FROM cells c CROSS JOIN off o
+        |  GROUP BY c.cx + o.dx, c.cy + o.dy),
+        |top AS (
+        |  SELECT d.cx, d.cy, COALESCE(c.cnt, 0) AS own_cnt, d.density9,
+        |    ROW_NUMBER() OVER (ORDER BY d.density9 DESC, d.cx, d.cy) AS rn
+        |  FROM dens d LEFT JOIN cells c ON c.cx = d.cx AND c.cy = d.cy)
+        |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+        |  CAST(own_cnt AS BIGINT) AS own_cnt, density9
+        |FROM top WHERE rn <= 25
+        |ORDER BY density9 DESC, cx, cy""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cells = Tables.customer(s, d)
+        .select(expr("((c_custkey * 37) % 360) div 10").as("cx"),
+          expr("((c_custkey * 73) % 160) div 10").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+      val off = (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx.toLong, dy.toLong))
+        .toDF("dx", "dy")
+      val dens = cells.crossJoin(broadcast(off))
+        .groupBy((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+        .agg(sum(col("cnt")).as("density9"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("density9").desc, col("cx"), col("cy"))
+      dens.join(cells.select(col("cx"), col("cy"), col("cnt")), Seq("cx", "cy"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("cx"), col("cy"),
+          coalesce(col("cnt"), lit(0L)).as("own_cnt"), col("density9"))
+        .orderBy(col("density9").desc, col("cx"), col("cy"))
     }
   )
 }

@@ -176,4 +176,18 @@ class PropertySpec extends AnyFunSuite {
       flags.sum == bruteSessions
     })
   }
+
+  test("Lindley closed form equals the clamp recursion on random series") {
+    // q_clamped_balance rests on B_t = S_t − min(0, min_{k≤t} S_k) being
+    // the closed form of B_t = max(0, B_{t−1} + x_t); fuzz the identity
+    // on arbitrary signed series, step by step
+    val gen = Gen.listOf(Gen.choose(-50L, 50L))
+    check("lindley", Prop.forAll(gen) { xs =>
+      val prefix = xs.scanLeft(0L)(_ + _).drop(1)
+      val runmin = prefix.scanLeft(Long.MaxValue)(math.min).drop(1)
+      val closed = prefix.zip(runmin).map { case (s, m) => s - math.min(0L, m) }
+      val rec = xs.scanLeft(0L)((b, x) => math.max(0L, b + x)).drop(1)
+      closed == rec
+    })
+  }
 }
