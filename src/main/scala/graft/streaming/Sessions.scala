@@ -362,6 +362,38 @@ object Sessions {
       }
   }
 
+  final case class BalEvent(key: Long, seq: Long, x: Long)
+  final case class BalState(bal: Long, peak: Long, hits: Long, n: Long)
+  final case class BalSnapshot(key: Long, n_moves: Long, bal: Long,
+      peak: Long, n_floor_hits: Long)
+
+  /** Streaming floor-clamped balance — the stateful twin of
+    * q_clamped_balance's closed-form windows: per key the state is the
+    * literal Lindley recursion B ← max(0, B + x) plus its peak and
+    * floor-hit count (one quadruple per key). Batch uses the closed form
+    * because it can see the whole series; the stream can't, so it runs
+    * the recursion — StreamingSpec proves both land on identical final
+    * snapshots. Rows must arrive in per-key `seq` order across batches
+    * (within a batch they are sorted here). */
+  def clampedBalanceStream(ds: Dataset[BalEvent]): Dataset[BalSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[BalState, BalSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[BalState]) =>
+          var s = state.getOption.getOrElse(BalState(0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.seq).foreach { ev =>
+            val next = s.bal + ev.x
+            val bal = if (next < 0) 0L else next
+            val hits = s.hits + (if (ev.x < 0 && bal == 0L) 1L else 0L)
+            s = BalState(bal, math.max(s.peak, bal), hits, s.n + 1)
+          }
+          state.update(s)
+          Iterator.single(BalSnapshot(key, s.n, s.bal, s.peak, s.hits))
+      }
+  }
+
   final case class QSketchState(counts: Map[Long, Long])
   final case class QSketchRow(key: String, e: Long, m: Long, cnt: Long)
 

@@ -613,4 +613,44 @@ class StreamingSpec extends SparkSpec {
     // bounded state: at most 16 mantissa cells per (key, exponent)
     assert(streamed.keys.groupBy(k => (k._1, k._2)).forall(_._2.size <= 16))
   }
+
+  test("streaming clamped balance matches the batch closed form") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-bal").toString
+    val inDir = s"$tmp/in"
+    // per-part signed moves with a global sequence = the batch sort key
+    val mv = Tables.lineitem(spark, sf())
+      .select($"l_partkey".as("key"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_partkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")).cast("long").as("seq"),
+        when($"l_returnflag" === "R", -$"l_quantity".cast("long"))
+          .otherwise($"l_quantity".cast("long")).as("x"))
+    // two micro-batches split at a per-key PREFIX boundary (seq ≤ 5 then
+    // the rest) so arrival respects per-key order; state carries across
+    mv.filter($"seq" <= 5).coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    mv.filter($"seq" > 5).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[Sessions.BalEvent]
+    val q = Sessions.clampedBalanceStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bal_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final snapshot per key = the one with the full move count
+    val streamed = spark.table("bal_stream")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"key").orderBy($"n_moves".desc)))
+      .filter($"rn" === 1)
+      .select($"key", $"n_moves", $"bal", $"peak", $"n_floor_hits")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val batch = SparkEntry.queries("q_clamped_balance")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Long]("n_moves"), r.getAs[Long]("end_bal"),
+          r.getAs[Long]("peak_bal"), r.getAs[Long]("n_floor_hits"))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
