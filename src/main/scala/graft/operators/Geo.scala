@@ -654,6 +654,59 @@ object Geo {
         .select(col("cx"), col("cy"),
           coalesce(col("cnt"), lit(0L)).as("own_cnt"), col("density9"))
         .orderBy(col("density9").desc, col("cx"), col("cy"))
+    },
+
+    // Grid DBSCAN: density clustering without a distance join — core
+    // cells (≥ 5 points on a 36×16 grid; the quadratic-residue point map
+    // concentrates mass so density structure actually exists) are
+    // connected through 4-adjacency and the components come from the
+    // SAME two-phase union-find that clusters near-duplicate documents
+    // (TextPipeline.dedupClusters — one machinery, two domains). Cell
+    // encoding cx·1000+cy makes adjacency an integer equi-join; edge
+    // count is bounded by the grid, not the point count. Oracle:
+    // recursive-CTE min-label closure over the same core/edge sets.
+    QueryDef.sql(
+      "q_dbscan_cells",
+      """WITH RECURSIVE pts AS (
+        |  SELECT ((c_custkey % 1000) * (c_custkey % 1000) * 3 % 360) // 10 AS cx,
+        |    ((c_custkey % 1000) * (c_custkey % 1000) * 7 % 160) // 10 AS cy
+        |  FROM customer),
+        |core AS (
+        |  SELECT cx * 1000 + cy AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pts GROUP BY cx, cy HAVING COUNT(*) >= 5),
+        |e0 AS (
+        |  SELECT a.cell AS a, b.cell AS b FROM core a
+        |  JOIN core b ON b.cell = a.cell + 1 OR b.cell = a.cell + 1000),
+        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |reach(cell, lbl) AS (
+        |  SELECT cell, cell FROM core
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN ed e ON e.a = r.cell),
+        |canon AS (
+        |  SELECT cell, CAST(MIN(lbl) AS BIGINT) AS canonical_id
+        |  FROM reach GROUP BY cell)
+        |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(core.cnt) AS BIGINT) AS n_points
+        |FROM canon JOIN core ON core.cell = canon.cell
+        |GROUP BY canonical_id ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      val core = Tables.customer(s, d)
+        .select(expr("((c_custkey % 1000) * (c_custkey % 1000) * 3 % 360) div 10").as("cx"),
+          expr("((c_custkey % 1000) * (c_custkey % 1000) * 7 % 160) div 10").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .select((col("cx") * 1000 + col("cy")).as("cell"), col("cnt"))
+      // neighbor candidates via offset explode + semi-join — two equi
+      // probes instead of an OR-join (which would plan as a nested loop)
+      val edges = core
+        .withColumn("dd", explode(array(lit(1L), lit(1000L))))
+        .select(col("cell").as("doc1"), (col("cell") + col("dd")).as("doc2"))
+        .join(core.select(col("cell").as("doc2")), Seq("doc2"), "left_semi")
+      graft.pipeline.TextPipeline.dedupClusters(
+          core.select(col("cell").as("doc_id")), edges)
+        .join(core.select(col("cell").as("doc_id"), col("cnt")), Seq("doc_id"))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"))
+        .orderBy(col("canonical_id"))
     }
   )
 }
