@@ -1234,6 +1234,103 @@ object EventAnalytics {
         .agg(count(lit(1)).as("n_paths"))
         .orderBy(col("n_paths").desc, col("a"), col("b"), col("c"))
         .limit(20)
+    },
+
+    // Markov removal-effect attribution (the principled multi-touch
+    // model): channel credit = how much the 8-step view→purchase
+    // conversion probability DROPS when that state is deleted from the
+    // chain (its column zeroed — journeys entering it are lost; row
+    // probabilities keep their denominator, the standard removal
+    // formulation). Each variant is the same exact T⁸-by-squaring
+    // algebra as q_markov_conversion on a ≤|types|² matrix; the
+    // fact-scale work (transition counts) happens once and is shared by
+    // all variants. Oracle: per-variant unrolled squaring CTEs, all
+    // AS MATERIALIZED.
+    QueryDef.sql(
+      "q_markov_attribution",
+      {
+        def sq(prev: String, next: String, suf: String) =
+          s"""$next AS MATERIALIZED (
+             |  SELECT x.a, y.b, CAST(SUM(x.p * y.p) // 1000000 AS BIGINT) AS p
+             |  FROM ${prev} x JOIN ${prev} y ON y.a = x.b GROUP BY x.a, y.b)"""
+            .stripMargin
+        def variant(state: String, suf: String) =
+          s"""v1$suf AS MATERIALIZED (
+             |  SELECT a, b, p FROM t1 WHERE a <> '$state' AND b <> '$state'
+             |  UNION ALL
+             |  SELECT '$state' AS a, '$state' AS b, 0 AS p),
+             |${sq(s"v1$suf", s"v2$suf", suf)},
+             |${sq(s"v2$suf", s"v4$suf", suf)},
+             |${sq(s"v4$suf", s"v8$suf", suf)}""".stripMargin
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type AS a,
+           |    LEAD(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS b
+           |  FROM events),
+           |tc AS (
+           |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM seq
+           |  WHERE b IS NOT NULL AND a <> 'purchase' GROUP BY a, b),
+           |t1 AS MATERIALIZED (
+           |  SELECT a, b, (c * 1000000) // SUM(c) OVER (PARTITION BY a) AS p
+           |  FROM tc
+           |  UNION ALL
+           |  SELECT 'purchase' AS a, 'purchase' AS b, 1000000 AS p),
+           |${sq("t1", "t2", "")},
+           |${sq("t2", "t4", "")},
+           |${sq("t4", "t8", "")},
+           |base AS (SELECT p AS p0 FROM t8 WHERE a = 'view' AND b = 'purchase'),
+           |${variant("click", "c")},
+           |${variant("error", "e")},
+           |${variant("signup", "s")},
+           |rem AS (
+           |  SELECT 'click' AS removed_state, p FROM v8c WHERE a = 'view' AND b = 'purchase'
+           |  UNION ALL
+           |  SELECT 'error', p FROM v8e WHERE a = 'view' AND b = 'purchase'
+           |  UNION ALL
+           |  SELECT 'signup', p FROM v8s WHERE a = 'view' AND b = 'purchase')
+           |SELECT rem.removed_state, base.p0 AS p_base_q6,
+           |  CAST(rem.p AS BIGINT) AS p_removed_q6,
+           |  CAST(((base.p0 - rem.p) * 1000000) // base.p0 AS BIGINT)
+           |    AS removal_effect_q6
+           |FROM rem CROSS JOIN base
+           |ORDER BY removed_state""".stripMargin
+      }) { (s, d) =>
+      val seq = Tables.events(s, d).select(col("user_id"), col("event_type").as("a"),
+        lead(col("event_type"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("b"))
+      val tc = seq.filter(col("b").isNotNull && col("a") =!= "purchase")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val sess = Tables.events(s, d).sparkSession
+      val absorbing = sess.range(1)
+        .select(lit("purchase").as("a"), lit("purchase").as("b"), lit(1000000L).as("p"))
+      val t1 = tc
+        .withColumn("p", expr("(c * 1000000) div sum(c) over (partition by a)"))
+        .select(col("a"), col("b"), col("p"))
+        .unionByName(absorbing)
+        .localCheckpoint(true)
+      def pow8(m0: org.apache.spark.sql.DataFrame) = {
+        var t = m0
+        for (_ <- 1 to 3) {
+          t = t.as("x").join(t.as("y"), col("y.a") === col("x.b"))
+            .groupBy(col("x.a").as("a"), col("y.b").as("b"))
+            .agg(expr("sum(x.p * y.p) div 1000000").as("p"))
+            .localCheckpoint(true)
+        }
+        t.filter(col("a") === "view" && col("b") === "purchase").select(col("p"))
+      }
+      val base = pow8(t1).select(col("p").as("p0"))
+      val variants = Seq("click", "error", "signup").map { st =>
+        val v1 = t1.filter(col("a") =!= st && col("b") =!= st)
+          .unionByName(sess.range(1)
+            .select(lit(st).as("a"), lit(st).as("b"), lit(0L).as("p")))
+        pow8(v1).select(lit(st).as("removed_state"), col("p"))
+      }
+      variants.reduce(_ unionByName _)
+        .crossJoin(broadcast(base))
+        .select(col("removed_state"), col("p0").as("p_base_q6"),
+          col("p").as("p_removed_q6"),
+          expr("((p0 - p) * 1000000) div p0").as("removal_effect_q6"))
+        .orderBy(col("removed_state"))
     }
   )
 }
