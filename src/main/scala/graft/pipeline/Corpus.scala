@@ -1204,6 +1204,111 @@ object Corpus {
           sum(col("mult") * col("c")).as("total_count"))
         .orderBy(col("total_count").desc, col("subword"))
         .limit(100)
+    },
+
+    // End-to-end corpus curation gate — the COMPOSITION the individual
+    // operators exist for: per source, how many docs survive language-ID
+    // (en), Gopher-style quality, and exact-dedup keeper selection, and
+    // the final retained share. Each stage is the exact same logic its
+    // standalone query oracles (q_text_langid / q_quality_gopher /
+    // q_dedup_keep), joined per doc on the compact id — proving the
+    // operators COMPOSE, not just run alone.
+    QueryDef.sql(
+      "q_corpus_gate",
+      s"""WITH $toksSql,
+         |tc AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(LENGTH(t) AS BIGINT) AS wlen
+         |  FROM tok GROUP BY doc_id, t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(MAX(cnt) AS BIGINT) AS top_cnt
+         |  FROM tc GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens >= 20
+         |      AND FLOOR(n_distinct * CAST(1000000.0 AS DOUBLE) / n_tokens) >= 200000
+         |      AND FLOOR(top_cnt * CAST(1000000.0 AS DOUBLE) / n_tokens) <= 200000
+         |    THEN 1 ELSE 0 END AS is_q
+         |  FROM sig),
+         |lx AS (
+         |  SELECT doc_id,
+         |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' the ', ''))) / 5
+         |       + (LENGTH(p) - LENGTH(REPLACE(p, ' and ', ''))) / 5 AS BIGINT) AS s_en,
+         |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' der ', ''))) / 5
+         |       + (LENGTH(p) - LENGTH(REPLACE(p, ' und ', ''))) / 5 AS BIGINT) AS s_de,
+         |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' le ', ''))) / 4
+         |       + (LENGTH(p) - LENGTH(REPLACE(p, ' et ', ''))) / 4 AS BIGINT) AS s_fr,
+         |    CAST((LENGTH(p) - LENGTH(REPLACE(p, ' el ', ''))) / 4
+         |       + (LENGTH(p) - LENGTH(REPLACE(p, ' y ', ''))) / 3 AS BIGINT) AS s_es
+         |  FROM (SELECT doc_id, ' ' || LOWER(text) || ' ' AS p FROM documents) x),
+         |ln AS (
+         |  SELECT doc_id, CASE WHEN s_en + s_de + s_fr + s_es > 0
+         |    AND s_en >= GREATEST(s_de, s_fr, s_es) THEN 1 ELSE 0 END AS is_en
+         |  FROM lx),
+         |kp AS (
+         |  SELECT LOWER(SUBSTR(text, 1, 40)) AS nk, MIN(doc_id) AS kid
+         |  FROM documents GROUP BY LOWER(SUBSTR(text, 1, 40))),
+         |f AS (
+         |  SELECT d.source, ln.is_en, COALESCE(q.is_q, 0) AS is_q,
+         |    CASE WHEN kp.kid = d.doc_id THEN 1 ELSE 0 END AS is_k
+         |  FROM documents d
+         |  JOIN ln ON ln.doc_id = d.doc_id
+         |  LEFT JOIN q ON q.doc_id = d.doc_id
+         |  JOIN kp ON kp.nk = LOWER(SUBSTR(d.text, 1, 40)))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(is_en) AS BIGINT) AS n_en,
+         |  CAST(SUM(is_q) AS BIGINT) AS n_quality,
+         |  CAST(SUM(is_k) AS BIGINT) AS n_keeper,
+         |  CAST(SUM(is_en * is_q * is_k) AS BIGINT) AS n_final,
+         |  CAST((SUM(is_en * is_q * is_k) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS final_share_q6
+         |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = tokRows(s, d).groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+      val isQ = sig.select(col("doc_id"),
+        when(col("n_tokens") >= 20
+          && floor(col("n_distinct") * lit(1000000.0) / col("n_tokens")) >= 200000
+          && floor(col("top_cnt") * lit(1000000.0) / col("n_tokens")) <= 200000,
+          1L).otherwise(0L).as("is_q"))
+      def occ(kw: String): org.apache.spark.sql.Column =
+        ((length(col("p")) - length(expr(s"replace(p, '$kw', '')"))) / kw.length)
+          .cast("long")
+      val lang = docs
+        .select(col("doc_id"), concat(lit(" "), lower(col("text")), lit(" ")).as("p"))
+        .select(col("doc_id"),
+          (occ(" the ") + occ(" and ")).as("s_en"),
+          (occ(" der ") + occ(" und ")).as("s_de"),
+          (occ(" le ") + occ(" et ")).as("s_fr"),
+          (occ(" el ") + occ(" y ")).as("s_es"))
+        .select(col("doc_id"),
+          when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") > 0
+            && col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")),
+            1L).otherwise(0L).as("is_en"))
+      val keepers = docs
+        .groupBy(lower(substring(col("text"), 1, 40)).as("nk"))
+        .agg(min(col("doc_id")).as("kid"))
+      docs.select(col("doc_id"), col("source"),
+          lower(substring(col("text"), 1, 40)).as("nk"))
+        .join(lang, Seq("doc_id"))
+        .join(isQ, Seq("doc_id"), "left")
+        .join(keepers, Seq("nk"))
+        .select(col("source"), col("is_en"),
+          coalesce(col("is_q"), lit(0L)).as("is_q"),
+          when(col("kid") === col("doc_id"), 1L).otherwise(0L).as("is_k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"),
+          sum(col("is_q")).as("n_quality"), sum(col("is_k")).as("n_keeper"),
+          sum(col("is_en") * col("is_q") * col("is_k")).as("n_final"),
+          expr("(sum(is_en * is_q * is_k) * 1000000) div count(*)")
+            .as("final_share_q6"))
+        .orderBy(col("source"))
     }
   )
 }
