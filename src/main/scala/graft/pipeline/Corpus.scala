@@ -202,6 +202,95 @@ object Corpus {
           / sqrt((col("n1") * col("n2")).cast("double"))).cast("long").as("cos_q6"))
   }
 
+  /** Shared WordPiece machinery SQL (vocabulary build + longest-match
+    * greedy walk) — used by both q_wordpiece_apply and
+    * q_wordpiece_fertility so the two oracles can never drift. */
+  private val wpWalkSql =
+    """tok AS (
+      |  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |wf AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |  WHERE LENGTH(w) <= 20 GROUP BY w),
+      |thr AS (SELECT GREATEST(20, CAST(SUM(c) AS BIGINT) // 5000) AS t FROM wf),
+      |vw AS (SELECT w AS e FROM wf CROSS JOIN thr
+      |       WHERE c >= thr.t AND LENGTH(w) <= 10),
+      |vc AS (
+      |  SELECT DISTINCT SUBSTR(w, CAST(i AS INTEGER), 1) AS e
+      |  FROM wf, UNNEST(RANGE(1, LENGTH(w) + 1)) AS u(i)),
+      |vocab AS (SELECT DISTINCT e FROM
+      |  (SELECT e FROM vw UNION ALL SELECT e FROM vc)),
+      |cand AS (
+      |  SELECT f.w, CAST(p.i AS BIGINT) AS pos, CAST(l.j AS BIGINT) AS L,
+      |    SUBSTR(f.w, CAST(p.i AS INTEGER), CAST(l.j AS INTEGER)) AS sub
+      |  FROM wf f
+      |  CROSS JOIN UNNEST(RANGE(1, 21)) AS p(i)
+      |  CROSS JOIN UNNEST(RANGE(1, 11)) AS l(j)
+      |  WHERE CAST(p.i AS BIGINT) + CAST(l.j AS BIGINT) - 1 <= LENGTH(f.w)),
+      |best AS (
+      |  SELECT c.w, c.pos, CAST(MAX(c.L) AS BIGINT) AS L
+      |  FROM cand c JOIN vocab v ON v.e = c.sub
+      |  GROUP BY c.w, c.pos),
+      |walk(w, pos, piece) AS (
+      |  SELECT b.w, 1 + b.L, SUBSTR(b.w, 1, CAST(b.L AS INTEGER))
+      |  FROM best b WHERE b.pos = 1
+      |  UNION ALL
+      |  SELECT t.w, t.pos + b.L,
+      |    SUBSTR(t.w, CAST(t.pos AS INTEGER), CAST(b.L AS INTEGER))
+      |  FROM walk t JOIN best b ON b.w = t.w AND b.pos = t.pos),
+      |pm AS (SELECT w, piece, CAST(COUNT(*) AS BIGINT) AS mult
+      |       FROM walk GROUP BY w, piece)""".stripMargin
+
+  /** Engine side of the shared WordPiece machinery: returns
+    * (wf: (w, c) word frequencies, pm: (w, piece, mult) segmentation). */
+  private def wordPieceTables(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val wf = tokRows(s, d)
+      .filter(length(col("t")) <= 20)
+      .groupBy(col("t").as("w")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val thr = wf.agg(greatest(lit(20L), expr("sum(c) div 5000")).as("thr"))
+    val vw = wf.crossJoin(broadcast(thr))
+      .filter(col("c") >= col("thr") && length(col("w")) <= 10)
+      .select(col("w").as("sub"))
+    val vc = wf
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("sub"))
+    val vocab = vw.unionAll(vc).distinct()
+    val cand = wf.select(col("w"))
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("pos"),
+        explode(sequence(lit(1),
+          least(lit(10), length(col("w")) - col("pos") + 1))).as("L"))
+      .select(col("w"), col("pos").cast("long").as("pos"),
+        col("L").cast("long").as("L"), expr("substring(w, pos, L)").as("sub"))
+    val best = cand.join(vocab, Seq("sub"))
+      .groupBy(col("w"), col("pos")).agg(max(col("L")).as("L"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // greedy chain: bounded rounds over the vocabulary-sized word set,
+    // each round eagerly materialized (the kCore census lesson)
+    var cur = best.filter(col("pos") === 1)
+      .select(col("w"), (lit(1L) + col("L")).as("npos"),
+        expr("substring(w, 1, L)").as("piece"))
+      .localCheckpoint(true)
+    val acc = scala.collection.mutable.ListBuffer(
+      cur.select(col("w"), col("piece")))
+    var round = 1
+    while (round < 20 && !cur.isEmpty) {
+      cur = cur.select(col("w"), col("npos").as("pos"))
+        .join(best, Seq("w", "pos"))
+        .select(col("w"), (col("pos") + col("L")).as("npos"),
+          expr("substring(w, pos, L)").as("piece"))
+        .localCheckpoint(true)
+      acc += cur.select(col("w"), col("piece"))
+      round += 1
+    }
+    val pm = acc.reduce(_ unionAll _)
+      .groupBy(col("w"), col("piece")).agg(count(lit(1)).as("mult"))
+    (wf, pm)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Source-overlap matrix: pairwise 8-gram Jaccard and containment
@@ -1115,95 +1204,61 @@ object Corpus {
     // guarantee progress, so the walk always terminates.
     QueryDef.sql(
       "q_wordpiece_apply",
-      """WITH RECURSIVE tok AS (
-        |  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
-        |  FROM documents),
-        |wf AS (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
-        |  WHERE LENGTH(w) <= 20 GROUP BY w),
-        |thr AS (SELECT GREATEST(20, CAST(SUM(c) AS BIGINT) // 5000) AS t FROM wf),
-        |vw AS (SELECT w AS e FROM wf CROSS JOIN thr
-        |       WHERE c >= thr.t AND LENGTH(w) <= 10),
-        |vc AS (
-        |  SELECT DISTINCT SUBSTR(w, CAST(i AS INTEGER), 1) AS e
-        |  FROM wf, UNNEST(RANGE(1, LENGTH(w) + 1)) AS u(i)),
-        |vocab AS (SELECT DISTINCT e FROM
-        |  (SELECT e FROM vw UNION ALL SELECT e FROM vc)),
-        |cand AS (
-        |  SELECT f.w, CAST(p.i AS BIGINT) AS pos, CAST(l.j AS BIGINT) AS L,
-        |    SUBSTR(f.w, CAST(p.i AS INTEGER), CAST(l.j AS INTEGER)) AS sub
-        |  FROM wf f
-        |  CROSS JOIN UNNEST(RANGE(1, 21)) AS p(i)
-        |  CROSS JOIN UNNEST(RANGE(1, 11)) AS l(j)
-        |  WHERE CAST(p.i AS BIGINT) + CAST(l.j AS BIGINT) - 1 <= LENGTH(f.w)),
-        |best AS (
-        |  SELECT c.w, c.pos, CAST(MAX(c.L) AS BIGINT) AS L
-        |  FROM cand c JOIN vocab v ON v.e = c.sub
-        |  GROUP BY c.w, c.pos),
-        |walk(w, pos, piece) AS (
-        |  SELECT b.w, 1 + b.L, SUBSTR(b.w, 1, CAST(b.L AS INTEGER))
-        |  FROM best b WHERE b.pos = 1
-        |  UNION ALL
-        |  SELECT t.w, t.pos + b.L,
-        |    SUBSTR(t.w, CAST(t.pos AS INTEGER), CAST(b.L AS INTEGER))
-        |  FROM walk t JOIN best b ON b.w = t.w AND b.pos = t.pos),
-        |pm AS (SELECT w, piece, CAST(COUNT(*) AS BIGINT) AS mult
-        |       FROM walk GROUP BY w, piece),
-        |st AS (
-        |  SELECT pm.piece AS subword, CAST(COUNT(*) AS BIGINT) AS n_words,
-        |    CAST(SUM(pm.mult * wf.c) AS BIGINT) AS total_count
-        |  FROM pm JOIN wf ON wf.w = pm.w GROUP BY pm.piece)
-        |SELECT subword, n_words, total_count
-        |FROM st ORDER BY total_count DESC, subword LIMIT 100""".stripMargin) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val wf = tokRows(s, d)
-        .filter(length(col("t")) <= 20)
-        .groupBy(col("t").as("w")).agg(count(lit(1)).as("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val thr = wf.agg(greatest(lit(20L), expr("sum(c) div 5000")).as("thr"))
-      val vw = wf.crossJoin(broadcast(thr))
-        .filter(col("c") >= col("thr") && length(col("w")) <= 10)
-        .select(col("w").as("sub"))
-      val vc = wf
-        .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
-        .select(expr("substring(w, i, 1)").as("sub"))
-      val vocab = vw.unionAll(vc).distinct()
-      val cand = wf.select(col("w"))
-        .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
-        .select(col("w"), col("pos"),
-          explode(sequence(lit(1),
-            least(lit(10), length(col("w")) - col("pos") + 1))).as("L"))
-        .select(col("w"), col("pos").cast("long").as("pos"),
-          col("L").cast("long").as("L"), expr("substring(w, pos, L)").as("sub"))
-      val best = cand.join(vocab, Seq("sub"))
-        .groupBy(col("w"), col("pos")).agg(max(col("L")).as("L"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // greedy chain: bounded rounds over the vocabulary-sized word set,
-      // each round eagerly materialized (the kCore census lesson)
-      var cur = best.filter(col("pos") === 1)
-        .select(col("w"), (lit(1L) + col("L")).as("npos"),
-          expr("substring(w, 1, L)").as("piece"))
-        .localCheckpoint(true)
-      val acc = scala.collection.mutable.ListBuffer(
-        cur.select(col("w"), col("piece")))
-      var round = 1
-      while (round < 20 && !cur.isEmpty) {
-        cur = cur.select(col("w"), col("npos").as("pos"))
-          .join(best, Seq("w", "pos"))
-          .select(col("w"), (col("pos") + col("L")).as("npos"),
-            expr("substring(w, pos, L)").as("piece"))
-          .localCheckpoint(true)
-        acc += cur.select(col("w"), col("piece"))
-        round += 1
-      }
-      val pm = acc.reduce(_ unionAll _)
-        .groupBy(col("w"), col("piece")).agg(count(lit(1)).as("mult"))
+      s"""WITH RECURSIVE $wpWalkSql,
+         |st AS (
+         |  SELECT pm.piece AS subword, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(pm.mult * wf.c) AS BIGINT) AS total_count
+         |  FROM pm JOIN wf ON wf.w = pm.w GROUP BY pm.piece)
+         |SELECT subword, n_words, total_count
+         |FROM st ORDER BY total_count DESC, subword LIMIT 100""".stripMargin) { (s, d) =>
+      val (wf, pm) = wordPieceTables(s, d)
       pm.join(wf, Seq("w"))
         .groupBy(col("piece").as("subword"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("mult") * col("c")).as("total_count"))
         .orderBy(col("total_count").desc, col("subword"))
         .limit(100)
+    },
+
+    // Tokenizer fertility — pieces emitted per word, the standard
+    // tokenizer-quality readout (fertility near 1 = the vocabulary fits
+    // the corpus; high fertility = words shatter): per source, total
+    // WordPiece pieces over total words, from the SAME shared
+    // segmentation machinery as q_wordpiece_apply (one implementation,
+    // two readouts). Per-word piece counts are vocabulary-sized; the
+    // fact-scale work is the per-(source, word) count.
+    QueryDef.sql(
+      "q_wordpiece_fertility",
+      s"""WITH RECURSIVE $wpWalkSql,
+         |np AS (
+         |  SELECT w, CAST(SUM(mult) AS BIGINT) AS n_pieces
+         |  FROM pm GROUP BY w),
+         |stok AS (
+         |  SELECT source, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+         |  FROM documents),
+         |sw AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM stok WHERE LENGTH(w) <= 20 GROUP BY source, w)
+         |SELECT sw.source, CAST(SUM(sw.c) AS BIGINT) AS n_words,
+         |  CAST(SUM(sw.c * np.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST((SUM(sw.c * np.n_pieces) * 1000000) // SUM(sw.c) AS BIGINT)
+         |    AS fertility_q6
+         |FROM sw JOIN np ON np.w = sw.w
+         |GROUP BY sw.source ORDER BY sw.source""".stripMargin) { (s, d) =>
+      val (_, pm) = wordPieceTables(s, d)
+      val np = pm.groupBy(col("w")).agg(sum(col("mult")).as("n_pieces"))
+      val sw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)))
+            .as("w"))
+        .filter(length(col("w")) <= 20)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      sw.join(np, Seq("w"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("c") * col("n_pieces")).as("n_pieces"),
+          expr("(sum(c * n_pieces) * 1000000) div sum(c)").as("fertility_q6"))
+        .orderBy(col("source"))
     },
 
     // End-to-end corpus curation gate — the COMPOSITION the individual
