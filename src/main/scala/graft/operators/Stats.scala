@@ -1199,6 +1199,108 @@ object Stats {
         .select(col("event_type"), col("di"), col("x"),
           col("s7").as("sum7_prev"), col("n7"))
         .orderBy(col("event_type"), col("di"))
+    },
+
+    // SAX symbolization: each event type's daily series compressed to a
+    // symbol string — 3-day piecewise-aggregate segments, each mapped to
+    // a/b/c/d by its ratio to the series mean (cross-multiplied integer
+    // breakpoints at 75%/100%/125%, no division): the classic
+    // time-series index for motif/novelty search. Segment order is
+    // pinned by an explicit sort inside the aggregation, so the string
+    // is deterministic in both engines.
+    QueryDef.sql(
+      "q_sax_symbols",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, MIN(di) AS d0 FROM daily GROUP BY 1),
+        |seg AS (
+        |  SELECT daily.event_type, (daily.di - d0.d0) // 3 AS sg,
+        |    CAST(SUM(daily.x) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS sn
+        |  FROM daily JOIN d0 ON d0.event_type = daily.event_type
+        |  GROUP BY daily.event_type, (daily.di - d0.d0) // 3),
+        |m AS (SELECT event_type, CAST(SUM(sx) AS BIGINT) AS tx,
+        |        CAST(SUM(sn) AS BIGINT) AS tn FROM seg GROUP BY 1),
+        |sym AS (
+        |  SELECT seg.event_type, seg.sg,
+        |    CASE
+        |      WHEN seg.sx * m.tn * 4 < m.tx * seg.sn * 3 THEN 'a'
+        |      WHEN seg.sx * m.tn * 4 < m.tx * seg.sn * 4 THEN 'b'
+        |      WHEN seg.sx * m.tn * 4 < m.tx * seg.sn * 5 THEN 'c'
+        |      ELSE 'd' END AS s
+        |  FROM seg JOIN m ON m.event_type = seg.event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  STRING_AGG(s, '' ORDER BY sg) AS sax
+        |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val d0 = daily.groupBy(col("event_type")).agg(min(col("di")).as("d0"))
+      val seg = daily.join(broadcast(d0), Seq("event_type"))
+        .groupBy(col("event_type"), expr("(di - d0) div 3").as("sg"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("sn"))
+      val m = seg.groupBy(col("event_type"))
+        .agg(sum(col("sx")).as("tx"), sum(col("sn")).as("tn"))
+      val sym = seg.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("sg"),
+          when(col("sx") * col("tn") * 4 < col("tx") * col("sn") * 3, "a")
+            .when(col("sx") * col("tn") * 4 < col("tx") * col("sn") * 4, "b")
+            .when(col("sx") * col("tn") * 4 < col("tx") * col("sn") * 5, "c")
+            .otherwise("d").as("s"))
+      sym.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_segments"),
+          array_join(transform(array_sort(collect_list(struct(col("sg"), col("s")))),
+            x => x.getField("s")), "").as("sax"))
+        .orderBy(col("event_type"))
+    },
+
+    // Difference-in-differences: purchase (treated) vs view (control)
+    // daily volume around the day-15 intervention split — the 2×2 design
+    // whose interaction term is the causal readout when parallel trends
+    // hold. All four cell means are exact centi-integer divisions of
+    // BIGINT (sum, days) cells; DiD is pure integer arithmetic on them.
+    QueryDef.sql(
+      "q_did",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT MIN(di) + 15 AS cut FROM daily),
+        |cells AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS treated,
+        |    CASE WHEN di >= sp.cut THEN 1 ELSE 0 END AS post,
+        |    CAST((SUM(x) * 100) // COUNT(*) AS BIGINT) AS mean_c
+        |  FROM daily CROSS JOIN sp GROUP BY 1, 2)
+        |SELECT
+        |  MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_c END) AS t_pre_c,
+        |  MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_c END) AS t_post_c,
+        |  MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_c END) AS c_pre_c,
+        |  MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_c END) AS c_post_c,
+        |  CAST(MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_c END)
+        |     - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_c END)
+        |     - MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_c END)
+        |     + MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_c END)
+        |   AS BIGINT) AS did_c
+        |FROM cells""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(count(lit(1)).as("x"))
+      val sp = daily.agg((min(col("di")) + 15).as("cut"))
+      val cells = daily.crossJoin(broadcast(sp))
+        .groupBy(when(col("event_type") === "purchase", 1).otherwise(0).as("treated"),
+          when(col("di") >= col("cut"), 1).otherwise(0).as("post"))
+        .agg(expr("(sum(x) * 100) div count(*)").as("mean_c"))
+      def cell(t: Int, p: Int) =
+        max(when(col("treated") === t && col("post") === p, col("mean_c")))
+      cells.agg(
+        cell(1, 0).as("t_pre_c"), cell(1, 1).as("t_post_c"),
+        cell(0, 0).as("c_pre_c"), cell(0, 1).as("c_post_c"),
+        (cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)).cast("long").as("did_c"))
     }
   )
 }
