@@ -1142,6 +1142,49 @@ object Analytics {
         .groupBy(col("a.t").as("tier_1"), col("b.t").as("tier_2"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("tier_1"), col("tier_2"))
+    },
+
+    // New-item revenue share: per order month, how much revenue comes
+    // from parts making their FIRST-ever appearance that month — the
+    // assortment-freshness readout. First-appearance month is one keyed
+    // MIN over the fact table; the share is a per-month conditional
+    // aggregate with one exact q6 division.
+    QueryDef.sql(
+      "q_new_item_share",
+      """WITH lo AS (
+        |  SELECT l.l_partkey, DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) AS ym,
+        |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS rev
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |fm AS (SELECT l_partkey, MIN(ym) AS first_ym FROM lo GROUP BY l_partkey)
+        |SELECT CAST(STRFTIME(lo.ym, '%Y-%m') AS VARCHAR) AS ym,
+        |  CAST(COUNT(DISTINCT lo.l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT CASE WHEN fm.first_ym = lo.ym
+        |    THEN lo.l_partkey END) AS BIGINT) AS n_new_parts,
+        |  CAST(SUM(lo.rev) AS BIGINT) AS rev_q4,
+        |  CAST(SUM(CASE WHEN fm.first_ym = lo.ym THEN lo.rev ELSE 0 END)
+        |    AS BIGINT) AS new_rev_q4,
+        |  CAST((SUM(CASE WHEN fm.first_ym = lo.ym THEN lo.rev ELSE 0 END)
+        |    * 1000000) // SUM(lo.rev) AS BIGINT) AS new_share_q6
+        |FROM lo JOIN fm ON fm.l_partkey = lo.l_partkey
+        |GROUP BY lo.ym ORDER BY ym""".stripMargin) { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"),
+          date_trunc("month", col("o_orderdate").cast("date")).cast("date").as("ymd"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rev"))
+      val fm = lo.groupBy(col("l_partkey")).agg(min(col("ymd")).as("first_ym"))
+      lo.join(fm, Seq("l_partkey"))
+        .groupBy(date_format(col("ymd"), "yyyy-MM").as("ym"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(when(col("first_ym") === col("ymd"), col("l_partkey")))
+            .as("n_new_parts"),
+          sum(col("rev")).as("rev_q4"),
+          sum(when(col("first_ym") === col("ymd"), col("rev")).otherwise(0L))
+            .as("new_rev_q4"),
+          expr("(sum(case when first_ym = ymd then rev else 0 end) * 1000000)"
+            + " div sum(rev)").as("new_share_q6"))
+        .orderBy(col("ym"))
     }
   )
 }
