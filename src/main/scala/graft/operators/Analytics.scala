@@ -1147,8 +1147,9 @@ object Analytics {
     // New-item revenue share: per order month, how much revenue comes
     // from parts making their FIRST-ever appearance that month — the
     // assortment-freshness readout. First-appearance month is one keyed
-    // MIN over the fact table; the share is a per-month conditional
-    // aggregate with one exact q6 division.
+    // MIN over the fact table; the share is ONE shared double division of
+    // exact BIGINT revenue sums (an integer q6 multiply overflows at
+    // rehearsal revenue volumes — the q_price_index lesson).
     QueryDef.sql(
       "q_new_item_share",
       """WITH lo AS (
@@ -1163,8 +1164,8 @@ object Analytics {
         |  CAST(SUM(lo.rev) AS BIGINT) AS rev_q4,
         |  CAST(SUM(CASE WHEN fm.first_ym = lo.ym THEN lo.rev ELSE 0 END)
         |    AS BIGINT) AS new_rev_q4,
-        |  CAST((SUM(CASE WHEN fm.first_ym = lo.ym THEN lo.rev ELSE 0 END)
-        |    * 1000000) // SUM(lo.rev) AS BIGINT) AS new_share_q6
+        |  CAST(FLOOR(SUM(CASE WHEN fm.first_ym = lo.ym THEN lo.rev ELSE 0 END)
+        |    * CAST(1000000.0 AS DOUBLE) / SUM(lo.rev)) AS BIGINT) AS new_share_q6
         |FROM lo JOIN fm ON fm.l_partkey = lo.l_partkey
         |GROUP BY lo.ym ORDER BY ym""".stripMargin) { (s, d) =>
       val lo = Tables.lineitem(s, d)
@@ -1182,8 +1183,8 @@ object Analytics {
           sum(col("rev")).as("rev_q4"),
           sum(when(col("first_ym") === col("ymd"), col("rev")).otherwise(0L))
             .as("new_rev_q4"),
-          expr("(sum(case when first_ym = ymd then rev else 0 end) * 1000000)"
-            + " div sum(rev)").as("new_share_q6"))
+          floor(sum(when(col("first_ym") === col("ymd"), col("rev")).otherwise(0L))
+            * lit(1000000.0) / sum(col("rev"))).cast("long").as("new_share_q6"))
         .orderBy(col("ym"))
     }
   )
