@@ -196,8 +196,10 @@ object Graphs {
   }
 
   /** One Bellman-Ford round as a min-merge CTE. */
+  // AS MATERIALIZED: $prev appears in both union branches — inlined,
+  // the replay doubles per round (the peelSql lesson)
   private def bfRoundSql(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
        |    SELECT v, dist FROM $prev
        |    UNION ALL
@@ -306,12 +308,12 @@ object Graphs {
   /** One HITS half-round as a CTE triple: raw sum, max, normalized. */
   private def hitsHalfSql(prev: String, joinKey: String, outKey: String,
       cur: String): String =
-    s"""${cur}r AS (
+    s"""${cur}r AS MATERIALIZED (
        |  SELECT e.$outKey AS doc_id, CAST(SUM(p.s) AS BIGINT) AS raw
        |  FROM edges e JOIN $prev p ON p.doc_id = e.$joinKey
        |  GROUP BY e.$outKey),
        |${cur}m AS (SELECT CAST(MAX(raw) AS BIGINT) AS m FROM ${cur}r),
-       |$cur AS (
+       |$cur AS MATERIALIZED (
        |  SELECT nd.doc_id,
        |    CAST(COALESCE(FLOOR(r.raw * CAST(1000000.0 AS DOUBLE) / ${cur}m.m),
        |                  0) AS BIGINT) AS s
@@ -364,8 +366,11 @@ object Graphs {
 
   /** One k=3 peeling round as a CTE: survivors of `prev` with induced
     * degree ≥ 3. */
+  // AS MATERIALIZED: each round references $prev four times — inlined,
+  // DuckDB re-evaluates 4^rounds times (observed: >79 GB of temp spill
+  // at 32x; materialized: seconds — the q_bradley_terry lesson)
   private def peelSql(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT v FROM (
        |    SELECT e.a AS v FROM ue e
        |      JOIN $prev x ON x.v = e.a JOIN $prev y ON y.v = e.b
@@ -679,10 +684,10 @@ object Graphs {
          |e0 AS (
          |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
          |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
-         |ue AS (
+         |ue AS MATERIALIZED (
          |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
          |  FROM e0 WHERE src <> dst),
-         |s0 AS (
+         |s0 AS MATERIALIZED (
          |  SELECT DISTINCT v FROM (
          |    SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)),
          |${peelSql("s0", "s1")},
