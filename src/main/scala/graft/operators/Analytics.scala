@@ -1186,6 +1186,77 @@ object Analytics {
           floor(sum(when(col("first_ym") === col("ymd"), col("rev")).otherwise(0L))
             * lit(1000000.0) / sum(col("rev"))).cast("long").as("new_share_q6"))
         .orderBy(col("ym"))
+    },
+
+    // Repeat-purchase curve: P(a customer who placed n orders places an
+    // (n+1)-th) for every n — the order-count retention ladder, distinct
+    // from time-based cohort retention. Suffix counts come from one
+    // cumulative window over the BOUNDED per-order-count histogram
+    // (orders-per-customer is small at any scale), never over customers.
+    QueryDef.sql(
+      "q_repeat_curve",
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  GROUP BY o_custkey),
+        |h AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM oc GROUP BY n),
+        |s AS (
+        |  SELECT n, c,
+        |    SUM(c) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS reached
+        |  FROM h)
+        |SELECT n, c AS n_exactly, CAST(reached AS BIGINT) AS n_reached,
+        |  CAST((reached - c) * 1000000 // reached AS BIGINT) AS p_next_q6
+        |FROM s ORDER BY n""".stripMargin) { (s, d) =>
+      val h = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("n").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.withColumn("reached", sum(col("c")).over(w))
+        .select(col("n"), col("c").as("n_exactly"), col("reached").as("n_reached"),
+          expr("((reached - c) * 1000000) div reached").as("p_next_q6"))
+        .orderBy(col("n"))
+    },
+
+    // Inventory reorder point: per part, weekly-demand mean and variance
+    // from exact BIGINT moments over the GLOBAL week grid (zero-demand
+    // weeks enter through the week count, never materialized), then the
+    // classic safety-stock formula mean·L + z·σ·√L (z = 1.65, L = 2
+    // weeks) as one shared IEEE tree per part.
+    QueryDef.sql(
+      "q_reorder_point",
+      """WITH wd AS (
+        |  SELECT l_partkey, DATE_TRUNC('week', CAST(l_shipdate AS DATE)) AS wk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |nw AS (SELECT CAST(COUNT(DISTINCT DATE_TRUNC('week', CAST(l_shipdate AS DATE)))
+        |         AS BIGINT) AS w FROM lineitem),
+        |m AS (
+        |  SELECT l_partkey, CAST(SUM(x) AS BIGINT) AS s1,
+        |    CAST(SUM(x*x) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS nact
+        |  FROM wd GROUP BY l_partkey)
+        |SELECT m.l_partkey, nw.w AS n_weeks, m.nact AS n_active_weeks, m.s1 AS total_qty,
+        |  CAST(FLOOR((m.s1 * 2.0 / nw.w
+        |    + 1.65 * SQRT(CAST((nw.w * m.s2 - m.s1 * m.s1) * 2 AS DOUBLE)) / nw.w)
+        |    * 100.0) AS BIGINT) AS reorder_point_c
+        |FROM m CROSS JOIN nw ORDER BY m.l_partkey LIMIT 500""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val wd = li.groupBy(col("l_partkey"),
+          date_trunc("week", col("l_shipdate").cast("date")).as("wk"))
+        .agg(sum(col("l_quantity").cast("long")).as("x"))
+      val nw = li.agg(countDistinct(
+        date_trunc("week", col("l_shipdate").cast("date"))).as("w"))
+      val m = wd.groupBy(col("l_partkey"))
+        .agg(sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+          count(lit(1)).as("nact"))
+      m.crossJoin(broadcast(nw))
+        .select(col("l_partkey"), col("w").as("n_weeks"),
+          col("nact").as("n_active_weeks"), col("s1").as("total_qty"),
+          floor((col("s1") * lit(2.0) / col("w")
+            + lit(1.65) * sqrt(((col("w") * col("s2") - col("s1") * col("s1")) * 2)
+              .cast("double")) / col("w")) * lit(100.0)).cast("long")
+            .as("reorder_point_c"))
+        .orderBy(col("l_partkey"))
+        .limit(500)
     }
   )
 }
