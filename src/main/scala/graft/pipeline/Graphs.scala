@@ -945,9 +945,14 @@ object Graphs {
            |ORDER BY strength_q6 DESC, l_partkey LIMIT 50""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
+      // the self-join consumes op twice — materialize the per-(order,
+      // part) reduction once instead of re-aggregating the fact table
+      // per side (and let both probes reuse its orderkey partitioning)
       val op = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_partkey"))
         .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .repartition(col("l_orderkey"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val pairs = op.as("a").join(op.as("b"),
           col("b.l_orderkey") === col("a.l_orderkey")
             && col("a.l_partkey") =!= col("b.l_partkey")

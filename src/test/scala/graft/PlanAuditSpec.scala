@@ -586,7 +586,8 @@ class PlanAuditSpec extends SparkSpec {
     val audited = Seq("q_id_gaps", "q_skyline", "q_quantile_normalize",
       "q_cumulative_users", "q_pmi_bigrams", "q_catalog_frames_meta",
       "q_quantile_sketch", "q_seasonal_decompose", "q_kaplan_meier",
-      "q_conversion_latency", "q_largest_remainder")
+      "q_conversion_latency", "q_largest_remainder",
+      "q_repeat_curve", "q_grid_hotspots")
     audited.foreach { name =>
       val lp = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.optimizedPlan
