@@ -1257,6 +1257,59 @@ object Analytics {
             .as("reorder_point_c"))
         .orderBy(col("l_partkey"))
         .limit(500)
+    },
+
+    // Bill-of-materials explosion: the part hierarchy (child c belongs to
+    // assembly c div 7, needing c mod 5 + 1 units per parent unit) walked
+    // four levels down with quantities MULTIPLIED along each path — the
+    // classic manufacturing roll-up, distinct from q_hierarchy_rollup's
+    // additive closed form. Four unrolled keyed joins on the derived
+    // parent key (Spark sees plain equi-joins; depth is a design
+    // constant, not data-dependent), then one per-assembly reduction.
+    QueryDef.sql(
+      "q_bom_explode",
+      """WITH pk AS (SELECT p_partkey AS p FROM part),
+        |d1 AS (
+        |  SELECT r.p AS root, c.p AS c, CAST(c.p % 5 + 1 AS BIGINT) AS mult
+        |  FROM pk r JOIN pk c ON c.p // 7 = r.p AND c.p <> r.p),
+        |d2 AS (
+        |  SELECT d1.root, c.p AS c, d1.mult * (c.p % 5 + 1) AS mult
+        |  FROM d1 JOIN pk c ON c.p // 7 = d1.c AND c.p <> d1.c),
+        |d3 AS (
+        |  SELECT d2.root, c.p AS c, d2.mult * (c.p % 5 + 1) AS mult
+        |  FROM d2 JOIN pk c ON c.p // 7 = d2.c AND c.p <> d2.c),
+        |d4 AS (
+        |  SELECT d3.root, c.p AS c, d3.mult * (c.p % 5 + 1) AS mult
+        |  FROM d3 JOIN pk c ON c.p // 7 = d3.c AND c.p <> d3.c),
+        |alld AS (
+        |  SELECT root, c, mult, 1 AS lvl FROM d1
+        |  UNION ALL SELECT root, c, mult, 2 FROM d2
+        |  UNION ALL SELECT root, c, mult, 3 FROM d3
+        |  UNION ALL SELECT root, c, mult, 4 FROM d4)
+        |SELECT root AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(MAX(lvl) AS BIGINT) AS max_depth,
+        |  CAST(SUM(mult) AS BIGINT) AS total_units
+        |FROM alld GROUP BY root ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val pk = Tables.part(s, d).select(col("p_partkey").as("p"))
+      def level(parent: org.apache.spark.sql.DataFrame) = parent
+        .join(pk.select(col("p").as("cp")),
+          expr("cp div 7") === col("c") && col("cp") =!= col("c"))
+        .select(col("root"), col("cp").as("c"),
+          (col("mult") * (col("cp") % 5 + 1)).as("mult"))
+      val d1 = pk.select(col("p").as("root"))
+        .join(pk.select(col("p").as("cp")),
+          expr("cp div 7") === col("root") && col("cp") =!= col("root"))
+        .select(col("root"), col("cp").as("c"),
+          (col("cp") % 5 + 1).cast("long").as("mult"))
+      val d2 = level(d1); val d3 = level(d2); val d4 = level(d3)
+      Seq(d1.withColumn("lvl", lit(1)), d2.withColumn("lvl", lit(2)),
+        d3.withColumn("lvl", lit(3)), d4.withColumn("lvl", lit(4)))
+        .reduce(_ unionByName _)
+        .groupBy(col("root").as("p_partkey"))
+        .agg(count(lit(1)).as("n_components"),
+          max(col("lvl")).cast("long").as("max_depth"),
+          sum(col("mult")).as("total_units"))
+        .orderBy(col("p_partkey"))
     }
   )
 }
