@@ -1301,6 +1301,86 @@ object Stats {
         cell(1, 0).as("t_pre_c"), cell(1, 1).as("t_post_c"),
         cell(0, 0).as("c_pre_c"), cell(0, 1).as("c_post_c"),
         (cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)).cast("long").as("did_c"))
+    },
+
+    // Partial correlation: does view volume still track purchase volume
+    // once total daily activity is controlled for? r_xy·z from the three
+    // pairwise Pearson r's — each from exact BIGINT moments over the
+    // bounded daily grid, combined in ONE shared IEEE tree
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). Degenerate controls
+    // (|r_xz| or |r_yz| = 1, or any zero variance) emit NULL.
+    QueryDef.sql(
+      "q_partial_corr",
+      """WITH daily AS (
+        |  SELECT CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS z
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(z) AS BIGINT) AS sz,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+        |    CAST(SUM(y*z) AS BIGINT) AS syz,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(z*z) AS BIGINT) AS szz
+        |  FROM daily),
+        |r AS (
+        |  SELECT n,
+        |    (n*sxy - sx*sy) * CAST(1.0 AS DOUBLE)
+        |      / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+        |      / SQRT(CAST(n*syy - sy*sy AS DOUBLE)) AS rxy,
+        |    (n*sxz - sx*sz) * CAST(1.0 AS DOUBLE)
+        |      / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+        |      / SQRT(CAST(n*szz - sz*sz AS DOUBLE)) AS rxz,
+        |    (n*syz - sy*sz) * CAST(1.0 AS DOUBLE)
+        |      / SQRT(CAST(n*syy - sy*sy AS DOUBLE))
+        |      / SQRT(CAST(n*szz - sz*sz AS DOUBLE)) AS ryz
+        |  FROM m
+        |  WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 AND n*szz - sz*sz > 0)
+        |SELECT n AS n_days,
+        |  CAST(FLOOR(rxy * 1000000.0) AS BIGINT) AS rxy_q6,
+        |  CAST(FLOOR(rxz * 1000000.0) AS BIGINT) AS rxz_q6,
+        |  CAST(FLOOR(ryz * 1000000.0) AS BIGINT) AS ryz_q6,
+        |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0.0 THEN NULL
+        |    ELSE CAST(FLOOR((rxy - rxz * ryz)
+        |      / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS partial_q6
+        |FROM r""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+          count(lit(1)).as("z"))
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+      def rr(sab: String, a: String, b: String) =
+        (col("n") * col(sab) - col("s" + a) * col("s" + b)) * lit(1.0) /
+          sqrt((col("n") * col(s"s$a$a") - col("s" + a) * col("s" + a)).cast("double")) /
+          sqrt((col("n") * col(s"s$b$b") - col("s" + b) * col("s" + b)).cast("double"))
+      val r = m
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0
+          && col("n") * col("syy") - col("sy") * col("sy") > 0
+          && col("n") * col("szz") - col("sz") * col("sz") > 0)
+        .select(col("n"), rr("sxy", "x", "y").as("rxy"),
+          rr("sxz", "x", "z").as("rxz"), rr("syz", "y", "z").as("ryz"))
+      r.select(col("n").as("n_days"),
+        floor(col("rxy") * lit(1000000.0)).cast("long").as("rxy_q6"),
+        floor(col("rxz") * lit(1000000.0)).cast("long").as("rxz_q6"),
+        floor(col("ryz") * lit(1000000.0)).cast("long").as("ryz_q6"),
+        when((lit(1.0) - col("rxz") * col("rxz"))
+          * (lit(1.0) - col("ryz") * col("ryz")) <= 0.0, lit(null))
+          .otherwise(floor((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+              * (lit(1.0) - col("ryz") * col("ryz")))
+            * lit(1000000.0)).cast("long"))
+          .as("partial_q6"))
     }
   )
 }
