@@ -1381,6 +1381,67 @@ object Stats {
               * (lit(1.0) - col("ryz") * col("ryz")))
             * lit(1000000.0)).cast("long"))
           .as("partial_q6"))
+    },
+
+    // Jackknife confidence interval for the purchase/view ratio —
+    // resampling inference WITHOUT randomness: the leave-one-day-out
+    // replicates are each computable from the totals minus that day
+    // (one pass over the bounded daily grid), every replicate is
+    // integer-quantized to q9 BEFORE the exact variance sums (so
+    // accumulation order can't matter; Σθ² runs in DECIMAL/HUGEINT),
+    // and SE = √((n−1)/n · Σ(θᵢ−θ̄)²) is one shared IEEE tree.
+    QueryDef.sql(
+      "q_jackknife_ci",
+      """WITH daily AS (
+        |  SELECT CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(v) AS BIGINT) AS tv, CAST(SUM(p) AS BIGINT) AS tp,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |rep AS (
+        |  SELECT ((t.tp - d.p) * 1000000000) // (t.tv - d.v) AS th
+        |  FROM daily d CROSS JOIN t WHERE t.tv > d.v),
+        |js AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(th) AS BIGINT) AS m,
+        |    SUM(CAST(th AS HUGEINT) * th) AS ss
+        |  FROM rep)
+        |SELECT js.n AS n_days,
+        |  CAST((t.tp * 1000000000) // t.tv AS BIGINT) AS theta_q9,
+        |  CAST(FLOOR(SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
+        |      - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
+        |    * (js.n - 1) / js.n) / js.n) AS BIGINT) AS se_q9,
+        |  CAST((t.tp * 1000000000) // t.tv
+        |    - CAST(FLOOR(1.96 * (SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
+        |        - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
+        |      * (js.n - 1) / js.n) / js.n)) AS BIGINT) AS BIGINT) AS lo_q9,
+        |  CAST((t.tp * 1000000000) // t.tv
+        |    + CAST(FLOOR(1.96 * (SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
+        |        - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
+        |      * (js.n - 1) / js.n) / js.n)) AS BIGINT) AS BIGINT) AS hi_q9
+        |FROM js CROSS JOIN t""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("di"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val t = daily.agg(sum(col("v")).as("tv"), sum(col("p")).as("tp"),
+        count(lit(1)).as("nd"))
+      val rep = daily.crossJoin(broadcast(t))
+        .filter(col("tv") > col("v"))
+        .select(expr("((tp - p) * 1000000000) div (tv - v)").as("th"))
+      val js = rep.agg(count(lit(1)).as("n"), sum(col("th")).as("m"),
+        sum(col("th").cast("decimal(38,0)") * col("th")).as("ss"))
+      val se = sqrt((col("n").cast("double") * col("ss").cast("double")
+        - col("m").cast("double") * col("m").cast("double"))
+        * (col("n") - 1) / col("n")) / col("n")
+      js.crossJoin(broadcast(t))
+        .select(col("n").as("n_days"),
+          expr("(tp * 1000000000) div tv").as("theta_q9"),
+          floor(se).cast("long").as("se_q9"),
+          (expr("(tp * 1000000000) div tv")
+            - floor(lit(1.96) * se).cast("long")).as("lo_q9"),
+          (expr("(tp * 1000000000) div tv")
+            + floor(lit(1.96) * se).cast("long")).as("hi_q9"))
     }
   )
 }
