@@ -1310,6 +1310,80 @@ object Analytics {
           max(col("lvl")).cast("long").as("max_depth"),
           sum(col("mult")).as("total_units"))
         .orderBy(col("p_partkey"))
+    },
+
+    // Price/volume/mix waterfall: the FP&A decomposition of revenue
+    // change between the two halves of the timeline — Δrev = Σ(Δp·q₁)
+    // price effect + Σ(p₁·Δq) volume effect + Σ(Δp·Δq) mix, plus
+    // new/discontinued part buckets. Defined self-consistently on
+    // integer-divided unit prices (p̄·q), so every effect is an exact
+    // BIGINT and the five buckets reconcile to the total delta
+    // bit-for-bit — the property a waterfall chart depends on.
+    QueryDef.sql(
+      "q_price_volume_mix",
+      """WITH sp AS (SELECT CAST(MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS d0,
+        |    CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS d1
+        |  FROM orders),
+        |pp AS (
+        |  SELECT l.l_partkey,
+        |    CASE WHEN CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      * 2 <= sp.d0 + sp.d1 THEN 1 ELSE 2 END AS half,
+        |    CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+        |      // SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS p,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  CROSS JOIN sp GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(a.l_partkey, b.l_partkey) AS pk,
+        |    a.p AS p1, a.q AS q1, b.p AS p2, b.q AS q2
+        |  FROM (SELECT * FROM pp WHERE half = 1) a
+        |  FULL OUTER JOIN (SELECT * FROM pp WHERE half = 2) b
+        |    ON b.l_partkey = a.l_partkey)
+        |SELECT
+        |  CAST(SUM(COALESCE(p1 * q1, 0)) AS BIGINT) AS rev1_c,
+        |  CAST(SUM(COALESCE(p2 * q2, 0)) AS BIGINT) AS rev2_c,
+        |  CAST(SUM(COALESCE(p2 * q2, 0)) - SUM(COALESCE(p1 * q1, 0)) AS BIGINT)
+        |    AS delta_c,
+        |  CAST(SUM(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+        |    THEN (p2 - p1) * q1 ELSE 0 END) AS BIGINT) AS price_eff_c,
+        |  CAST(SUM(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+        |    THEN p1 * (q2 - q1) ELSE 0 END) AS BIGINT) AS volume_eff_c,
+        |  CAST(SUM(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+        |    THEN (p2 - p1) * (q2 - q1) ELSE 0 END) AS BIGINT) AS mix_eff_c,
+        |  CAST(SUM(CASE WHEN p1 IS NULL THEN p2 * q2 ELSE 0 END) AS BIGINT)
+        |    AS new_eff_c,
+        |  CAST(-SUM(CASE WHEN p2 IS NULL THEN p1 * q1 ELSE 0 END) AS BIGINT)
+        |    AS discontinued_eff_c
+        |FROM j""".stripMargin) { (s, d) =>
+      val od = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val sp = Tables.orders(s, d).agg(min(od).as("d0"), max(od).as("d1"))
+      val pp = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(sp))
+        .groupBy(col("l_partkey"),
+          when(od * 2 <= col("d0") + col("d1"), 1).otherwise(2).as("half"))
+        .agg(expr("sum(cast(floor(l_extendedprice * 100) as bigint))"
+          + " div sum(cast(l_quantity as bigint))").as("p"),
+          sum(col("l_quantity").cast("long")).as("q"))
+      val a = pp.filter(col("half") === 1)
+        .select(col("l_partkey"), col("p").as("p1"), col("q").as("q1"))
+      val b = pp.filter(col("half") === 2)
+        .select(col("l_partkey").as("pk2"), col("p").as("p2"), col("q").as("q2"))
+      val j = a.join(b, col("pk2") === col("l_partkey"), "full_outer")
+      def both(c: org.apache.spark.sql.Column) =
+        when(col("p1").isNotNull && col("p2").isNotNull, c).otherwise(0L)
+      j.agg(
+        sum(coalesce(col("p1") * col("q1"), lit(0L))).as("rev1_c"),
+        sum(coalesce(col("p2") * col("q2"), lit(0L))).as("rev2_c"),
+        (sum(coalesce(col("p2") * col("q2"), lit(0L)))
+          - sum(coalesce(col("p1") * col("q1"), lit(0L)))).as("delta_c"),
+        sum(both((col("p2") - col("p1")) * col("q1"))).as("price_eff_c"),
+        sum(both(col("p1") * (col("q2") - col("q1")))).as("volume_eff_c"),
+        sum(both((col("p2") - col("p1")) * (col("q2") - col("q1")))).as("mix_eff_c"),
+        sum(when(col("p1").isNull, col("p2") * col("q2")).otherwise(0L)).as("new_eff_c"),
+        (-sum(when(col("p2").isNull, col("p1") * col("q1")).otherwise(0L)))
+          .as("discontinued_eff_c"))
     }
   )
 }
