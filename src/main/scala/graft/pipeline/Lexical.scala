@@ -758,6 +758,49 @@ object Lexical {
           floor((col("n") * col("s2") - col("s1") * col("s1"))
             * lit(1000000.0) / (col("n") * col("s1"))).cast("long").as("vmr_q6"))
         .orderBy(col("word"))
+    },
+
+    // Emerging terms: tokens whose usage grows most between the first and
+    // second half of the corpus (split by doc_id median — the documents
+    // table has no timestamps, and the id split is deterministic), with
+    // add-one smoothing so new terms rank without dividing by zero, a
+    // corpus-scaling support floor, and exact integer growth ratios. The
+    // trending-topics readout next to q_drift_weekly's global distance.
+    QueryDef.sql(
+      "q_emerging_terms",
+      """WITH md AS (
+        |  SELECT CAST(MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS BIGINT) AS mid,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CASE WHEN d.doc_id <= md.mid THEN 1 ELSE 2 END AS half,
+        |    UNNEST(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z0-9]+')) AS t
+        |  FROM documents d CROSS JOIN md),
+        |tc AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM tok GROUP BY t)
+        |SELECT t AS term, c1, c2,
+        |  CAST(((c2 + 1) * 1000000) // (c1 + 1) AS BIGINT) AS growth_q6
+        |FROM tc CROSS JOIN md
+        |WHERE (c1 + c2) * 200 >= md.nd
+        |ORDER BY growth_q6 DESC, term LIMIT 25""".stripMargin) { (s, d) =>
+      val md = Tables.documents(s, d)
+        .agg(expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 2").as("mid"),
+          count(lit(1)).as("nd"))
+      val tc = Tables.documents(s, d).crossJoin(broadcast(md))
+        .select(when(col("doc_id") <= col("mid"), 1).otherwise(2).as("half"),
+          explode(regexp_extract_all(lower(col("text")), lit(tokPat), lit(0))).as("t"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+      tc.crossJoin(broadcast(md))
+        .filter((col("c1") + col("c2")) * 200 >= col("nd"))
+        .select(col("t").as("term"), col("c1"), col("c2"),
+          expr("((c2 + 1) * 1000000) div (c1 + 1)").as("growth_q6"))
+        .orderBy(col("growth_q6").desc, col("term"))
+        .limit(25)
     }
   )
 }
