@@ -1410,15 +1410,15 @@ object Stats {
         |  CAST((t.tp * 1000000000) // t.tv AS BIGINT) AS theta_q9,
         |  CAST(FLOOR(SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
         |      - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
-        |    * (js.n - 1) / js.n) / js.n) AS BIGINT) AS se_q9,
+        |    * (js.n - 1)) / js.n) AS BIGINT) AS se_q9,
         |  CAST((t.tp * 1000000000) // t.tv
         |    - CAST(FLOOR(1.96 * (SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
         |        - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
-        |      * (js.n - 1) / js.n) / js.n)) AS BIGINT) AS BIGINT) AS lo_q9,
+        |      * (js.n - 1)) / js.n)) AS BIGINT) AS BIGINT) AS lo_q9,
         |  CAST((t.tp * 1000000000) // t.tv
         |    + CAST(FLOOR(1.96 * (SQRT((CAST(js.n AS DOUBLE) * CAST(js.ss AS DOUBLE)
         |        - CAST(js.m AS DOUBLE) * CAST(js.m AS DOUBLE))
-        |      * (js.n - 1) / js.n) / js.n)) AS BIGINT) AS BIGINT) AS hi_q9
+        |      * (js.n - 1)) / js.n)) AS BIGINT) AS BIGINT) AS hi_q9
         |FROM js CROSS JOIN t""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("di"))
@@ -1433,7 +1433,7 @@ object Stats {
         sum(col("th").cast("decimal(38,0)") * col("th")).as("ss"))
       val se = sqrt((col("n").cast("double") * col("ss").cast("double")
         - col("m").cast("double") * col("m").cast("double"))
-        * (col("n") - 1) / col("n")) / col("n")
+        * (col("n") - 1)) / col("n")
       js.crossJoin(broadcast(t))
         .select(col("n").as("n_days"),
           expr("(tp * 1000000000) div tv").as("theta_q9"),

@@ -901,17 +901,19 @@ object Graphs {
     // the final per-item ratio is one shared double tree. Per round: one
     // shuffle join of the contest edges against the strength table on
     // each endpoint + a combiner-backed groupBy — the PageRank cost
-    // shape. A zero-win item floors to strength 0; its opponents keep
-    // positive strength (every contest has a winner), so no denominator
-    // can vanish. Oracle: 3 unrolled CTE rounds, same integer divisions.
+    // shape. Strengths are floored at 1 after every round (GREATEST in
+    // both engines): a zero- or low-win item (w*10^12 < Σ terms) would
+    // otherwise floor to 0, and a round-2 contest between two floored
+    // items would hit a 0+0 denominator whose NULL term SUM silently
+    // drops. Oracle: 3 unrolled CTE rounds, same integer divisions.
     QueryDef.sql(
       "q_bradley_terry",
       {
         def round(prev: String, next: String) =
           s"""$next AS MATERIALIZED (
              |  SELECT c.i,
-             |    CAST(FLOOR(COALESCE(w.w, 0) * 1000000000000.0
-             |      / SUM((c.n * 1000000000000) // (a.s + b.s))) AS BIGINT) AS s
+             |    GREATEST(CAST(FLOOR(COALESCE(w.w, 0) * 1000000000000.0
+             |      / SUM((c.n * 1000000000000) // (a.s + b.s))) AS BIGINT), 1) AS s
              |  FROM cn c
              |  JOIN $prev a ON a.i = c.i
              |  JOIN $prev b ON b.i = c.j
@@ -975,8 +977,8 @@ object Graphs {
           .agg(sum(expr("(n * 1000000000000) div (si + sj)")).as("dd"))
         st = dsum.join(wi, Seq("i"), "left")
           .select(col("i"),
-            floor(coalesce(col("w"), lit(0L)) * lit(1.0e12)
-              / col("dd")).cast("long").as("s"))
+            greatest(floor(coalesce(col("w"), lit(0L)) * lit(1.0e12)
+              / col("dd")).cast("long"), lit(1L)).as("s"))
           .localCheckpoint(true)
       }
       val nc = cn.groupBy(col("i")).agg(sum(col("n")).as("n_contests"))

@@ -591,8 +591,8 @@ object Sketches {
         |    ROW_NUMBER() OVER (PARTITION BY k.pm ORDER BY c.e, c.m) AS rn
         |  FROM k JOIN c ON c.cum >= k.rk)
         |SELECT CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
-        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_lb,
-        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_ub
+        |  CAST(((16 + m) << e) // 16 AS BIGINT) AS q_lb,
+        |  CAST(((17 + m) << e) // 16 AS BIGINT) AS q_ub
         |FROM q WHERE rn = 1 ORDER BY p_permille""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val v = Tables.lineitem(s, d)
@@ -614,8 +614,8 @@ object Sketches {
           Window.partitionBy(col("pm")).orderBy(col("e"), col("m"))))
         .filter(col("rn") === 1)
       q.select(col("pm").as("p_permille"), col("rk").as("rank_k"),
-          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
-          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
+          expr("shiftleft(m + 16, cast(e as int)) div 16").as("q_lb"),
+          expr("shiftleft(m + 17, cast(e as int)) div 16").as("q_ub"))
         .orderBy(col("p_permille"))
     },
 
@@ -650,8 +650,8 @@ object Sketches {
         |    ROW_NUMBER() OVER (PARTITION BY k.grp, k.pm ORDER BY c.e, c.m) AS rn
         |  FROM k JOIN c ON c.grp = k.grp AND c.cum >= k.rk)
         |SELECT grp, CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
-        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_lb,
-        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS q_ub
+        |  CAST(((16 + m) << e) // 16 AS BIGINT) AS q_lb,
+        |  CAST(((17 + m) << e) // 16 AS BIGINT) AS q_ub
         |FROM q WHERE rn = 1 ORDER BY grp, p_permille""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val v = Tables.lineitem(s, d)
@@ -675,8 +675,8 @@ object Sketches {
           Window.partitionBy(col("grp"), col("pm")).orderBy(col("e"), col("m"))))
         .filter(col("rn") === 1)
       q.select(col("grp"), col("pm").as("p_permille"), col("rk").as("rank_k"),
-          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_lb"),
-          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("q_ub"))
+          expr("shiftleft(m + 16, cast(e as int)) div 16").as("q_lb"),
+          expr("shiftleft(m + 17, cast(e as int)) div 16").as("q_ub"))
         .orderBy(col("grp"), col("p_permille"))
     },
 
@@ -717,8 +717,8 @@ object Sketches {
         |    ROW_NUMBER() OVER (PARTITION BY k.pm ORDER BY c.e, c.m) AS rn
         |  FROM k JOIN c ON c.cum >= k.rk)
         |SELECT CAST(pm AS BIGINT) AS p_permille, CAST(rk AS BIGINT) AS rank_k,
-        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS lat_lb_s,
-        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS lat_ub_s
+        |  CAST(((16 + m) << e) // 16 AS BIGINT) AS lat_lb_s,
+        |  CAST(((17 + m) << e) // 16 AS BIGINT) AS lat_ub_s
         |FROM q WHERE rn = 1 ORDER BY p_permille""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
@@ -747,8 +747,8 @@ object Sketches {
           Window.partitionBy(col("pm")).orderBy(col("e"), col("m"))))
         .filter(col("rn") === 1)
         .select(col("pm").as("p_permille"), col("rk").as("rank_k"),
-          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_lb_s"),
-          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("lat_ub_s"))
+          expr("shiftleft(m + 16, cast(e as int)) div 16").as("lat_lb_s"),
+          expr("shiftleft(m + 17, cast(e as int)) div 16").as("lat_ub_s"))
         .orderBy(col("p_permille"))
     },
 
@@ -792,8 +792,8 @@ object Sketches {
         |  FROM c JOIN n ON n.event_type = c.event_type AND n.di = c.di
         |    AND c.cum >= (n.n * 900 + 999) // 1000)
         |SELECT event_type, di, n,
-        |  CAST((16 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS p90_lb,
-        |  CAST((17 + m) * CAST(POWER(2, e - 4) AS BIGINT) AS BIGINT) AS p90_ub
+        |  CAST(((16 + m) << e) // 16 AS BIGINT) AS p90_lb,
+        |  CAST(((17 + m) << e) // 16 AS BIGINT) AS p90_ub
         |FROM q WHERE rn = 1
         |ORDER BY event_type, di""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -824,8 +824,8 @@ object Sketches {
           Window.partitionBy(col("event_type"), col("di")).orderBy(col("e"), col("m"))))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("di"), col("n"),
-          ((col("m") + 16) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("p90_lb"),
-          ((col("m") + 17) * pow(lit(2), col("e") - 4).cast("long")).cast("long").as("p90_ub"))
+          expr("shiftleft(m + 16, cast(e as int)) div 16").as("p90_lb"),
+          expr("shiftleft(m + 17, cast(e as int)) div 16").as("p90_ub"))
         .orderBy(col("event_type"), col("di"))
     }
   )
