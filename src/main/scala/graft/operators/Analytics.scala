@@ -801,15 +801,24 @@ object Analytics {
     },
 
     // Market-basket lift on the FACT table (co-purchased parts within an
-    // order, lift = P(ab)/(P(a)P(b))): the within-order self-join fans
-    // out at most (items-per-order choose 2) pairs per basket — bounded
-    // by the order line cap, never by part vocabulary — then one
+    // order, lift = P(ab)/(P(a)P(b))): per-order distinct-part degree is
+    // capped at GREATEST(64, |parts|/16) (Graphs.capItemsPerKey, same
+    // truncation in the oracle), so the within-order self-join fans out
+    // at most (cap choose 2) pairs per basket even if a synthetic or
+    // adversarial basket holds the whole part vocabulary — then one
     // combiner-backed pair aggregate, frequency joins keyed by part, and
     // a single shared IEEE lift division. Top 50 by (lift, pair).
     QueryDef.sql(
       "q_copurchase_lift",
-      """WITH items AS (
+      """WITH items0 AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS nv FROM items0),
+        |items AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk,
+        |      ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        |    FROM items0) r CROSS JOIN vocab
+        |  WHERE r.rn <= GREATEST(64, nv // 16)),
         |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
         |freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
         |pairs AS (
@@ -825,9 +834,10 @@ object Analytics {
         |JOIN freq fb ON fb.pk = p.p2
         |CROSS JOIN n
         |ORDER BY lift_q6 DESC, p1, p2 LIMIT 50""".stripMargin) { (s, d) =>
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val items = graft.pipeline.Graphs.capItemsPerKey(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct(), "ok", "pk")
       val n = items.agg(countDistinct(col("ok")).as("n_orders"))
       val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
       val pairs = items.as("a")

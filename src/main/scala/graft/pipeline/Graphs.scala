@@ -33,6 +33,28 @@ object Graphs {
           .as("dst"))
   }
 
+  /** Deterministic per-key degree cap for bipartite projections: keep
+    * each key's GREATEST(k, |itemVocab| / c) smallest item ids (one
+    * row_number window partitioned by the key — an order-free, engine-
+    * portable truncation). Without it, a single adversarial power key
+    * holding a large share of the vocabulary makes the per-key pair
+    * self-join quadratic in the vocabulary; with it, per-key fanout is
+    * bounded by max(k, |V|/c)^2 under ANY per-key inflation — the
+    * df-capped-postings lesson from the similarity family applied to
+    * the projection family. The cap scales with the vocabulary (never a
+    * fixed constant), and both engines apply it identically so the
+    * differential hashes stay meaningful. */
+  def capItemsPerKey(ui: DataFrame, keyCol: String, itemCol: String,
+                     k: Long = 64L, c: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = ui.agg(countDistinct(col(itemCol)).as("nv"))
+    ui.withColumn("rn_cap",
+        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(itemCol))))
+      .crossJoin(broadcast(vocab))
+      .filter(col("rn_cap") <= greatest(lit(k), expr(s"nv div $c")))
+      .drop("rn_cap", "nv")
+  }
+
   /** `iters` integer-exact PageRank rounds, uniform out-degree 3.
     * Returns (doc_id, rank_q6).
     *
@@ -393,16 +415,26 @@ object Graphs {
 
     // Bipartite projection (user x item -> item-item co-occurrence with
     // Jaccard): the standard collaborative-filtering / co-view graph
-    // build. The per-user self-join's fanout is bounded by each user's
-    // DISTINCT item degree (itself capped by the item vocabulary), never
-    // by raw event count — the projection reduces to one combiner-backed
-    // groupBy over (i, j) cells, at most |vocab|^2 of them at any data
-    // size. Degree marginals join back per cell.
+    // build. Per-user distinct-item degree is CAPPED at
+    // GREATEST(64, |vocab|/16) via a deterministic smallest-item-id
+    // truncation (capItemsPerKey) applied identically in both engines,
+    // so the per-user self-join's fanout is bounded even under an
+    // adversarial power user holding the whole vocabulary; the
+    // projection then reduces to one combiner-backed groupBy over
+    // (i, j) cells. Degree marginals (computed over the SAME capped
+    // set, keeping Jaccard internally consistent) join back per cell.
     QueryDef.sql(
       "q_bipartite_cooccur",
-      """WITH ui AS (
+      """WITH ui0 AS (
         |  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
         |  FROM events),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS nv FROM ui0),
+        |ui AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+        |    FROM ui0) r CROSS JOIN vocab
+        |  WHERE r.rn <= GREATEST(64, nv // 16)),
         |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
         |pair AS (
         |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both
@@ -416,12 +448,13 @@ object Graphs {
         |JOIN deg da ON da.item = p.i
         |JOIN deg db ON db.item = p.j
         |ORDER BY p.i, p.j""".stripMargin) { (s, d) =>
-      val ui = graft.Tables.events(s, d)
+      val ui0 = graft.Tables.events(s, d)
         .select(col("user_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
             .getField("k").as("item"))
         .distinct()
+      val ui = capItemsPerKey(ui0, "user_id", "item")
       val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("d"))
       val pair = ui.as("a")
         .join(ui.as("b"),
@@ -443,13 +476,22 @@ object Graphs {
     // w(j, i), already-consumed items anti-joined out, top-3 per user
     // with a deterministic (score DESC, item) rank. Every stage is keyed:
     // the similarity table comes from the q_bipartite_cooccur projection
-    // (per-user distinct-degree bounded), scoring is one (item-keyed)
+    // (per-user distinct-degree capped at GREATEST(64, |vocab|/16) — see
+    // capItemsPerKey; history/scoring/anti-join all use the capped set),
+    // scoring is one (item-keyed)
     // join + per-user aggregate, the rank window partitions by user.
     QueryDef.sql(
       "q_item_cf_recs",
-      """WITH ui AS (
+      """WITH ui0 AS (
         |  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
         |  FROM events),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS nv FROM ui0),
+        |ui AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+        |    FROM ui0) r CROSS JOIN vocab
+        |  WHERE r.rn <= GREATEST(64, nv // 16)),
         |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
         |pair AS (
         |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both
@@ -479,12 +521,13 @@ object Graphs {
         |  FROM filtered)
         |SELECT user_id, CAST(rk AS BIGINT) AS rk, item, score, n_neighbors
         |FROM top WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin) { (s, d) =>
-      val ui = graft.Tables.events(s, d)
+      val ui0 = graft.Tables.events(s, d)
         .select(col("user_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
             .getField("k").as("item"))
         .distinct()
+      val ui = capItemsPerKey(ui0, "user_id", "item")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("d"))
       val pair = ui.as("a")

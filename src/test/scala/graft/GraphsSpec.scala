@@ -121,4 +121,32 @@ class GraphsSpec extends SparkSpec {
     val merged = SparkEntry.queries("q_incremental_agg")(spark, sf()).collect()
     assert(merged.toSeq == full.toSeq)
   }
+
+  test("capItemsPerKey bounds an adversarial power user") {
+    // vocab of 1000 items; a power user holding ALL of them plus 50
+    // normal users with 5 items each. cap = max(64, 1000/16=62) = 64.
+    val power = (1L to 1000L).map(i => ("power", i))
+    val normal = for (u <- 1 to 50; i <- 1 to 5)
+      yield (s"u$u", (u * 13 + i * 7).toLong % 1000L + 1L)
+    val ui = (power ++ normal).toDF("user_id", "item").distinct()
+    val capped = Graphs.capItemsPerKey(ui, "user_id", "item")
+    val byUser = capped.groupBy("user_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byUser("power") == 64L)           // truncated to the cap
+    assert(byUser.filter(_._1 != "power").values.forall(_ <= 5L)) // untouched
+    // the deterministic truncation keeps the SMALLEST item ids
+    assert(capped.filter(col("user_id") === "power")
+      .agg(max(col("item"))).collect().head.getLong(0) == 64L)
+    // pair fanout is now (64 choose 2), not (1000 choose 2)
+    val pairs = capped.as("a").join(capped.as("b"),
+      col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+    val powerPairs = pairs.filter(col("a.user_id") === "power").count()
+    assert(powerPairs == 64L * 63L / 2L)
+  }
+
+  test("capItemsPerKey cap scales with the vocabulary") {
+    // 3200 distinct items -> cap = max(64, 3200/16) = 200
+    val ui = (1L to 3200L).map(i => ("u", i)).toDF("user_id", "item")
+    assert(Graphs.capItemsPerKey(ui, "user_id", "item").count() == 200L)
+  }
 }
