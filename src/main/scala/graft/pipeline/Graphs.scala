@@ -64,13 +64,22 @@ object Graphs {
     * cost and must not repeat per iteration). Ranks are checkpointed per
     * round past a small iteration count, same lineage rationale as
     * TextPipeline.dedupClusters. */
-  def pageRank(docs: DataFrame, iters: Int): DataFrame = {
+  def pageRank(docs: DataFrame, iters: Int): DataFrame =
+    pageRankOn(docs.select(col("doc_id")), syntheticEdges(docs), iters)
+
+  /** [[pageRank]] over an explicit (src, dst) edge multiset with uniform
+    * out-degree 3 — same integer-exact rounds, caller supplies the graph
+    * (the skew variants feed a power-law edge table here). A hot
+    * in-vertex is safe by construction: the per-round cost on `dst` is a
+    * combiner-backed sum, so the hub's in-edges partial-aggregate
+    * map-side and the shuffle carries one row per map partition. */
+  def pageRankOn(nodesIn: DataFrame, edgesIn: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     import org.apache.spark.storage.StorageLevel
-    val edges = syntheticEdges(docs)
+    val edges = edgesIn
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesIn.persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("doc_id"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
       val contribs = edges
@@ -91,6 +100,31 @@ object Graphs {
     * (a < b) orientation, self-loops dropped, parallel edges collapsed. */
   def undirectedEdges(docs: DataFrame): DataFrame =
     syntheticEdges(docs)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Deterministic power-law (src, dst) edge list: 3 out-edges per
+    * document, dst = N div u − 1 for the uniform hash
+    * u = (src·7 + j·13) mod N + 1 — so P(dst = k−1) ≈ 1/k², a Zipf-like
+    * in-degree tail with a genuine hot vertex (node 0 receives ~half of
+    * ALL edges at any scale). The synthetic ring graph above has uniform
+    * degree everywhere; this generator exists precisely to exercise the
+    * hot-vertex shuffle path the ring can never produce. */
+  def skewedEdges(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"),
+        explode(array((1 to 3).map(j =>
+          expr(s"n_docs div ((src * 7 + ${j * 13}) % n_docs + 1) - 1")): _*))
+          .as("dst"))
+  }
+
+  /** Canonical undirected simple edges of the power-law graph. */
+  def skewedUndirectedEdges(docs: DataFrame): DataFrame =
+    skewedEdges(docs)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -282,25 +316,35 @@ object Graphs {
     * pre-partitioned on the label-join key; each round is one shuffle
     * join + one combiner-backed (v, lbl) count + a v-partitioned
     * row_number — never a global sort, never all-pairs. */
-  def labelPropagation(docs: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(docs: DataFrame, rounds: Int): DataFrame =
+    labelPropagationOn(docs.select(col("doc_id").as("v")),
+      undirectedEdges(docs), rounds)
+
+  /** [[labelPropagation]] over an explicit undirected (a, b) edge set.
+    * The per-round winner (count DESC, label ASC) is computed as
+    * max(struct(c, −lbl)) — a two-level combiner aggregate, NOT a
+    * row_number window: a hot vertex's neighbor-label cells then
+    * partial-aggregate map-side instead of all landing in one window
+    * task, which is the difference between surviving and straggling on
+    * a power-law graph. */
+  def labelPropagationOn(nodesIn: DataFrame, ue: DataFrame,
+      rounds: Int): DataFrame = {
     require(rounds >= 1)
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val ue = undirectedEdges(docs)
     val adj = ue.select(col("a").as("v"), col("b").as("u"))
       .unionAll(ue.select(col("b").as("v"), col("a").as("u")))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = docs.select(col("doc_id").as("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesIn.persist(StorageLevel.MEMORY_AND_DISK)
     var lbl = nodes.select(col("v"), col("v").as("lbl"))
     for (i <- 1 to rounds) {
       val counted = adj
         .join(lbl.select(col("v").as("u"), col("lbl")), Seq("u"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
       val picked = counted
-        .select(col("v"), col("lbl"), row_number().over(w).as("rk"))
-        .filter(col("rk") === 1).select(col("v"), col("lbl"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("win"))
+        .select(col("v"), (-col("win.neg")).as("lbl"))
       lbl = nodes.join(picked, Seq("v"), "left")
         .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
       // each round's labels feed the next round's join AND the final
@@ -353,10 +397,14 @@ object Graphs {
     * round so round r+1's plan never re-derives round r. Rounds are
     * bounded (a fixpoint census, not full coreness), matching the BFS /
     * Bellman-Ford convention in this module. */
-  def kCoreCensus(docs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreCensus(docs: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreCensusOn(undirectedEdges(docs), k, rounds)
+
+  /** [[kCoreCensus]] over an explicit undirected (a, b) edge set. */
+  def kCoreCensusOn(ueIn: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1 && rounds >= 1)
-    val ue = undirectedEdges(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val ue = ueIn.persist(StorageLevel.MEMORY_AND_DISK)
     // survivor sets are EAGERLY materialized per round (localCheckpoint):
     // the 5-branch census union would otherwise race every branch through
     // the full lazy peel chain — measured 30 s of recompute at ANY scale
@@ -410,6 +458,15 @@ object Graphs {
        |    FROM edges e JOIN $prev p ON p.doc_id = e.src) c
        |    ON c.doc_id = n.doc_id
        |  GROUP BY n.doc_id)""".stripMargin
+
+  /** Power-law edge CTE shared by the skew-variant oracles — identical
+    * arithmetic to [[skewedEdges]]. */
+  private val skewEdgesSql: String =
+    """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |edges AS (
+      |  SELECT doc_id AS src,
+      |    n.n_docs // ((doc_id * 7 + j * 13) % n.n_docs + 1) - 1 AS dst
+      |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j))""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -747,6 +804,85 @@ object Graphs {
          |SELECT round, n_core, sum_ids FROM census ORDER BY round""".stripMargin) { (s, d) =>
       kCoreCensus(Tables.documents(s, d), k = 3, rounds = 4)
         .orderBy(col("round"))
+    },
+
+    // ---- power-law (hot-vertex) variants ------------------------------
+    // The ring graph above has uniform degree; real link/interaction
+    // graphs are power-law, and the failure mode that only appears there
+    // is hot-vertex shuffle skew in the per-round joins/aggregates. These
+    // three variants run the SAME iterative machinery over a
+    // deterministic Zipf-like graph (dst = N div u − 1 over a uniform
+    // hash u, so node 0 receives ~half of all edges at any scale) with
+    // the same unrolled-CTE oracles. Engine-side hot-vertex posture:
+    // PageRank's per-round dst-sum and label-prop's winner pick are
+    // combiner-backed aggregates (map-side partials bound the hub's
+    // shuffle rows by the map-partition count), and k-core's peel is
+    // semi-join + combiner degree count — no per-vertex window anywhere.
+    QueryDef.sql(
+      "q_pagerank_skew",
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |$skewEdgesSql,
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iterSql("r0", "r1")},
+         |${iterSql("r1", "r2")},
+         |${iterSql("r2", "r3")}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_q6
+         |FROM r3 ORDER BY rank_q6 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      pageRankOn(docs.select(col("doc_id")), skewedEdges(docs), iters = 3)
+        .orderBy(col("rank_q6").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    QueryDef.sql(
+      "q_kcore_skew",
+      s"""WITH $skewEdgesSql,
+         |ue AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |s0 AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)),
+         |${peelSql("s0", "s1")},
+         |${peelSql("s1", "s2")},
+         |${peelSql("s2", "s3")},
+         |${peelSql("s3", "s4")},
+         |census AS (
+         |  SELECT CAST(0 AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_core,
+         |    CAST(SUM(v) AS BIGINT) AS sum_ids FROM s0
+         |  UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s3
+         |  UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT) FROM s4)
+         |SELECT round, n_core, sum_ids FROM census ORDER BY round""".stripMargin) { (s, d) =>
+      kCoreCensusOn(skewedUndirectedEdges(Tables.documents(s, d)),
+        k = 3, rounds = 4)
+        .orderBy(col("round"))
+    },
+
+    QueryDef.sql(
+      "q_label_prop_skew",
+      s"""WITH $skewEdgesSql,
+         |ue AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT a AS v, b AS u FROM ue UNION ALL SELECT b, a FROM ue),
+         |nodes AS (SELECT doc_id AS v FROM documents),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+         |${lpRoundSql("l0", "l1")},
+         |${lpRoundSql("l1", "l2")}
+         |SELECT CAST(lbl AS BIGINT) AS community,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(MIN(v) AS BIGINT) AS min_doc
+         |FROM l2 GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      labelPropagationOn(docs.select(col("doc_id").as("v")),
+        skewedUndirectedEdges(docs), rounds = 2)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(25)
     },
 
     // Degree assortativity of the undirected link graph: Pearson r over
