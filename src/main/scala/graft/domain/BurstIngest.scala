@@ -136,6 +136,60 @@ object BurstIngest {
     (f"S1A_IW_SLC__1SDV_G$k%03d.SAFE", ann, man)
   }
 
+  /** Physics-coverage granule family for q_burst_physics: unlike
+    * [[syntheticGranule]] (all IW1, no crossing, early sensing), this
+    * fixture drives every branch of Eq. 9-89/9-91
+    * (parse_bursts.py:110-160): subswath IW1/2/3 offsets (k mod 3),
+    * equator-crossing track handoff (k mod 5 = 0; k = 7 forces the
+    * 175 -> 1 wrap), and sensing more than one orbit after the ANX
+    * (k mod 4 = 0 — the TOrb-subtraction branch). All parameters are
+    * integer-derivable, so the DuckDB oracle replays the parsed values
+    * analytically and the hash gates the XML parse AND the physics. */
+  def syntheticGranulePhysics(k: Int): (String, String, String) = {
+    val (startTrack, endTrack) =
+      if (k == 7) (175, 1)
+      else {
+        val st = (k * 37) % 175 + 1
+        if (k % 5 == 0) (st, st % 175 + 1) else (st, st)
+      }
+    val swath = s"IW${k % 3 + 1}"
+    val anxUs = Instant.parse("2020-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val base = if (k % 4 == 0) BurstId.TOrb + 2.5 else 2.5
+    val nBursts = 9
+    val burstsXml = (0 until nBursts).map { i =>
+      val sUs = anxUs + ((base + i * BurstId.TBeam) * 1e6).toLong
+      s"<burst><azimuthTime>${timeStr(sUs)}</azimuthTime><sensingTime>${timeStr(sUs)}</sensingTime></burst>"
+    }.mkString
+    val lon0 = -170.0 + k * 2.0
+    val lat0 = -40.0 + k * 3.0
+    val gridXml = (0 until 10).flatMap { ln =>
+      (0 until 5).map { px =>
+        val lon = lon0 + px * 0.9
+        val lat = lat0 + ln * 0.17 + px * 0.01
+        s"<geolocationGridPoint><line>${ln * 1500}</line><pixel>${px * 5000}</pixel>" +
+          s"<latitude>$lat</latitude><longitude>$lon</longitude></geolocationGridPoint>"
+      }
+    }.mkString
+    val ann =
+      s"""<product>
+         |<adsHeader><swath>$swath</swath><polarisation>VV</polarisation></adsHeader>
+         |<imageAnnotation><imageInformation>
+         |<ascendingNodeTime>${timeStr(anxUs)}</ascendingNodeTime>
+         |<productFirstLineUtcTime>${timeStr(anxUs + 2500000L)}</productFirstLineUtcTime>
+         |</imageInformation></imageAnnotation>
+         |<swathTiming><burstList count="$nBursts">$burstsXml</burstList></swathTiming>
+         |<geolocationGrid><geolocationGridPointList count="50">$gridXml</geolocationGridPointList></geolocationGrid>
+         |</product>""".stripMargin
+    val man =
+      s"""<manifest xmlns:safe="urn:ccsds:schema:xfdu:1">
+         |<safe:orbitReference>
+         |<safe:relativeOrbitNumber type="start">$startTrack</safe:relativeOrbitNumber>
+         |<safe:relativeOrbitNumber type="stop">$endTrack</safe:relativeOrbitNumber>
+         |</safe:orbitReference>
+         |</manifest>""".stripMargin
+    (f"S1A_IW_SLC__1SDV_P$k%03d.SAFE", ann, man)
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // D9 end-to-end: synthetic granules → full ingest (grid → polygons →
     // dateline split → Eq. 9-89/9-91 ids) → per-granule summary. Rows-only
@@ -155,6 +209,72 @@ object BurstIngest {
           floor(sum(GeoFunctions.stArea(col("wkt"))) * 1000).cast("long")
             .as("area_q3"))
         .orderBy(col("granule"))
+    },
+
+    // D9 split oracle (the q_catalog_frames_meta pattern): the XML
+    // *source* stays un-oracle-able, but everything downstream of the
+    // parse — Eq. 9-89/9-91 burst-id arithmetic, subswath offset
+    // assembly, equator-crossing track handoff, orbit-period wrap — is
+    // pure arithmetic on parsed values. The engine runs the REAL parse
+    // (flatMap XML -> BurstId.fromBurstParams); the oracle re-derives the
+    // parsed inputs analytically from the deterministic fixture and
+    // replays the physics with the identical IEEE expression tree (same
+    // literals, same operation order, one floor), so a drift anywhere in
+    // parse -> time roundtrip -> physics breaks the hash. Geometry-free.
+    QueryDef.sql(
+      "q_burst_physics",
+      """WITH g AS (SELECT CAST(k AS BIGINT) AS k FROM UNNEST(RANGE(0, 25)) AS t(k)),
+        |p AS (
+        |  SELECT k,
+        |    CASE WHEN k = 7 THEN 175 ELSE (k * 37) % 175 + 1 END AS start_track,
+        |    CASE WHEN k = 7 THEN 1
+        |         WHEN k % 5 = 0 THEN ((k * 37) % 175 + 1) % 175 + 1
+        |         ELSE (k * 37) % 175 + 1 END AS end_track,
+        |    k % 3 + 1 AS sw,
+        |    CASE WHEN k % 4 = 0 THEN 12 * 86400.0 / 175.0 + 2.5 ELSE 2.5 END AS base
+        |  FROM g),
+        |r AS (
+        |  SELECT p.*, CAST(i AS BIGINT) AS i,
+        |    1577836800000000 + CAST(FLOOR((base + CAST(i AS DOUBLE) * 2.758273)
+        |      * 1000000.0) AS BIGINT) AS s_us
+        |  FROM p CROSS JOIN UNNEST(RANGE(0, 9)) AS u(i)),
+        |phys AS (
+        |  SELECT k, sw, start_track, end_track, s_us,
+        |    (CAST(s_us // 1000000 - 1577836800 AS DOUBLE)
+        |       + CAST((s_us % 1000000) * 1000 AS DOUBLE) / 1000000000.0)
+        |      + (CASE sw WHEN 1 THEN 0.0 WHEN 2 THEN -0.832
+        |              ELSE -0.832 - 1.078 END) AS start_iw1
+        |  FROM r),
+        |mid AS (
+        |  SELECT k, sw, start_track, end_track, s_us, start_iw1,
+        |    start_iw1 + 0.832 + 1.078 / 2 AS mid_iw2,
+        |    (end_track = start_track + 1
+        |      OR (end_track = 1 AND start_track = 175)) AS has_cross
+        |  FROM phys),
+        |ids AS (
+        |  SELECT k, sw, s_us,
+        |    CASE WHEN start_iw1 - (12 * 86400.0 / 175.0) < 0
+        |         THEN start_track ELSE end_track END AS track,
+        |    1 + CAST(FLOOR((
+        |      (CASE WHEN start_iw1 - (12 * 86400.0 / 175.0) < 0 THEN mid_iw2
+        |            WHEN has_cross THEN mid_iw2
+        |            ELSE mid_iw2 - (12 * 86400.0 / 175.0) END)
+        |      + CAST(start_track - 1 AS DOUBLE) * (12 * 86400.0 / 175.0)
+        |      - 2.299849) / 2.758273) AS BIGINT) AS esa
+        |  FROM mid)
+        |SELECT 'S1A_IW_SLC__1SDV_P' || LPAD(CAST(k AS VARCHAR), 3, '0') AS granule,
+        |  't' || LPAD(CAST(track AS VARCHAR), 3, '0') || '_'
+        |    || LPAD(CAST(esa AS VARCHAR), 6, '0') || '_iw' || CAST(sw AS VARCHAR)
+        |    AS burst_id_jpl,
+        |  CAST(s_us AS BIGINT) AS sensing_time_us
+        |FROM ids
+        |ORDER BY granule, sensing_time_us""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val files = s.range(0, 25).map(k => syntheticGranulePhysics(k.toInt))
+        .toDF("_1", "_2", "_3").as[(String, String, String)]
+      ingest(files)
+        .select(col("granule"), col("burst_id_jpl"), col("sensing_time_us"))
+        .orderBy(col("granule"), col("sensing_time_us"))
     }
   )
 }
