@@ -152,6 +152,58 @@ object Sessions {
       }
   }
 
+  final case class WFunnelEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+  final case class WFunnelState(t0: Long, t1: Long, t2: Long)
+  final case class WFunnelSnapshot(user_id: Long, stage: Long,
+      t0_us: Long, t1_us: Long, t2_us: Long)
+
+  /** Streaming conversion-window funnel — the continuous twin of the
+    * batch q_funnel_windowed joins (operators/EventAnalytics): per user,
+    * t0 = first view, t1 = first click in (t0, t0+24h], t2 = first
+    * purchase in (t1, t1+24h]. Scanning a user's events in (ts,
+    * event_id) order makes each "first X after t in window" pick exactly
+    * the batch MIN-join answer, so state is THREE timestamps per user
+    * regardless of history length — the bounded step-timestamp vector
+    * flatMapGroupsWithState is built for. Each micro-batch emits the
+    * user's current funnel snapshot (stage = deepest step reached);
+    * aggregating the final snapshots reproduces the batch operator's
+    * stage counts exactly (StreamingSpec proves it). Same within-batch
+    * ordering contract as ewmaStream/debounceStream. */
+  def windowedFunnelStream(ds: Dataset[WFunnelEvent],
+      windowMicros: Long = 86400000000L): Dataset[WFunnelSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WFunnelState, WFunnelSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[WFunnelState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          var st = state.getOption.getOrElse(WFunnelState(unset, unset, unset))
+          rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+            val t = micros(r.ts)
+            r.event_type match {
+              case "view" if st.t0 == unset =>
+                st = st.copy(t0 = t)
+              case "click" if st.t0 != unset && st.t1 == unset
+                  && t > st.t0 && t <= st.t0 + windowMicros =>
+                st = st.copy(t1 = t)
+              case "purchase" if st.t1 != unset && st.t2 == unset
+                  && t > st.t1 && t <= st.t1 + windowMicros =>
+                st = st.copy(t2 = t)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage =
+            if (st.t2 != unset) 3L else if (st.t1 != unset) 2L
+            else if (st.t0 != unset) 1L else 0L
+          Iterator(WFunnelSnapshot(key, stage, st.t0, st.t1, st.t2))
+      }
+  }
+
   final case class HoltDaily(event_type: String, ep: Long, xc: Long)
   final case class HoltSnapshot(event_type: String, n_days: Long,
       level_c: Long, trend_c: Long, fc7_c: Long)

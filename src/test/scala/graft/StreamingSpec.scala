@@ -239,6 +239,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming windowed funnel after one availableNow drop equals the batch joins") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val inDir = s"$tmp/in"
+    Tables.events(spark, sf())
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+      .as[Sessions.WFunnelEvent]
+    val q = Sessions.windowedFunnelStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wfunnel_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one snapshot per user after a single drop; stage counts must equal
+    // the batch operator's funnel row exactly
+    val snap = spark.table("wfunnel_stream")
+    val counts = snap.agg(
+      sum(when($"stage" >= 1, 1L).otherwise(0L)),
+      sum(when($"stage" >= 2, 1L).otherwise(0L)),
+      sum(when($"stage" >= 3, 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].collect().head
+    val batch = SparkEntry.queries("q_funnel_windowed")(spark, sf())
+      .select($"n_viewed", $"n_clicked_24h", $"n_purchased_24h")
+      .as[(Long, Long, Long)].collect().head
+    assert(counts == batch && counts._1 > 0)
+    // the step timestamps themselves match the batch MIN-join t0 per user
+    val t0Batch = Tables.events(spark, sf())
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min(expr("unix_micros(ts)")).as("t0"))
+      .as[(Long, Long)].collect().toSet
+    val t0Stream = snap.filter($"stage" >= 1)
+      .select($"user_id", $"t0_us").as[(Long, Long)].collect().toSet
+    assert(t0Stream == t0Batch)
+  }
+
   test("streaming min-k sample after one availableNow drop equals the batch sample") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-mink").toString
