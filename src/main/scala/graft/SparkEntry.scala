@@ -20,12 +20,14 @@ object SparkEntry {
       operators.Layout.queries ++
       operators.Ingest.queries ++
       operators.Analytics.queries ++
+      operators.Commerce.queries ++
       operators.Geo.queries ++
       operators.BloomJoin.queries ++
       operators.EventAnalytics.queries ++
       operators.Quality.queries ++
       operators.Cdc.queries ++
       operators.Stats.queries ++
+      operators.StatsTimeSeries.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++
       domain.ConsistentBursts.queries ++

@@ -313,8 +313,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("bipartite projection self-joins on the user key, never cross") {
     val p = plan("q_bipartite_cooccur")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"projection exploded into a cross join:\n$p")
+    // nested-loop joins are allowed ONLY for the 1-row vocabulary
+    // broadcast the capItemsPerKey degree cap joins in (it re-inlines
+    // once per reuse of the capped set); the pair self-join itself must
+    // stay a keyed hash join
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("greatest(64")),
+      s"projection gained a non-scalar nested-loop join:\n$p")
     assert(p.contains("partial_count"), s"pair cells lost map-side combine:\n$p")
   }
 
