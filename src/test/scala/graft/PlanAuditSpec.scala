@@ -325,6 +325,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"pair cells lost map-side combine:\n$p")
   }
 
+  test("power-law graph variants keep combiner aggregates, no per-vertex window") {
+    // the hot vertex receives ~half of all edges; survival depends on the
+    // per-round reductions being map-side-combined aggregates (PageRank's
+    // dst sum, label-prop's (v,lbl) count and max-struct winner) rather
+    // than a window partitioned by vertex, which would serialize the hub
+    // into one task
+    for (q <- Seq("q_pagerank_skew", "q_label_prop_skew")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$q gained a per-vertex window (hub straggler at scale):\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
   test("zone-map planner and z-order tiles are single combiner-backed aggregations") {
     for (q <- Seq("q_zonemap_prune", "q_zorder_tiles")) {
       val p = plan(q)
