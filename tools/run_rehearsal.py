@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""One-command scale rehearsal: rebuild the Nx clone, run the
+full-registry engine pass + DuckDB differential over it, time the
+slowest queries isolated, and write a machine-checkable artifact
+(REHEARSAL_r{N}.json) next to CORRECTNESS. Dev tool only — the shipped
+Scala library does not depend on this.
+
+Usage:
+    python3 tools/run_rehearsal.py [--out REHEARSAL_r10.json]
+        [--sf /root/testdata/sf0.1] [--clone /tmp/rehearsal32]
+        [--factor 32] [--slowest 25] [--rebuild]
+
+Steps (all logged to stdout):
+  1. Build the clone via make_rehearsal.py unless it already exists
+     (pass --rebuild to force; /tmp is volatile across sessions).
+  2. sbt "runMain graft.Verify <clone> <dump>" — the ENGINE side of every
+     registered query at clone scale (any engine failure fails the run).
+  3. tools/check.py against the clone with the known DuckDB-superlinear
+     oracles skipped (KNOWN_SKIPS below — the ORACLE replay, not the
+     engine, is what breaks on clone-heavy data; each carries a reason).
+  4. Isolated Bench timings at clone scale for the slowest queries of the
+     committed sf0.1 capture (bench_full_latest.json), so the artifact
+     records the Nx-vs-sf0.1 ratio per heavy query.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Oracles DuckDB cannot replay at clone scale (the engine side still runs
+# and is still required to succeed). Kept in ONE place so the rehearsal's
+# coverage reduction is explicit and documented.
+KNOWN_SKIPS = {
+    "q_dedup_clusters": "verbatim-clone fixture makes every copy collide; "
+        "DuckDB's recursive cluster replay is superlinear on the clique",
+    "q_dedup_embedding": "same clique blowup through the embedding "
+        "near-dup pair replay",
+    "q_pack_sequences": "DuckDB recursive packing replay is superlinear "
+        "on cloned doc lengths",
+}
+
+
+def run(cmd, **kw):
+    print(f"+ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="REHEARSAL_r10.json")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--clone", default="/tmp/rehearsal32")
+    ap.add_argument("--factor", type=int, default=32)
+    ap.add_argument("--slowest", type=int, default=25)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+    os.chdir(REPO)
+
+    built = False
+    if args.rebuild or not os.path.exists(f"{args.clone}/lineitem.parquet"):
+        r = run([sys.executable, "tools/make_rehearsal.py", args.sf,
+                 args.clone, str(args.factor)])
+        if r.returncode != 0:
+            sys.exit("clone build failed")
+        built = True
+
+    dump = f"{args.clone}_verify"
+    r = run(["sbt", f"runMain graft.Verify {args.clone} {dump}"],
+            capture_output=True, text=True)
+    engine_failures = re.findall(r"\[verify\] \S+ failed.*",
+                                 r.stdout + r.stderr)
+    if r.returncode != 0 or engine_failures:
+        print(r.stdout[-4000:])
+        sys.exit(f"engine verify failed at clone scale: {engine_failures[:5]}")
+
+    env = dict(os.environ, GRAFT_CHECK_SKIP=",".join(KNOWN_SKIPS))
+    r = run([sys.executable, "tools/check.py", args.clone, dump],
+            env=env, capture_output=True, text=True)
+    print(r.stdout[-2000:])
+    results = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"(PASS|FAIL|SKIP) (\S+?):?(?: |$)", line)
+        if m:
+            results[m.group(2)] = m.group(1).lower()
+    n_pass = sum(1 for v in results.values() if v == "pass")
+    n_fail = sum(1 for v in results.values() if v == "fail")
+    n_skip = sum(1 for v in results.values() if v == "skip")
+
+    timings = {}
+    try:
+        base = json.load(open("bench_full_latest.json"))["queries"]
+    except Exception:
+        base = {}
+    slow = sorted(base, key=base.get, reverse=True)[:args.slowest]
+    slow = [q for q in slow if results.get(q) != "skip"]
+    if slow:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.clone,
+                   SPARK_GRAFT_BENCH_ONLY=",".join(slow))
+        r = run(["sbt", "runMain graft.Bench"],
+                env=env, capture_output=True, text=True)
+        m = re.search(r'\{"metric".*\}', r.stdout)
+        if m:
+            cap = json.loads(m.group(0))
+            for q, sec in cap["queries"].items():
+                timings[q] = {
+                    "sf01_sec": round(base.get(q, 0.0), 3),
+                    "rehearsal_sec": round(sec, 3),
+                    "ratio": round(sec / base[q], 2) if base.get(q) else None,
+                }
+            if cap.get("contaminated"):
+                timings["_contaminated"] = True
+
+    artifact = {
+        "sf": args.sf,
+        "clone": args.clone,
+        "factor": args.factor,
+        "clone_rebuilt": built,
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "n_skip": n_skip,
+        "known_skips": KNOWN_SKIPS,
+        "results": dict(sorted(results.items())),
+        "slowest_isolated": dict(sorted(timings.items())),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\nwrote {args.out}: {n_pass} pass / {n_fail} fail / "
+          f"{n_skip} skip at {args.factor}x")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
