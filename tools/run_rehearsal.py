@@ -57,7 +57,16 @@ def main():
     ap.add_argument("--factor", type=int, default=32)
     ap.add_argument("--slowest", type=int, default=25)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--skip", action="append", default=[],
+                    metavar="QUERY=REASON",
+                    help="extra oracle skips for this factor (e.g. "
+                         "q_kcore='DuckDB peel replay spills >50GB at 100x'); "
+                         "engine side still runs")
     args = ap.parse_args()
+    skips = dict(KNOWN_SKIPS)
+    for item in args.skip:
+        name, _, reason = item.partition("=")
+        skips[name] = reason or "clone-scale DuckDB resource limit"
     os.chdir(REPO)
 
     built = False
@@ -77,7 +86,7 @@ def main():
         print(r.stdout[-4000:])
         sys.exit(f"engine verify failed at clone scale: {engine_failures[:5]}")
 
-    env = dict(os.environ, GRAFT_CHECK_SKIP=",".join(KNOWN_SKIPS))
+    env = dict(os.environ, GRAFT_CHECK_SKIP=",".join(skips))
     r = run([sys.executable, "tools/check.py", args.clone, dump],
             env=env, capture_output=True, text=True)
     print(r.stdout[-2000:])
@@ -122,7 +131,7 @@ def main():
         "n_pass": n_pass,
         "n_fail": n_fail,
         "n_skip": n_skip,
-        "known_skips": KNOWN_SKIPS,
+        "known_skips": skips,
         "results": dict(sorted(results.items())),
         "slowest_isolated": dict(sorted(timings.items())),
     }
