@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--factor", type=int, default=32)
     ap.add_argument("--slowest", type=int, default=25)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma list: restrict the ORACLE replay to these "
+                         "queries (engine still runs the full registry); "
+                         "for factors where a full DuckDB replay is "
+                         "clone-output-bound. Artifact records the mode.")
     ap.add_argument("--skip", action="append", default=[],
                     metavar="QUERY=REASON",
                     help="extra oracle skips for this factor (e.g. "
@@ -87,6 +92,8 @@ def main():
         sys.exit(f"engine verify failed at clone scale: {engine_failures[:5]}")
 
     env = dict(os.environ, GRAFT_CHECK_SKIP=",".join(skips))
+    if args.only:
+        env["GRAFT_CHECK_ONLY"] = args.only
     r = run([sys.executable, "tools/check.py", args.clone, dump],
             env=env, capture_output=True, text=True)
     print(r.stdout[-2000:])
@@ -124,6 +131,7 @@ def main():
                 timings["_contaminated"] = True
 
     artifact = {
+        "oracle_mode": "targeted" if args.only else "full",
         "sf": args.sf,
         "clone": args.clone,
         "factor": args.factor,
