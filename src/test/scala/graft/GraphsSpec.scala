@@ -149,4 +149,19 @@ class GraphsSpec extends SparkSpec {
     val ui = (1L to 3200L).map(i => ("u", i)).toDF("user_id", "item")
     assert(Graphs.capItemsPerKey(ui, "user_id", "item").count() == 200L)
   }
+
+  test("skewedEdges is deterministic with a genuine hot vertex") {
+    val docs = Tables.documents(spark, sf())
+    val e1 = Graphs.skewedEdges(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e2 = Graphs.skewedEdges(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e1.sorted.sameElements(e2.sorted))   // derivation, not sampling
+    val n = docs.count()
+    assert(e1.length == 3 * n)                  // uniform out-degree 3
+    // node 0 receives ~half of ALL edges — the hub the ring graph lacks
+    val hubIn = e1.count(_._2 == 0L)
+    assert(hubIn >= e1.length * 2 / 5, s"hub in-degree $hubIn of ${e1.length}")
+    // and the in-degree tail is heavy: > 10x the median in-degree
+    val inDeg = e1.groupBy(_._2).view.mapValues(_.length).values.toSeq.sorted
+    assert(hubIn > 10L * inDeg(inDeg.size / 2))
+  }
 }
