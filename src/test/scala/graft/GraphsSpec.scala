@@ -164,4 +164,28 @@ class GraphsSpec extends SparkSpec {
     val inDeg = e1.groupBy(_._2).view.mapValues(_.length).values.toSeq.sorted
     assert(hubIn > 10L * inDeg(inDeg.size / 2))
   }
+
+  test("capItemsPerKey equals the per-key model and is idempotent") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 4000).map { _ =>
+      (s"u${rnd.nextInt(40)}", rnd.nextInt(900).toLong)
+    }.distinct
+    val ui = rows.toDF("user_id", "item")
+    val capped = Graphs.capItemsPerKey(ui, "user_id", "item")
+      .as[(String, Long)].collect().toSet
+    // model: per key keep the max(64, nv/16) smallest items
+    val nv = rows.map(_._2).distinct.size
+    val cap = math.max(64L, nv / 16L)
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      rs.map(_._2).distinct.sorted.take(cap.toInt).map(u -> _)
+    }.toSet
+    assert(capped == model,
+      s"sizes spark=${capped.size} model=${model.size}")
+    assert(capped.subsetOf(rows.toSet))
+    // idempotence: capping a capped set changes nothing
+    val twice = Graphs.capItemsPerKey(
+      Graphs.capItemsPerKey(ui, "user_id", "item"), "user_id", "item")
+      .as[(String, Long)].collect().toSet
+    assert(twice == capped)
+  }
 }
