@@ -41,6 +41,7 @@ object SparkEntry {
       pipeline.Multimodal.queries ++
       pipeline.Sketches.queries ++
       pipeline.Graphs.queries ++
+      pipeline.GraphMining.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

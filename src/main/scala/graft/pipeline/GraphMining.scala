@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-structure mining over the power-law document graph:
+  * common-neighbor link prediction and per-vertex local clustering.
+  *
+  * Both operators run against [[Graphs.skewedUndirectedEdges]] — the
+  * Zipf-like generator whose node 0 receives ~half of ALL edges — because
+  * that hub is exactly where naive formulations explode:
+  *
+  *   - Common-neighbor counting enumerates a wedge per (center, u, w)
+  *     triple, which is quadratic in the hub's degree. There is no exact
+  *     escape (the hub genuinely HAS ~deg²/2 wedges), so the operator is
+  *     DEFINED over degree-capped neighborhoods — [[Graphs.capItemsPerKey]]
+  *     truncates every center to its GREATEST(64, |V|/16) smallest
+  *     neighbors, applied identically in the DuckDB oracle, the same
+  *     contract the bipartite-projection family uses. Per-center fanout is
+  *     then bounded at any scale and any skew.
+  *   - Per-vertex triangle counting reuses the degree-ordered orientation
+  *     (every edge directed from its lower-(deg, id) endpoint): out-degree
+  *     is O(√m) on any graph, the hub's edges all point INTO it, and each
+  *     triangle is found exactly once at its apex — no cap needed, exact
+  *     counts (reference analogy: burst adjacency health checks in
+  *     build_frame_db.py; the method is the standard oriented wedge join).
+  */
+object GraphMining {
+
+  private val cappedAdjSql: String =
+    s"""ue AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |adj0 AS (
+       |  SELECT a AS v, b AS u FROM ue
+       |  UNION ALL SELECT b AS v, a AS u FROM ue),
+       |nv AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nv FROM adj0),
+       |adj AS MATERIALIZED (
+       |  SELECT v, u FROM (
+       |    SELECT v, u,
+       |      ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) AS rn_cap
+       |    FROM adj0) x CROSS JOIN nv
+       |  WHERE x.rn_cap <= GREATEST(64, nv.nv // 16))""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Common-neighbor link prediction: for every non-adjacent vertex pair
+    // sharing at least one (capped-neighborhood) common neighbor, score by
+    // the common-neighbor count and the Jaccard of the truncated
+    // neighborhoods. One wedge self-join on the center key + a combiner
+    // groupBy on the pair; the anti-join against existing edges and the
+    // degree joins are all keyed equi-joins. Per-center fanout is bounded
+    // by max(64, |V|/16)² regardless of skew, so the hub contributes a
+    // constant number of candidate pairs at any scale.
+    QueryDef.sql(
+      "q_link_prediction",
+      s"""WITH ${Graphs.skewEdgesSql},
+         |$cappedAdjSql,
+         |deg AS MATERIALIZED (
+         |  SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+         |cand AS (
+         |  SELECT x.u AS p, y.u AS q, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM adj x JOIN adj y ON y.v = x.v AND x.u < y.u
+         |  GROUP BY x.u, y.u),
+         |nonedge AS (
+         |  SELECT c.p, c.q, c.cn FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = c.p AND ue.b = c.q))
+         |SELECT ne.p, ne.q, ne.cn,
+         |  (ne.cn * 1000000) // (dp.d + dq.d - ne.cn) AS jaccard_q6
+         |FROM nonedge ne
+         |JOIN deg dp ON dp.x = ne.p
+         |JOIN deg dq ON dq.x = ne.q
+         |ORDER BY cn DESC, jaccard_q6 DESC, p, q LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val docs = Tables.documents(s, d)
+      val ue = Graphs.skewedUndirectedEdges(docs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = Graphs.capItemsPerKey(
+          ue.select(col("a").as("v"), col("b").as("u"))
+            .unionAll(ue.select(col("b").as("v"), col("a").as("u"))),
+          "v", "u", k = 64L, c = 16L)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = adj.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+      val cand = adj.as("x")
+        .join(adj.as("y"), col("y.v") === col("x.v") && col("x.u") < col("y.u"))
+        .groupBy(col("x.u").as("p"), col("y.u").as("q"))
+        .agg(count(lit(1)).as("cn"))
+      val nonEdge = cand.join(ue,
+          col("a") === col("p") && col("b") === col("q"), "left_anti")
+      nonEdge
+        .join(deg.select(col("x").as("p"), col("d").as("dp")), Seq("p"))
+        .join(deg.select(col("x").as("q"), col("d").as("dq")), Seq("q"))
+        .select(col("p"), col("q"), col("cn"),
+          expr("(cn * 1000000) div (dp + dq - cn)").as("jaccard_q6"))
+        .orderBy(col("cn").desc, col("jaccard_q6").desc, col("p"), col("q"))
+        .limit(50)
+    },
+
+    // Per-vertex local clustering coefficient: exact triangle counts from
+    // the degree-ordered oriented wedge join (each triangle materializes
+    // once at its apex, then credits all three corners), divided by the
+    // vertex's wedge count d(d−1)/2. The orientation bounds the wedge
+    // join's fanout by O(√m) out-degree even at the hub — no caps, exact.
+    QueryDef.sql(
+      "q_local_clustering",
+      s"""WITH ${Graphs.skewEdgesSql},
+         |ue AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS MATERIALIZED (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue)
+         |  GROUP BY v),
+         |oriented AS MATERIALIZED (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+         |           THEN ue.a ELSE ue.b END AS u,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b)
+         |           THEN ue.b ELSE ue.a END AS w
+         |  FROM ue
+         |  JOIN deg da ON da.v = ue.a
+         |  JOIN deg db ON db.v = ue.b),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+         |  FROM oriented e1
+         |  JOIN oriented e2 ON e2.u = e1.u AND e1.w <> e2.w
+         |  JOIN oriented e3 ON e3.u = e1.w AND e3.w = e2.w),
+         |pertri AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT x AS v FROM tri
+         |    UNION ALL SELECT y AS v FROM tri
+         |    UNION ALL SELECT z AS v FROM tri)
+         |  GROUP BY v)
+         |SELECT deg.v, deg.d AS degree, COALESCE(p.n_tri, 0) AS n_tri,
+         |  (COALESCE(p.n_tri, 0) * 2000000) // (deg.d * (deg.d - 1)) AS lcc_q6
+         |FROM deg LEFT JOIN pertri p ON p.v = deg.v
+         |WHERE deg.d >= 2
+         |ORDER BY lcc_q6 DESC, n_tri DESC, deg.v LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val ue = Graphs.skewedUndirectedEdges(Tables.documents(s, d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = ue.select(col("a").as("v"))
+        .unionAll(ue.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val oriented = ue
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("w")))
+            .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+        .select(col("e.u").as("u"), col("e.w").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e2.u") === col("e1.u") && col("e1.w") =!= col("e2.w"))
+        .join(oriented.as("e3"),
+          col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
+        .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val perTri = tri.select(col("x").as("v"))
+        .unionAll(tri.select(col("y").as("v")))
+        .unionAll(tri.select(col("z").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+      deg.join(perTri, Seq("v"), "left")
+        .filter(col("d") >= 2)
+        .select(col("v"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(coalesce(n_tri, 0) * 2000000) div (d * (d - 1))").as("lcc_q6"))
+        .orderBy(col("lcc_q6").desc, col("n_tri").desc, col("v"))
+        .limit(50)
+    }
+  )
+}

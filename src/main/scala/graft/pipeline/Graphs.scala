@@ -461,7 +461,7 @@ object Graphs {
 
   /** Power-law edge CTE shared by the skew-variant oracles — identical
     * arithmetic to [[skewedEdges]]. */
-  private val skewEdgesSql: String =
+  private[pipeline] val skewEdgesSql: String =
     """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
       |edges AS (
       |  SELECT doc_id AS src,
