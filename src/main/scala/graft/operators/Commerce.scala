@@ -17,7 +17,7 @@ object Commerce {
 
     // Market-basket lift on the FACT table (co-purchased parts within an
     // order, lift = P(ab)/(P(a)P(b))): per-order distinct-part degree is
-    // capped at GREATEST(64, |parts|/16) (Graphs.capItemsPerKey, same
+    // capped at GREATEST(64, 4·⌊√|parts|⌋) (Graphs.capItemsPerKey, same
     // truncation in the oracle), so the within-order self-join fans out
     // at most (cap choose 2) pairs per basket even if a synthetic or
     // adversarial basket holds the whole part vocabulary — then one
@@ -33,7 +33,7 @@ object Commerce {
         |    SELECT ok, pk,
         |      ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn
         |    FROM items0) r CROSS JOIN vocab
-        |  WHERE r.rn <= GREATEST(64, nv // 16)),
+        |  WHERE r.rn <= GREATEST(64, 4 * CAST(FLOOR(SQRT(CAST(nv AS DOUBLE))) AS BIGINT))),
         |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
         |freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
         |pairs AS (

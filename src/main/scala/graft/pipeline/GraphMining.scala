@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *     triple, which is quadratic in the hub's degree. There is no exact
   *     escape (the hub genuinely HAS ~deg²/2 wedges), so the operator is
   *     DEFINED over degree-capped neighborhoods — [[Graphs.capItemsPerKey]]
-  *     truncates every center to its GREATEST(64, |V|/16) smallest
+  *     truncates every center to its GREATEST(64, 4·⌊√|V|⌋) smallest
   *     neighbors, applied identically in the DuckDB oracle, the same
-  *     contract the bipartite-projection family uses. Per-center fanout is
-  *     then bounded at any scale and any skew.
+  *     contract the bipartite-projection family uses. Per-center fanout
+  *     is then cap² ≤ max(64², 16·|V|) — linear in vocabulary growth,
+  *     under any skew (see the capItemsPerKey scale contract).
   *   - Per-vertex triangle counting reuses the degree-ordered orientation
   *     (every edge directed from its lower-(deg, id) endpoint): out-degree
   *     is O(√m) on any graph, the hub's edges all point INTO it, and each
@@ -40,7 +41,7 @@ object GraphMining {
        |    SELECT v, u,
        |      ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) AS rn_cap
        |    FROM adj0) x CROSS JOIN nv
-       |  WHERE x.rn_cap <= GREATEST(64, nv.nv // 16))""".stripMargin
+       |  WHERE x.rn_cap <= ${Graphs.capSql("nv.nv")})""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -50,8 +51,8 @@ object GraphMining {
     // neighborhoods. One wedge self-join on the center key + a combiner
     // groupBy on the pair; the anti-join against existing edges and the
     // degree joins are all keyed equi-joins. Per-center fanout is bounded
-    // by max(64, |V|/16)² regardless of skew, so the hub contributes a
-    // constant number of candidate pairs at any scale.
+    // by max(64, 4·⌊√|V|⌋)² ≤ max(64², 16·|V|) regardless of skew, so the
+    // hub's candidate-pair output grows linearly with the vocabulary.
     QueryDef.sql(
       "q_link_prediction",
       s"""WITH ${Graphs.skewEdgesSql},
@@ -78,7 +79,7 @@ object GraphMining {
       val adj = Graphs.capItemsPerKey(
           ue.select(col("a").as("v"), col("b").as("u"))
             .unionAll(ue.select(col("b").as("v"), col("a").as("u"))),
-          "v", "u", k = 64L, c = 16L)
+          "v", "u", k = 64L, mult = 4L)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = adj.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
       val cand = adj.as("x")

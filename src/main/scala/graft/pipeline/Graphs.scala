@@ -34,26 +34,39 @@ object Graphs {
   }
 
   /** Deterministic per-key degree cap for bipartite projections: keep
-    * each key's GREATEST(k, |itemVocab| / c) smallest item ids (one
+    * each key's GREATEST(k, mult·⌊√|itemVocab|⌋) smallest item ids (one
     * row_number window partitioned by the key — an order-free, engine-
     * portable truncation). Without it, a single adversarial power key
     * holding a large share of the vocabulary makes the per-key pair
-    * self-join quadratic in the vocabulary; with it, per-key fanout is
-    * bounded by max(k, |V|/c)^2 under ANY per-key inflation — the
-    * df-capped-postings lesson from the similarity family applied to
-    * the projection family. The cap scales with the vocabulary (never a
-    * fixed constant), and both engines apply it identically so the
-    * differential hashes stay meaningful. */
+    * self-join quadratic in the vocabulary.
+    *
+    * Scale contract (exact, not "bounded at any scale"): per-key pair
+    * fanout is cap² = max(k, mult·√|V|)² ≤ max(k², mult²·|V|) — LINEAR
+    * in vocabulary growth, under ANY per-key inflation or skew. The
+    * earlier |V|/c law kept per-key *skew* bounded but let the per-key
+    * output grow quadratically with the corpus (cap² = |V|²/c²); the
+    * √|V| law makes hub output track total-vocabulary growth instead,
+    * which is the right asymptote for a co-occurrence projection whose
+    * global cell count is itself Θ(|V|·avg-degree). isqrt is computed as
+    * FLOOR(SQRT(CAST(nv AS DOUBLE))): IEEE sqrt is correctly rounded in
+    * both the JVM and DuckDB, so the truncation is bit-identical in both
+    * engines and the differential hashes stay meaningful. */
   def capItemsPerKey(ui: DataFrame, keyCol: String, itemCol: String,
-                     k: Long = 64L, c: Long = 16L): DataFrame = {
+                     k: Long = 64L, mult: Long = 4L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vocab = ui.agg(countDistinct(col(itemCol)).as("nv"))
     ui.withColumn("rn_cap",
         row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(itemCol))))
       .crossJoin(broadcast(vocab))
-      .filter(col("rn_cap") <= greatest(lit(k), expr(s"nv div $c")))
+      .filter(col("rn_cap") <= greatest(lit(k),
+        (lit(mult) * floor(sqrt(col("nv").cast("double")))).cast("long")))
       .drop("rn_cap", "nv")
   }
+
+  /** The SQL twin of [[capItemsPerKey]]'s cap bound, for oracle CTEs:
+    * `GREATEST(k, mult * CAST(FLOOR(SQRT(CAST(<nvExpr> AS DOUBLE))) AS BIGINT))`. */
+  def capSql(nvExpr: String, k: Long = 64L, mult: Long = 4L): String =
+    s"GREATEST($k, $mult * CAST(FLOOR(SQRT(CAST($nvExpr AS DOUBLE))) AS BIGINT))"
 
   /** `iters` integer-exact PageRank rounds, uniform out-degree 3.
     * Returns (doc_id, rank_q6).
@@ -473,7 +486,7 @@ object Graphs {
     // Bipartite projection (user x item -> item-item co-occurrence with
     // Jaccard): the standard collaborative-filtering / co-view graph
     // build. Per-user distinct-item degree is CAPPED at
-    // GREATEST(64, |vocab|/16) via a deterministic smallest-item-id
+    // GREATEST(64, 4·⌊√|vocab|⌋) via a deterministic smallest-item-id
     // truncation (capItemsPerKey) applied identically in both engines,
     // so the per-user self-join's fanout is bounded even under an
     // adversarial power user holding the whole vocabulary; the
@@ -491,7 +504,7 @@ object Graphs {
         |    SELECT user_id, item,
         |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
         |    FROM ui0) r CROSS JOIN vocab
-        |  WHERE r.rn <= GREATEST(64, nv // 16)),
+        |  WHERE r.rn <= GREATEST(64, 4 * CAST(FLOOR(SQRT(CAST(nv AS DOUBLE))) AS BIGINT))),
         |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
         |pair AS (
         |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both
@@ -533,7 +546,7 @@ object Graphs {
     // w(j, i), already-consumed items anti-joined out, top-3 per user
     // with a deterministic (score DESC, item) rank. Every stage is keyed:
     // the similarity table comes from the q_bipartite_cooccur projection
-    // (per-user distinct-degree capped at GREATEST(64, |vocab|/16) — see
+    // (per-user distinct-degree capped at GREATEST(64, 4·⌊√|vocab|⌋) — see
     // capItemsPerKey; history/scoring/anti-join all use the capped set),
     // scoring is one (item-keyed)
     // join + per-user aggregate, the rank window partitions by user.
@@ -548,7 +561,7 @@ object Graphs {
         |    SELECT user_id, item,
         |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
         |    FROM ui0) r CROSS JOIN vocab
-        |  WHERE r.rn <= GREATEST(64, nv // 16)),
+        |  WHERE r.rn <= GREATEST(64, 4 * CAST(FLOOR(SQRT(CAST(nv AS DOUBLE))) AS BIGINT))),
         |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM ui GROUP BY item),
         |pair AS (
         |  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_both

@@ -124,7 +124,7 @@ class GraphsSpec extends SparkSpec {
 
   test("capItemsPerKey bounds an adversarial power user") {
     // vocab of 1000 items; a power user holding ALL of them plus 50
-    // normal users with 5 items each. cap = max(64, 1000/16=62) = 64.
+    // normal users with 5 items each. cap = max(64, 4·⌊√1000⌋=124) = 124.
     val power = (1L to 1000L).map(i => ("power", i))
     val normal = for (u <- 1 to 50; i <- 1 to 5)
       yield (s"u$u", (u * 13 + i * 7).toLong % 1000L + 1L)
@@ -132,22 +132,26 @@ class GraphsSpec extends SparkSpec {
     val capped = Graphs.capItemsPerKey(ui, "user_id", "item")
     val byUser = capped.groupBy("user_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byUser("power") == 64L)           // truncated to the cap
+    assert(byUser("power") == 124L)          // truncated to the cap
     assert(byUser.filter(_._1 != "power").values.forall(_ <= 5L)) // untouched
     // the deterministic truncation keeps the SMALLEST item ids
     assert(capped.filter(col("user_id") === "power")
-      .agg(max(col("item"))).collect().head.getLong(0) == 64L)
-    // pair fanout is now (64 choose 2), not (1000 choose 2)
+      .agg(max(col("item"))).collect().head.getLong(0) == 124L)
+    // pair fanout is now (124 choose 2), not (1000 choose 2)
     val pairs = capped.as("a").join(capped.as("b"),
       col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
     val powerPairs = pairs.filter(col("a.user_id") === "power").count()
-    assert(powerPairs == 64L * 63L / 2L)
+    assert(powerPairs == 124L * 123L / 2L)
   }
 
-  test("capItemsPerKey cap scales with the vocabulary") {
-    // 3200 distinct items -> cap = max(64, 3200/16) = 200
+  test("capItemsPerKey cap scales sublinearly with the vocabulary") {
+    // 3200 distinct items -> cap = max(64, 4·⌊√3200⌋=224) = 224
     val ui = (1L to 3200L).map(i => ("u", i)).toDF("user_id", "item")
-    assert(Graphs.capItemsPerKey(ui, "user_id", "item").count() == 200L)
+    assert(Graphs.capItemsPerKey(ui, "user_id", "item").count() == 224L)
+    // quadruple the vocabulary -> the cap only doubles (√ law):
+    // 12800 items -> cap = 4·⌊√12800⌋ = 4·113 = 452
+    val ui4 = (1L to 12800L).map(i => ("u", i)).toDF("user_id", "item")
+    assert(Graphs.capItemsPerKey(ui4, "user_id", "item").count() == 452L)
   }
 
   test("skewedEdges is deterministic with a genuine hot vertex") {
@@ -173,9 +177,9 @@ class GraphsSpec extends SparkSpec {
     val ui = rows.toDF("user_id", "item")
     val capped = Graphs.capItemsPerKey(ui, "user_id", "item")
       .as[(String, Long)].collect().toSet
-    // model: per key keep the max(64, nv/16) smallest items
+    // model: per key keep the max(64, 4·⌊√nv⌋) smallest items
     val nv = rows.map(_._2).distinct.size
-    val cap = math.max(64L, nv / 16L)
+    val cap = math.max(64L, 4L * math.floor(math.sqrt(nv.toDouble)).toLong)
     val model = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
       rs.map(_._2).distinct.sorted.take(cap.toInt).map(u -> _)
     }.toSet
