@@ -6,9 +6,14 @@ slowest queries isolated, and write a machine-checkable artifact
 Scala library does not depend on this.
 
 Usage:
-    python3 tools/run_rehearsal.py [--out REHEARSAL_r10.json]
+    python3 tools/run_rehearsal.py --round 11 [--out REHEARSAL_r11.json]
         [--sf /root/testdata/sf0.1] [--clone /tmp/rehearsal32]
         [--factor 32] [--slowest 25] [--rebuild]
+
+One of --round / --out is required (--out wins if both given) so a later
+round can never silently overwrite an earlier round's committed artifact.
+With --round N and a non-default factor, the default name carries the
+factor too: REHEARSAL_r{N}_{factor}x.json.
 
 Steps (all logged to stdout):
   1. Build the clone via make_rehearsal.py unless it already exists
@@ -51,7 +56,9 @@ def run(cmd, **kw):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="REHEARSAL_r10.json")
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number; derives the default --out name")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--clone", default="/tmp/rehearsal32")
     ap.add_argument("--factor", type=int, default=32)
@@ -68,6 +75,12 @@ def main():
                          "q_kcore='DuckDB peel replay spills >50GB at 100x'); "
                          "engine side still runs")
     args = ap.parse_args()
+    if args.out is None:
+        if args.round is None:
+            ap.error("one of --round / --out is required (prevents "
+                     "overwriting a previous round's committed artifact)")
+        suffix = f"_{args.factor}x" if args.factor != 32 else ""
+        args.out = f"REHEARSAL_r{args.round}{suffix}.json"
     skips = dict(KNOWN_SKIPS)
     for item in args.skip:
         name, _, reason = item.partition("=")
