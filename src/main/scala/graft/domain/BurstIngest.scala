@@ -140,14 +140,20 @@ object BurstIngest {
     * [[syntheticGranule]] (all IW1, no crossing, early sensing), this
     * fixture drives every branch of Eq. 9-89/9-91
     * (parse_bursts.py:110-160): subswath IW1/2/3 offsets (k mod 3),
-    * equator-crossing track handoff (k mod 5 = 0; k = 7 forces the
-    * 175 -> 1 wrap), and sensing more than one orbit after the ANX
-    * (k mod 4 = 0 — the TOrb-subtraction branch). All parameters are
+    * equator-crossing track handoff (k mod 5 = 0), sensing more than one
+    * orbit after the ANX (k mod 4 = 0 — the TOrb-subtraction branch),
+    * and the 175 -> 1 track wrap in BOTH sensing regimes: k = 7 carries
+    * (175, 1) within one orbit (wrap pair present but the start-track
+    * branch decides), while k = 20 carries (175, 1) with k mod 4 = 0 —
+    * past-one-orbit sensing where the wrap form of hasAnxCrossing alone
+    * suppresses the TOrb subtraction, shifting the ESA id by
+    * TOrb/TBeam (~2148) — so the wrap predicate DECIDES an output column
+    * (the track is end = 1 in this regime either way). All parameters are
     * integer-derivable, so the DuckDB oracle replays the parsed values
     * analytically and the hash gates the XML parse AND the physics. */
   def syntheticGranulePhysics(k: Int): (String, String, String) = {
     val (startTrack, endTrack) =
-      if (k == 7) (175, 1)
+      if (k == 7 || k == 20) (175, 1)
       else {
         val st = (k * 37) % 175 + 1
         if (k % 5 == 0) (st, st % 175 + 1) else (st, st)
@@ -226,8 +232,8 @@ object BurstIngest {
       """WITH g AS (SELECT CAST(k AS BIGINT) AS k FROM UNNEST(RANGE(0, 25)) AS t(k)),
         |p AS (
         |  SELECT k,
-        |    CASE WHEN k = 7 THEN 175 ELSE (k * 37) % 175 + 1 END AS start_track,
-        |    CASE WHEN k = 7 THEN 1
+        |    CASE WHEN k = 7 OR k = 20 THEN 175 ELSE (k * 37) % 175 + 1 END AS start_track,
+        |    CASE WHEN k = 7 OR k = 20 THEN 1
         |         WHEN k % 5 = 0 THEN ((k * 37) % 175 + 1) % 175 + 1
         |         ELSE (k * 37) % 175 + 1 END AS end_track,
         |    k % 3 + 1 AS sw,
