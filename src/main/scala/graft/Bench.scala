@@ -31,6 +31,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bounded runtime-filter size — see GraftSession.BloomFilterMaxBits
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        GraftSession.BloomFilterMaxBits)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The six global windows in source are all over provably tiny

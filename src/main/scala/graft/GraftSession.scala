@@ -21,6 +21,21 @@ object GraftSession {
       // without this legacy flag, and parquet has no per-read option for
       // it — set once at session construction (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", BloomFilterMaxBits)
+
+  /** Runtime bloom-filter join pruning stays ON, but its size is bounded
+    * at 512 KiB (4M bits) instead of Spark's 8 MiB ceiling: over
+    * stats-free intermediates (checkpointed / cached subplans) the
+    * optimizer's cardinality estimate inflates toward the ceiling and the
+    * resulting 6–9 MiB filter is serialized into EVERY task binary of the
+    * application side — multi-MiB per task launch on a cluster, for
+    * creation sides that actually hold a few thousand rows (diagnosed on
+    * q_local_clustering: disabling injection removed all large-task-binary
+    * warnings; the closure lineage was already checkpoint-truncated). At
+    * 4M bits a genuinely selective filter still covers ~400k creation-side
+    * items at ~10 bits/item; a deployment with provably larger selective
+    * dims can raise the conf. */
+  val BloomFilterMaxBits: String = (4L * 1024 * 1024).toString
 
   /** Attach graft functionality to an existing session (e.g. a shared
     * notebook session created elsewhere). */

@@ -19,6 +19,9 @@ object Verify {
       // (pyarrow converts to ns, wrapping far-future values) is handled
       // by keeping all emitted timestamps inside the ns range.
       .config("spark.ui.enabled", "false")
+      // bounded runtime-filter size — see GraftSession.BloomFilterMaxBits
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        GraftSession.BloomFilterMaxBits)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -138,11 +138,16 @@ object GraphMining {
          |ORDER BY lcc_q6 DESC, n_tri DESC, deg.v LIMIT 50""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       val ue = Graphs.skewedUndirectedEdges(Tables.documents(s, d))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val deg = ue.select(col("a").as("v"))
         .unionAll(ue.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // localCheckpoint (not persist): the wedge join references `oriented`
+      // three times and the credit union references `tri` three times, so a
+      // cached-but-lineaged plan serializes the ue/deg subtree 9+ ways into
+      // every task binary (observed 6-9 MiB tasks). Truncating lineage here
+      // keeps the final stages' closures kilobyte-sized.
       val oriented = ue
         .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
@@ -152,20 +157,26 @@ object GraphMining {
             struct(col("a").as("u"), col("b").as("w")))
             .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
         .select(col("e.u").as("u"), col("e.w").as("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val tri = oriented.as("e1")
         .join(oriented.as("e2"),
           col("e2.u") === col("e1.u") && col("e1.w") =!= col("e2.w"))
         .join(oriented.as("e3"),
           col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
         .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val perTri = tri.select(col("x").as("v"))
         .unionAll(tri.select(col("y").as("v")))
         .unionAll(tri.select(col("z").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
-      deg.join(perTri, Seq("v"), "left")
-        .filter(col("d") >= 2)
+      // The d >= 2 restriction is folded behind its own checkpoint: as a
+      // visible Filter it makes InjectRuntimeFilter build bloom filters
+      // for the final join (3 x bounded-size bloom in every task binary),
+      // yet it keeps ~every vertex (an edge endpoint with d = 1 is rare),
+      // so the runtime filter can never prune anything. One extra |V|-row
+      // materialization buys bloom-free kilobyte task closures.
+      val degF = deg.filter(col("d") >= 2).localCheckpoint(true)
+      degF.join(perTri, Seq("v"), "left")
         .select(col("v"), col("d").as("degree"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
           expr("(coalesce(n_tri, 0) * 2000000) div (d * (d - 1))").as("lcc_q6"))
