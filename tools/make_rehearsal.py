@@ -12,13 +12,70 @@ result:
     python3 tools/make_rehearsal.py /root/testdata/sf0.01 /tmp/rehearsal [N]
     sbt "runMain graft.Verify /tmp/rehearsal /tmp/verify_rehearsal"
     python3 tools/check.py /tmp/rehearsal /tmp/verify_rehearsal
+
+--power additionally injects per-key degree skew the verbatim clone can
+never produce (clones multiply ROWS but keep per-key item degrees):
+  - events gains ONE power user holding 2100 distinct items — 2000 of
+    them new vocabulary, so |V| = 2100 and the capItemsPerKey bound
+    (GREATEST(64, 4·isqrt|V|) = 180) genuinely truncates (2100 -> 180);
+    its events are 1 h apart so sessionizers see many 1-event sessions,
+    not one mega-basket.
+  - lineitem gains ONE power order holding the 2000 smallest partkeys
+    (|parts| = 20000 -> cap 564 truncates 2000 -> 564), each line
+    templated from a real row of that part so every non-key column
+    stays realistic.
+Both engines read the same parquet, so every oracle stays valid; the
+point is showing the capped bipartite/CF family flat under adversarial
+per-key degree, not just row volume.
 """
+import argparse
 import os
 import sys
 
 import duckdb
 
 COPY = ["region", "nation", "customer", "supplier", "part"]
+
+POWER_USER = 3_999_999_999  # beyond any clone's user_id offset range
+POWER_EVENT_ITEMS = 2100
+POWER_ORDER_PARTS = 2000
+
+
+def power_events_sql(src, cols):
+    """One power user, one row per item 0..2099; columns emitted in table
+    order so the UNION ALL with the clone parts lines up positionally."""
+    overrides = {
+        "event_id": f"(SELECT MAX(event_id) FROM '{src}/events.parquet') + 1 + i AS event_id",
+        "ts": "TIMESTAMP '2024-03-01 00:00:00' + i * INTERVAL 1 HOUR AS ts",
+        "user_id": f"CAST({POWER_USER} AS BIGINT) AS user_id",
+        "event_type": "'view' AS event_type",
+        "value": "CAST(1.0 AS DOUBLE) AS value",
+        "props": "'{\"k\": ' || i || '}' AS props",
+    }
+    sel = ", ".join(overrides.get(c, f"NULL AS {c}") for c in cols)
+    return (f"SELECT {sel} FROM (SELECT CAST(UNNEST(RANGE(0, "
+            f"{POWER_EVENT_ITEMS})) AS BIGINT) AS i)")
+
+
+def power_lineitem_sql(src, cols):
+    """One power order over the POWER_ORDER_PARTS smallest partkeys, each
+    line templated from that part's first real row (deterministic pick);
+    columns emitted in table order for the positional UNION ALL."""
+    sel = ", ".join(
+        f"(SELECT MAX(l_orderkey) FROM '{src}/lineitem.parquet') + 1 AS l_orderkey"
+        if c == "l_orderkey"
+        else "CAST(ROW_NUMBER() OVER (ORDER BY l_partkey) AS INTEGER) AS l_linenumber"
+        if c == "l_linenumber" else c
+        for c in cols)
+    return f"""
+    SELECT {sel} FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                   ORDER BY l_orderkey, l_linenumber) AS rn_pow
+      FROM '{src}/lineitem.parquet'
+      WHERE l_partkey IN (SELECT DISTINCT l_partkey
+                          FROM '{src}/lineitem.parquet'
+                          ORDER BY l_partkey LIMIT {POWER_ORDER_PARTS})
+    ) WHERE rn_pow = 1"""
 
 
 def clones(n):
@@ -33,8 +90,15 @@ def clones(n):
 
 
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    CLONES = clones(int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("out")
+    ap.add_argument("factor", nargs="?", type=int, default=8)
+    ap.add_argument("--power", action="store_true",
+                    help="inject the power user / power order skew rows")
+    args = ap.parse_args()
+    src, out = args.src, args.out
+    CLONES = clones(args.factor)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in COPY:
@@ -53,12 +117,25 @@ def main():
                 else (f"{c} + {k * 1000} AS {c}" if c == extra else c)
                 for c in cols)
             parts.append(f"SELECT {sel} FROM '{src}/{t}.parquet'")
+        if args.power and t == "events":
+            parts.append(power_events_sql(src, cols))
+        if args.power and t == "lineitem":
+            parts.append(power_lineitem_sql(src, cols))
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{t}.parquet'"
             " (FORMAT PARQUET)")
     for t in list(CLONES) + COPY:
         n = con.execute(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}")
+    if args.power:
+        pu = con.execute(
+            f"SELECT COUNT(DISTINCT props->>'k') FROM '{out}/events.parquet'"
+            f" WHERE user_id = {POWER_USER}").fetchone()[0]
+        po = con.execute(
+            f"SELECT MAX(c) FROM (SELECT COUNT(DISTINCT l_partkey) AS c"
+            f" FROM '{out}/lineitem.parquet' GROUP BY l_orderkey)").fetchone()[0]
+        print(f"power: user {POWER_USER} holds {pu} items; "
+              f"widest order holds {po} parts")
 
 
 if __name__ == "__main__":

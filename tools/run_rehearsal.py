@@ -60,10 +60,17 @@ def main():
                     help="round number; derives the default --out name")
     ap.add_argument("--out", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--clone", default="/tmp/rehearsal32")
+    ap.add_argument("--clone", default=None,
+                    help="clone dir (default /tmp/rehearsal{factor}[_power] "
+                         "— derived, so a power run never silently reuses a "
+                         "plain clone)")
     ap.add_argument("--factor", type=int, default=32)
     ap.add_argument("--slowest", type=int, default=25)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--power", action="store_true",
+                    help="build the clone with make_rehearsal --power "
+                         "(adversarial per-key degree skew: power user / "
+                         "power order); artifact records power: true")
     ap.add_argument("--only", default="",
                     help="comma list: restrict the ORACLE replay to these "
                          "queries (engine still runs the full registry); "
@@ -80,7 +87,12 @@ def main():
             ap.error("one of --round / --out is required (prevents "
                      "overwriting a previous round's committed artifact)")
         suffix = f"_{args.factor}x" if args.factor != 32 else ""
+        if args.power:
+            suffix += "_power"
         args.out = f"REHEARSAL_r{args.round}{suffix}.json"
+    if args.clone is None:
+        args.clone = (f"/tmp/rehearsal{args.factor}"
+                      + ("_power" if args.power else ""))
     skips = dict(KNOWN_SKIPS)
     for item in args.skip:
         name, _, reason = item.partition("=")
@@ -89,8 +101,11 @@ def main():
 
     built = False
     if args.rebuild or not os.path.exists(f"{args.clone}/lineitem.parquet"):
-        r = run([sys.executable, "tools/make_rehearsal.py", args.sf,
-                 args.clone, str(args.factor)])
+        cmd = [sys.executable, "tools/make_rehearsal.py", args.sf,
+               args.clone, str(args.factor)]
+        if args.power:
+            cmd.append("--power")
+        r = run(cmd)
         if r.returncode != 0:
             sys.exit("clone build failed")
         built = True
@@ -148,6 +163,7 @@ def main():
         "sf": args.sf,
         "clone": args.clone,
         "factor": args.factor,
+        "power": args.power,
         "clone_rebuilt": built,
         "n_pass": n_pass,
         "n_fail": n_fail,
