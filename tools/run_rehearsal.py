@@ -142,13 +142,23 @@ def main():
     slow = sorted(base, key=base.get, reverse=True)[:args.slowest]
     slow = [q for q in slow if results.get(q) != "skip"]
     if slow:
+        # read the FULL per-query JSON via an explicit out file — the
+        # stdout line is a compact headline truncated to the 24 slowest,
+        # which silently drops timings when --slowest > 24
+        bench_out = f"{args.clone}_bench.json"
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.clone,
-                   SPARK_GRAFT_BENCH_ONLY=",".join(slow))
+                   SPARK_GRAFT_BENCH_ONLY=",".join(slow),
+                   SPARK_GRAFT_BENCH_OUT=bench_out)
         r = run(["sbt", "runMain graft.Bench"],
                 env=env, capture_output=True, text=True)
-        m = re.search(r'\{"metric".*\}', r.stdout)
-        if m:
-            cap = json.loads(m.group(0))
+        cap = None
+        try:
+            cap = json.load(open(bench_out))
+        except Exception:
+            m = re.search(r'\{"metric".*\}', r.stdout)
+            if m:
+                cap = json.loads(m.group(0))
+        if cap:
             for q, sec in cap["queries"].items():
                 timings[q] = {
                     "sf01_sec": round(base.get(q, 0.0), 3),
