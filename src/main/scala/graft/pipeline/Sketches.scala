@@ -100,7 +100,13 @@ object Sketches {
     * (key·2654435761 must stay under 2⁶³ — any id below ~3.4e9). The ONE
     * definition of the mix; [[hllMixCtes]] is its SQL twin. */
   def hllMix(key: Column): Column = {
-    val x1 = pmod(key * 2654435761L + 104729L, lit(P))
+    // pre-reduce mod P before the Knuth multiply: a raw 64-bit key above
+    // ~3.47e9 (Long.Max / 2654435761) overflows the product — found by the
+    // power-skew rehearsal's 4e9 user id; real deployments carry snowflake
+    // ids far past that. pmod(key, P) < 2^31 keeps the product < 5.7e18,
+    // and keys < P (all pre-existing fixtures) hash unchanged.
+    val x0 = pmod(key, lit(P))
+    val x1 = pmod(x0 * 2654435761L + 104729L, lit(P))
     val x3 = pmod(x1.bitwiseXOR(shiftright(x1, 15)) * 104729L + 12345L, lit(P))
     x3.bitwiseXOR(shiftright(x3, 13))
   }
@@ -109,7 +115,7 @@ object Sketches {
     * `hv` (+ any carried columns). `carry` is a comma-terminated column
     * list copied through each stage (e.g. "grp,"), empty for none. */
   def hllMixCtes(src: String, keyExpr: String, carry: String = ""): String =
-    s"""h0 AS (SELECT $carry (($keyExpr * 2654435761 + 104729) % $P) AS x1 FROM $src),
+    s"""h0 AS (SELECT $carry ((((($keyExpr) % $P + $P) % $P) * 2654435761 + 104729) % $P) AS x1 FROM $src),
        |h1 AS (SELECT $carry ((xor(x1, x1 >> 15) * 104729 + 12345) % $P) AS x3 FROM h0),
        |h AS (SELECT $carry xor(x3, x3 >> 13) AS hv FROM h1)""".stripMargin
 
