@@ -186,8 +186,8 @@ object Windows {
         |SELECT user_id, CAST(grp AS BIGINT) AS grp, batch_id,
         |  CASE WHEN n_in_grp < 40 THEN 'no_run'
         |       WHEN batch_id < CAST(FLOOR(n_in_grp / 40) AS BIGINT)
-        |       THEN PRINTF('historical_%02d', grp)
-        |       ELSE PRINTF('forward_%02d', grp) END AS mode,
+        |       THEN PRINTF('historical_%02d', CAST(grp AS BIGINT))
+        |       ELSE PRINTF('forward_%02d', CAST(grp AS BIGINT)) END AS mode,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM numbered GROUP BY user_id, grp, batch_id, n_in_grp
         |ORDER BY user_id, grp, batch_id""".stripMargin) { (s, d) =>
