@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Geo.queries ++
       operators.BloomJoin.queries ++
       operators.EventAnalytics.queries ++
+      operators.EventJourneys.queries ++
       operators.Quality.queries ++
       operators.Cdc.queries ++
       operators.Stats.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       pipeline.Embeddings.queries ++
       pipeline.Packing.queries ++
       pipeline.Corpus.queries ++
+      pipeline.CorpusTokenizers.queries ++
       pipeline.Lexical.queries ++
       pipeline.Clustering.queries ++
       pipeline.Multimodal.queries ++

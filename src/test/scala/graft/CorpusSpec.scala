@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Clustering, Corpus}
+import graft.pipeline.{Clustering, Corpus, CorpusTokenizers}
 import graft.operators.BloomJoin
 import org.apache.spark.sql.functions._
 
@@ -275,7 +275,7 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "i", "t")
     (1 to 3).foreach { r =>
       val ((ba, bb, bn), refApplied) = refRound(docs)
-      val (stat, applied) = Corpus.bpeMergeRound(r, sparkToks)
+      val (stat, applied) = CorpusTokenizers.bpeMergeRound(r, sparkToks)
       val st = stat.collect().head
       assert((st.getAs[String]("lhs"), st.getAs[String]("rhs"), st.getAs[Long]("n_pair"))
         === ((ba, bb, bn)), s"round $r argmax diverged")
