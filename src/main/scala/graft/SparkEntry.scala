@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Quality.queries ++
       operators.Cdc.queries ++
       operators.Stats.queries ++
+      operators.StatsInference.queries ++
       operators.StatsTimeSeries.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++

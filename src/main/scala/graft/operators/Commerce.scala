@@ -620,6 +620,46 @@ object Commerce {
         sum(when(col("p1").isNull, col("p2") * col("q2")).otherwise(0L)).as("new_eff_c"),
         (-sum(when(col("p2").isNull, col("p1") * col("q1")).otherwise(0L)))
           .as("discontinued_eff_c"))
+    },
+
+    // Deterministic negative sampling for recommender / two-tower
+    // training data: 4 hash-proposed (customer, part) candidates per
+    // customer — part = (custkey·2654435761 + j·2246822519) mod |parts|,
+    // Knuth multiplicative constants, exact BIGINT (custkey ≤ ~10⁶ keeps
+    // the product ≪ 2⁶³; the hllMix lesson) — minus the observed
+    // positives via one keyed left-anti join. NEVER rand(): the sample
+    // must be reproducible across engines, retries, and speculative task
+    // re-execution. Scale shape: candidates are generated by an explode
+    // over the dimension table (no shuffle), the anti-join is keyed by
+    // (custkey, partkey) against the distinct positives reduction, and
+    // the positives distinct is a combiner groupBy on the fact table.
+    QueryDef.sql(
+      "q_negative_sampling",
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part),
+        |cand AS (
+        |  SELECT cu.c_custkey AS c, CAST(j AS BIGINT) AS j,
+        |    (cu.c_custkey * 2654435761 + CAST(j AS BIGINT) * 2246822519) % np.np AS p
+        |  FROM customer cu CROSS JOIN np, UNNEST(RANGE(1, 5)) AS u(j))
+        |SELECT c AS custkey, j, p AS neg_partkey FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = cand.c AND pos.p = cand.p)
+        |ORDER BY custkey, j""".stripMargin) { (s, d) =>
+      val pos = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select(col("c"), col("p")).distinct()
+      val np = Tables.part(s, d).agg(count(lit(1)).as("np"))
+      val cand = Tables.customer(s, d).select(col("c_custkey").as("c"))
+        .crossJoin(broadcast(np))
+        .select(col("c"), explode(array((1 to 4).map(j => lit(j.toLong)): _*)).as("j"),
+          col("np"))
+        .select(col("c"), col("j"),
+          pmod(col("c") * lit(2654435761L) + col("j") * lit(2246822519L), col("np")).as("p"))
+      cand.join(pos, Seq("c", "p"), "left_anti")
+        .select(col("c").as("custkey"), col("j"), col("p").as("neg_partkey"))
+        .orderBy(col("custkey"), col("j"))
     }
   )
 }

@@ -559,6 +559,117 @@ object Embeddings {
             / sqrt(col("n2b").cast("double")) * lit(1000000.0)).cast("long")
             .as("cos_q6"))
         .orderBy(col("label_a"), col("label_b"))
+    },
+
+    // Top principal component of the embedding cloud: one distributed
+    // O(n*d^2) covariance-moment reduction (the ONLY pass over the data),
+    // then the power METHOD BY MATRIX SQUARING: 10 exact q8-rescaled
+    // squarings give M^1024 (the q_markov_conversion exact-squaring
+    // precedent), whose row-sum is M^1024 applied to the all-ones
+    // vector, i.e. 1024 power-iteration steps at log cost. Squaring
+    // matters because this spectrum's top is near-degenerate
+    // (l2/l1 = 0.987): plain per-round iteration would need ~700 rounds
+    // for the 1e-6 variance capture StatsInferenceSpec gates; M^1024
+    // reaches 1-3e-12, i.e. the q8 quantization floor. Elements quantize at q3 (NOT the cosine
+    // family's q6) so the centered moment n*Sxy - Sx*Sy stays exact
+    // int64 up to n ~ 5e6 rows; every rescale divides by the max-abs
+    // entry with a DOUBLE floor (int64->double->floor is bit-identical
+    // cross-engine; integer div is NOT, because DuckDB floors while
+    // Spark div truncates toward zero on negatives). The matrix carries
+    // q8 entries (64·1e16 product sums still < 2^63) because rescale
+    // noise compounds over the squarings (q8 holds it below 1e-11).
+    // Each squaring is a
+    // 4096-row self-join, so the matrix algebra costs the same at any
+    // corpus size: the whole query is one heavy combiner-reduced moment
+    // shuffle plus driver-scale algebra kept inside the engine for
+    // cross-engine determinism.
+    QueryDef.sql(
+      "q_pca_power_iter",
+      {
+        val cov =
+          """q AS MATERIALIZED (
+            |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+            |    CAST(FLOOR(embedding[CAST(i AS INTEGER)] * 1000) AS BIGINT) AS x
+            |  FROM embeddings, UNNEST(RANGE(1, 65)) AS u(i)),
+            |m1 AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM q GROUP BY i),
+            |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+            |m2 AS (
+            |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+            |  FROM q a JOIN q b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+            |cov AS (
+            |  SELECT m2.i, m2.j,
+            |    CAST(nn.n * m2.sxy - ma.sx * mb.sx AS BIGINT) AS c
+            |  FROM m2
+            |  JOIN m1 ma ON ma.i = m2.i
+            |  JOIN m1 mb ON mb.i = m2.j
+            |  CROSS JOIN nn),
+            |mx0 AS (SELECT CAST(MAX(ABS(c)) AS BIGINT) AS m FROM cov),
+            |c0 AS MATERIALIZED (
+            |  SELECT i, j, CASE WHEN mx0.m = 0 THEN CAST(0 AS BIGINT)
+            |    ELSE CAST(FLOOR(CAST(c AS DOUBLE) * 100000000.0
+            |      / CAST(mx0.m AS DOUBLE)) AS BIGINT) END AS c
+            |  FROM cov CROSS JOIN mx0)""".stripMargin
+        val squarings = (1 to 10).map { r =>
+          val prev = s"c${r - 1}"
+          s"""p$r AS (
+             |  SELECT a.i AS i, b.j AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS c
+             |  FROM $prev a JOIN $prev b ON b.i = a.j GROUP BY a.i, b.j),
+             |mx$r AS (SELECT CAST(MAX(ABS(c)) AS BIGINT) AS m FROM p$r),
+             |c$r AS MATERIALIZED (
+             |  SELECT i, j, CASE WHEN mx$r.m = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(FLOOR(CAST(c AS DOUBLE) * 100000000.0
+             |      / CAST(mx$r.m AS DOUBLE)) AS BIGINT) END AS c
+             |  FROM p$r CROSS JOIN mx$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $cov,
+           |$squarings,
+           |w AS (SELECT i AS dim, CAST(SUM(c) AS BIGINT) AS w FROM c10 GROUP BY i),
+           |mw AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w)
+           |SELECT dim, CASE WHEN mw.m = 0 THEN CAST(0 AS BIGINT)
+           |  ELSE CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0
+           |    / CAST(mw.m AS DOUBLE)) AS BIGINT) END AS v_q6
+           |FROM w CROSS JOIN mw ORDER BY dim""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+          floor(col("e").cast("double") * 1000).cast("long").as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m1 = q.groupBy(col("i")).agg(sum(col("x")).as("sx"))
+      val nn = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+      val cov = q.as("a").join(q.as("b"), Seq("vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x") * col("b.x")).as("sxy"))
+        .join(broadcast(m1.select(col("i"), col("sx").as("sxa"))), Seq("i"))
+        .join(broadcast(m1.select(col("i").as("j"), col("sx").as("sxb"))), Seq("j"))
+        .crossJoin(broadcast(nn))
+        .select(col("i"), col("j"),
+          (col("n") * col("sxy") - col("sxa") * col("sxb")).as("c"))
+      def rescale(m: org.apache.spark.sql.DataFrame, valCol: String,
+                  out: String, scale: Double): org.apache.spark.sql.DataFrame = {
+        val mx = m.agg(max(abs(col(valCol))).as("m"))
+        m.crossJoin(broadcast(mx))
+          .withColumn(out,
+            when(col("m") === 0, lit(0L))
+              .otherwise(floor(col(valCol).cast("double") * lit(scale)
+                / col("m").cast("double")).cast("long")))
+          .drop("m", if (out == valCol) "__none__" else valCol)
+      }
+      var c = rescale(cov, "c", "cq", 1e8).withColumnRenamed("cq", "c")
+        .localCheckpoint(true)
+      for (_ <- 1 to 10) {
+        val p = c.as("a")
+          .join(c.select(col("i").as("j"), col("j").as("jj"), col("c").as("cb")).as("b"),
+            Seq("j"))
+          .groupBy(col("i"), col("jj").as("j2"))
+          .agg(sum(col("c") * col("cb")).as("c"))
+          .select(col("i"), col("j2").as("j"), col("c"))
+        c = rescale(p, "c", "cq", 1e8).withColumnRenamed("cq", "c")
+          .localCheckpoint(true)
+      }
+      val w = c.groupBy(col("i").as("dim")).agg(sum(col("c")).as("w"))
+      rescale(w, "w", "v_q6", 1e6).select(col("dim"), col("v_q6")).orderBy(col("dim"))
     }
   )
 }

@@ -3,8 +3,9 @@ package graft.pipeline
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Neighborhood-structure mining over the power-law document graph:
-  * common-neighbor link prediction and per-vertex local clustering.
+/** Neighborhood-structure mining over the power-law document graph
+  * (common-neighbor link prediction, per-vertex local clustering) plus
+  * the general connected-components primitive the graph family closes on.
   *
   * Both operators run against [[Graphs.skewedUndirectedEdges]] — the
   * Zipf-like generator whose node 0 receives ~half of ALL edges — because
@@ -182,6 +183,76 @@ object GraphMining {
           expr("(coalesce(n_tri, 0) * 2000000) div (d * (d - 1))").as("lcc_q6"))
         .orderBy(col("lcc_q6").desc, col("n_tri").desc, col("v"))
         .limit(50)
+    },
+
+    // Connected components by min-label propagation WITH pointer jumping:
+    // each round every vertex adopts min(own label, neighbors' labels,
+    // label-of-label). The label-of-label join is the doubling step — the
+    // frontier a label has traveled doubles per round, so convergence is
+    // O(log diameter) rounds instead of O(diameter). The fixture graph is
+    // the doc-id path cut into 97-vertex segments (edge i→i+1 absent when
+    // (i+1) % 97 = 0 or i+1 is missing), whose diameter is FIXED at 96 at
+    // any corpus size — 8 doubling rounds (2^7 = 128 ≥ 96) suffice at any
+    // scale, which is exactly the property that makes pointer-jumping CC
+    // the 100 TB shape: per round two keyed equi-joins + one combiner
+    // min-groupBy, no windows, no driver state.
+    //
+    // The oracle does NOT replay the iteration: on a path-segment graph
+    // the components are analytically the maximal runs of consecutive
+    // present ids within a segment, i.e. a gaps-and-islands derivation —
+    // an independent closed form the engine's general-purpose CC must
+    // reproduce exactly (the q_burst_physics analytic-replay pattern).
+    QueryDef.sql(
+      "q_connected_components",
+      """WITH ids AS (SELECT doc_id AS v FROM documents),
+        |mk AS (
+        |  SELECT v, CASE WHEN v % 97 = 0
+        |      OR LAG(v) OVER (ORDER BY v) IS DISTINCT FROM v - 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM ids),
+        |isl AS (
+        |  SELECT v, SUM(brk) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM mk)
+        |SELECT CAST(MIN(v) AS BIGINT) AS component,
+        |  CAST(COUNT(*) AS BIGINT) AS size
+        |FROM isl GROUP BY g ORDER BY component""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).select(col("doc_id").as("v"))
+        .localCheckpoint(true)
+      val fwd = ids.filter(pmod(col("v") + 1, lit(97)) =!= 0)
+        .select(col("v").as("a"), (col("v") + 1).as("b"))
+        .join(ids.select(col("v").as("b")), Seq("b"), "left_semi")
+      ccLabels(ids, fwd, rounds = 8)
+        .groupBy(col("l").as("component"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("component"))
     }
   )
+
+  /** `rounds` rounds of min-label propagation with pointer jumping over an
+    * undirected edge list `edges` (a, b). Each round every vertex takes
+    * min(own, neighbors', label-of-label) — the last term doubles the
+    * distance a minimum has traveled per round, so full convergence needs
+    * only ⌈log₂(diameter)⌉+1 rounds (GraphMiningSpec proves the bound is
+    * tight: one round fewer leaves a worst-case path unconverged).
+    * Returns (v, l) with l = the component's minimum vertex id. */
+  def ccLabels(ids: org.apache.spark.sql.DataFrame,
+               edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint(true)
+    var lbl = ids.select(col("v"), col("v").as("l"))
+    for (_ <- 1 to rounds) {
+      val nbr = adj
+        .join(lbl.select(col("v").as("u"), col("l")), Seq("u"))
+        .select(col("v"), col("l"))
+      val ptr = lbl.as("x")
+        .join(lbl.select(col("v").as("l"), col("l").as("l2")).as("y"), Seq("l"))
+        .select(col("x.v").as("v"), col("l2").as("l"))
+      lbl = lbl.select(col("v"), col("l"))
+        .unionAll(nbr).unionAll(ptr)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
 }

@@ -801,6 +801,63 @@ object Lexical {
           expr("((c2 + 1) * 1000000) div (c1 + 1)").as("growth_q6"))
         .orderBy(col("growth_q6").desc, col("term"))
         .limit(25)
+    },
+
+    // Distributional divergence of each source from the whole corpus:
+    // Bhattacharyya affinity BC = Σ_w √(p_w·q_w) and squared Hellinger
+    // H² = 1 − BC over term distributions. Deliberately sqrt-only — IEEE
+    // sqrt is correctly rounded in both engines while ln/exp are not, so
+    // Hellinger is the divergence this engine can hash-match (the same
+    // reason the JS/KL family is absent). Each term's contribution
+    // √(c_s·c_g)/√(n_s·n_g) is floor-quantized to q6 BEFORE the per-source
+    // sum, so accumulation order is irrelevant; c_s·c_g ≤ n_s·n_g stays
+    // an exact int64→double conversion below 2⁵³ up to ~10⁸ corpus
+    // tokens per source. Scale shape: one token explode → (source, term)
+    // combiner groupBy, a term-keyed shuffle join against the corpus
+    // marginal (dictionary-sized, NOT broadcast), one 20-row readout.
+    QueryDef.sql(
+      "q_hellinger_sources",
+      """WITH tok AS (
+        |  SELECT source, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |cs AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, w),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+        |cg AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cgl FROM cs GROUP BY w),
+        |ng AS (SELECT CAST(SUM(cgl) AS BIGINT) AS n FROM cg),
+        |term AS (
+        |  SELECT cs.source,
+        |    CAST(FLOOR(SQRT(CAST(cs.c * cg.cgl AS DOUBLE)) * 1000000.0
+        |      / SQRT(CAST(ns.n AS DOUBLE) * CAST(ng.n AS DOUBLE))) AS BIGINT) AS t_q6
+        |  FROM cs
+        |  JOIN cg ON cg.w = cs.w
+        |  JOIN ns ON ns.source = cs.source
+        |  CROSS JOIN ng)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(t_q6) AS BIGINT) AS bc_q6,
+        |  1000000 - CAST(SUM(t_q6) AS BIGINT) AS h2_q6
+        |FROM term GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val cs = Tables.documents(s, d)
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit(tokPat), lit(0))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .persist()
+      val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cg = cs.groupBy(col("w")).agg(sum(col("c")).as("cgl"))
+      val ng = cg.agg(sum(col("cgl")).as("ng"))
+      cs.join(cg, Seq("w"))
+        .join(broadcast(ns.select(col("source"), col("n").as("ns"))), Seq("source"))
+        .crossJoin(broadcast(ng))
+        .select(col("source"),
+          floor(sqrt((col("c") * col("cgl")).cast("double")) * lit(1000000.0)
+            / sqrt(col("ns").cast("double") * col("ng").cast("double")))
+            .cast("long").as("t_q6"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("t_q6")).as("bc_q6"))
+        .select(col("source"), col("n_terms"), col("bc_q6"),
+          (lit(1000000L) - col("bc_q6")).as("h2_q6"))
+        .orderBy(col("source"))
     }
   )
 }
