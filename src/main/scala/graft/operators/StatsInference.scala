@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Hypothesis-test readouts the experimentation surface still lacked:
   * one-way ANOVA (k-group mean comparison — the k>2 generalization of
-  * q_abtest_z) and the tie-corrected Mann-Whitney rank-sum U (the
-  * distribution-free two-sample test; reference analogy: the
-  * summary-stats family of `build_frame_db.py:233-270` read out as
-  * decision statistics).
+  * q_abtest_z), the tie-corrected Mann-Whitney rank-sum U, its k-group
+  * generalization Kruskal-Wallis H, and the paired Wilcoxon signed-rank
+  * test (reference analogy: the summary-stats family of
+  * `build_frame_db.py:233-270` read out as decision statistics).
+  * `streaming/Sessions.groupMomentsStream` is the continuous twin of
+  * the ANOVA moment reduction.
   *
   * Determinism contract (shared with Stats.scala): every sufficient
   * statistic is an exact integer reduction — BIGINT first moments,
@@ -19,10 +21,11 @@ import org.apache.spark.sql.functions._
   * accumulation order can never matter.
   *
   * Scale posture: ANOVA reduces the fact stream to k group-moment rows
-  * (one combiner-backed groupBy); Mann-Whitney reduces it to a
+  * (one combiner-backed groupBy); the rank tests reduce it to a
   * quantized-value histogram whose size is bounded by the value DOMAIN
-  * (≤ 49k centi-unit cells here), not the row count, so the rank-sum
-  * window runs over a domain-bounded table at any data scale.
+  * (≤ 49k centi-unit cells here — Wilcoxon's by the USER dimension),
+  * not the row count, so every rank window runs over a domain-bounded
+  * table at any data scale.
   */
 object StatsInference {
 
@@ -165,6 +168,166 @@ object StatsInference {
               * lit(1000000.0)
               / (lit(2.0) * sqrt(col("n0").cast("double") * col("n1").cast("double") / lit(12.0)
                 * tieTerm))).cast("long"))
+          .as("z_q6"))
+    },
+
+    // Kruskal-Wallis H (the k-group rank generalization — the
+    // distribution-free counterpart of q_anova_f): global doubled
+    // mid-ranks over the centi-value histogram, per-group rank sums, and
+    // each group's R²/n contribution pre-scaled by 1/(4N²) and
+    // floor-quantized at q6 BEFORE the k-row sum — the scaled term is
+    // bounded by n_g, so it can never overflow regardless of how skewed
+    // the group sizes are. H is then recovered as 12·S·N/(1e6·(N+1)) −
+    // 3(N+1), one shared IEEE tree; the tie-corrected variant divides by
+    // 1 − Σ(t³−t)/(N³−N) computed in doubles (N³ exceeds int64 at
+    // scale).
+    QueryDef.sql(
+      "q_kruskal_wallis",
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |gh AS (
+        |  SELECT g, vq, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY g, vq),
+        |th AS (SELECT vq, CAST(SUM(c) AS BIGINT) AS t FROM gh GROUP BY vq),
+        |rk AS (
+        |  SELECT vq, t,
+        |    2 * (SUM(t) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r2
+        |  FROM th),
+        |tot AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM th),
+        |pg AS (
+        |  SELECT gh.g, CAST(SUM(gh.c) AS BIGINT) AS ng,
+        |    CAST(SUM(gh.c * rk.r2) AS BIGINT) AS r2s
+        |  FROM gh JOIN rk ON rk.vq = gh.vq GROUP BY gh.g),
+        |sq AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(FLOOR(
+        |      (CAST(pg.r2s AS DOUBLE) / CAST(pg.ng AS DOUBLE))
+        |      * (CAST(pg.r2s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      / (4.0 * CAST(tot.n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM pg CROSS JOIN tot),
+        |fin AS (
+        |  SELECT sq.k, tot.n, tot.ties,
+        |    12.0 * CAST(sq.s AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |      / (1000000.0 * CAST(tot.n + 1 AS DOUBLE))
+        |      - 3.0 * CAST(tot.n + 1 AS DOUBLE) AS h
+        |  FROM sq CROSS JOIN tot)
+        |SELECT k AS k_groups, n AS n_total,
+        |  CAST(FLOOR(h * 1000000.0) AS BIGINT) AS h_q6,
+        |  CASE WHEN CAST(ties AS DOUBLE) >= CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE) THEN NULL
+        |  ELSE CAST(FLOOR(h * 1000000.0
+        |    / (1.0 - CAST(ties AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE)))) AS BIGINT)
+        |  END AS h_tie_q6
+        |FROM fin""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      val gh = base.groupBy(col("g"), col("vq")).agg(count(lit(1)).as("c"))
+      val th = gh.groupBy(col("vq")).agg(sum(col("c")).as("t"))
+      val w = Window.orderBy(col("vq")).rowsBetween(Window.unboundedPreceding, 0)
+      val rk = th.select(col("vq"),
+        (lit(2) * (sum(col("t")).over(w) - col("t")) + col("t") + 1).as("r2"))
+      val tot = th.agg(sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val pg = gh.join(rk, Seq("vq"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("r2")).as("r2s"))
+      val sq = pg.crossJoin(broadcast(tot))
+        .select(floor(
+          (col("r2s").cast("double") / col("ng").cast("double"))
+            * (col("r2s").cast("double") / col("n").cast("double"))
+            / (lit(4.0) * col("n").cast("double")) * lit(1000000.0)).cast("long").as("hq"))
+        .agg(count(lit(1)).as("k"), sum(col("hq")).as("s"))
+      val nD = col("n").cast("double")
+      val h = lit(12.0) * col("s").cast("double") * nD /
+        (lit(1000000.0) * (col("n") + 1).cast("double")) -
+        lit(3.0) * (col("n") + 1).cast("double")
+      val tieDen = lit(1.0) - col("ties").cast("double") / (nD * nD * nD - nD)
+      sq.crossJoin(broadcast(tot))
+        .select(col("k").as("k_groups"), col("n").as("n_total"),
+          floor(h * lit(1000000.0)).cast("long").as("h_q6"),
+          when(col("ties").cast("double") >= nD * nD * nD - nD, lit(null))
+            .otherwise(floor(h * lit(1000000.0) / tieDen).cast("long"))
+            .as("h_tie_q6"))
+    },
+
+    // Wilcoxon signed-rank (paired test): each user's centi-quantized
+    // value total in the second half of the timeline vs the first half —
+    // the pair is (user, period), the signed difference d is an exact
+    // BIGINT, zero differences drop per the textbook procedure. Ranks of
+    // |d| use the doubled-mid-rank histogram (bounded by the USER
+    // dimension, not the fact table), W⁺ is reported ×2 as an exact
+    // BIGINT, and the normal approximation carries the exact Σ(t³−t)/48
+    // tie correction.
+    QueryDef.sql(
+      "q_wilcoxon_signed_rank",
+      """WITH base AS (
+        |  SELECT user_id, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |sp AS (SELECT (MIN(di) + MAX(di) + 1) // 2 AS cut FROM base),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN di >= sp.cut THEN vq ELSE 0 END)
+        |      - SUM(CASE WHEN di < sp.cut THEN vq ELSE 0 END) AS BIGINT) AS dd
+        |  FROM base CROSS JOIN sp GROUP BY user_id, sp.cut),
+        |nz AS (SELECT user_id, dd, ABS(dd) AS ad FROM pu WHERE dd <> 0),
+        |hist AS (
+        |  SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM nz GROUP BY ad),
+        |rk AS (
+        |  SELECT ad, t, tp,
+        |    2 * (SUM(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS r2
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(tp * r2) AS BIGINT) AS w2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM rk)
+        |SELECT n AS n_pairs, w2 AS w_x2,
+        |  CASE WHEN n = 0 OR CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+        |      * CAST(2 * n + 1 AS DOUBLE) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0 <= 0 THEN NULL
+        |  ELSE CAST(FLOOR(CAST(w2 - n * (n + 1) // 2 AS DOUBLE) * 1000000.0
+        |    / (2.0 * SQRT(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+        |        * CAST(2 * n + 1 AS DOUBLE) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0))) AS BIGINT)
+        |  END AS z_q6
+        |FROM agg""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("di"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      val sp = base.agg(expr("(min(di) + max(di) + 1) div 2").as("cut"))
+      val pu = base.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"), col("cut"))
+        .agg((sum(when(col("di") >= col("cut"), col("vq")).otherwise(0L))
+          - sum(when(col("di") < col("cut"), col("vq")).otherwise(0L))).as("dd"))
+      val nz = pu.filter(col("dd") =!= 0)
+        .select(col("dd"), abs(col("dd")).as("ad"))
+      val hist = nz.groupBy(col("ad")).agg(
+        count(lit(1)).as("t"),
+        sum(when(col("dd") > 0, 1L).otherwise(0L)).as("tp"))
+      val w = Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, 0)
+      val rk = hist.select(col("ad"), col("t"), col("tp"),
+        (lit(2) * (sum(col("t")).over(w) - col("t")) + col("t") + 1).as("r2"))
+      val agg = rk.agg(
+        sum(col("t")).as("n"), sum(col("tp") * col("r2")).as("w2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val varD = col("n").cast("double") * (col("n") + 1).cast("double") *
+        (lit(2) * col("n") + 1).cast("double") / lit(24.0) -
+        col("ties").cast("double") / lit(48.0)
+      agg.select(col("n").as("n_pairs"), col("w2").as("w_x2"),
+        when(col("n") === 0 || varD <= 0, lit(null))
+          .otherwise(floor(
+            (col("w2") - expr("n * (n + 1) div 2")).cast("double") * lit(1000000.0)
+              / (lit(2.0) * sqrt(varD))).cast("long"))
           .as("z_q6"))
     }
   )

@@ -648,4 +648,34 @@ object Sessions {
           }.iterator
       }
   }
+
+  final case class MomentEvent(g: String, vq: Long)
+  final case class MomentState(n: Long, s1: Long, s2: Long)
+  final case class MomentRow(g: String, n: Long, s1: Long, s2: Long)
+
+  /** Streaming per-group moment accumulation — the stateful twin of the
+    * q_anova_f reduction: three longs of state per group (n, Σx, Σx²),
+    * folded per micro-batch in any arrival order (sums commute, unlike
+    * the sequential twins above). The batch path keeps Σx² in
+    * DECIMAL(38,0); the stream state is a Long, exact while
+    * n·max(vq)² < 2⁶³ (~3·10⁷ rows at this value range) — a per-group
+    * continuous-experiment monitor, not an unbounded historical rollup,
+    * which is the batch operator's job. StreamingSpec proves the
+    * streamed moments — and the F statistic recomputed from them —
+    * equal the batch query's. */
+  def groupMomentsStream(ds: Dataset[MomentEvent]): Dataset[MomentRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.g)
+      .flatMapGroupsWithState[MomentState, MomentRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g, it, state: GroupState[MomentState]) =>
+          var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.foreach { ev =>
+            s = MomentState(s.n + 1, s.s1 + ev.vq, s.s2 + ev.vq * ev.vq)
+          }
+          state.update(s)
+          Iterator.single(MomentRow(g, s.n, s.s1, s.s2))
+      }
+  }
 }

@@ -690,4 +690,52 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Long]("peak_bal"), r.getAs[Long]("n_floor_hits"))).toMap
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming group moments reproduce the batch ANOVA F exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-mom").toString
+    val inDir = s"$tmp/in"
+    val ev = Tables.events(spark, sf())
+      .select($"event_id", $"event_type".as("g"),
+        floor($"value" * 1000).cast("long").as("vq"))
+    // two arbitrary micro-batches — moment folds commute, no order needed
+    ev.filter($"event_id" % 2 === 0).drop("event_id").coalesce(1).write.parquet(inDir)
+    Thread.sleep(50)
+    ev.filter($"event_id" % 2 === 1).drop("event_id").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[Sessions.MomentEvent]
+    val q = Sessions.groupMomentsStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mom_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("mom_stream")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"n".desc)))
+      .filter($"rn" === 1)
+      .select($"g", $"n", $"s1", $"s2")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val batchMom = ev.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"vq").as("s1"), sum($"vq" * $"vq").as("s2"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(streamed.nonEmpty && streamed == batchMom)
+    // F recomputed from the streamed state equals the batch query's f_q6
+    val k = streamed.size.toLong
+    val n = streamed.values.map(_._1).sum
+    val sswG = streamed.values.map { case (ng, s1, s2) =>
+      math.floor(s2.toDouble - s1.toDouble * (s1.toDouble / ng.toDouble)).toLong
+    }.sum
+    val s1T = streamed.values.map(_._2).sum
+    val s2T = streamed.values.map(_._3).sum
+    val ssb = math.floor(s2T.toDouble - s1T.toDouble * (s1T.toDouble / n.toDouble)).toLong - sswG
+    val f = math.floor(ssb.toDouble * (n - k).toDouble * 1e6 /
+      ((k - 1).toDouble * sswG.toDouble)).toLong
+    val batchF = SparkEntry.queries("q_anova_f")(spark, sf()).collect().head
+    assert(batchF.getAs[Long]("f_q6") == f,
+      s"streamed-state F $f vs batch ${batchF.getAs[Long]("f_q6")}")
+  }
 }
