@@ -45,6 +45,7 @@ object SparkEntry {
       pipeline.Sketches.queries ++
       pipeline.Graphs.queries ++
       pipeline.GraphMining.queries ++
+      pipeline.Eval.queries ++
       sources.EmbeddedDb.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -329,6 +329,123 @@ object StatsInference {
             (col("w2") - expr("n * (n + 1) div 2")).cast("double") * lit(1000000.0)
               / (lit(2.0) * sqrt(varD))).cast("long"))
           .as("z_q6"))
+    },
+
+    // Tukey HSD post-hoc: after q_anova_f rejects, WHICH group pairs
+    // differ — the studentized range statistic q = |mean_i − mean_j| /
+    // √(MSW/2·(1/n_i + 1/n_j)) for every unordered pair, from the same
+    // exact (n, Σx, Σx²) moments (MSW reuses the q0-quantized SSW so the
+    // two queries are consistent by construction). The pair join is a
+    // k-row self-join — k is the group vocabulary, never the fact table.
+    QueryDef.sql(
+      "q_tukey_hsd",
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 1000) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vq) AS BIGINT) AS s1, SUM(vq * vq) AS s2
+        |  FROM base GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS ssw
+        |  FROM m)
+        |SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |  CAST(FLOOR(CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) AS BIGINT) AS diff_q3,
+        |  CASE WHEN tot.n <= tot.k OR tot.ssw <= 0 THEN NULL
+        |  ELSE CAST(FLOOR(ABS(CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) * 1000000.0
+        |    / SQRT(CAST(tot.ssw AS DOUBLE) / CAST(tot.n - tot.k AS DOUBLE) / 2.0
+        |        * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))) AS BIGINT)
+        |  END AS q_q6
+        |FROM m a JOIN m b ON a.g < b.g CROSS JOIN tot
+        |ORDER BY g1, g2""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val base = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        floor(col("value") * 1000).cast("long").as("vq"))
+      val m = base.groupBy(col("g")).agg(
+        count(lit(1)).as("n"), sum(col("vq")).as("s1"),
+        sum((col("vq") * col("vq")).cast(dec)).as("s2")).localCheckpoint(true)
+      val tot = m.select(col("n"), col("s1"),
+          floor(col("s2").cast("double")
+            - col("s1").cast("double") * (col("s1").cast("double") / col("n").cast("double")))
+            .cast("long").as("ssw_g"))
+        .agg(count(lit(1)).as("k"), sum(col("n")).as("nt"), sum(col("ssw_g")).as("ssw"))
+      val pairs = m.select(col("g").as("g1"), col("n").as("n1"), col("s1").as("s1a"))
+        .join(m.select(col("g").as("g2"), col("n").as("n2"), col("s1").as("s1b")),
+          col("g1") < col("g2"))
+        .crossJoin(broadcast(tot))
+      val meanDiff = col("s1a").cast("double") / col("n1").cast("double") -
+        col("s1b").cast("double") / col("n2").cast("double")
+      pairs.select(col("g1"), col("g2"), col("n1"), col("n2"),
+          floor(meanDiff).cast("long").as("diff_q3"),
+          when(col("nt") <= col("k") || col("ssw") <= 0, lit(null))
+            .otherwise(floor(abs(meanDiff) * lit(1000000.0)
+              / sqrt(col("ssw").cast("double") / (col("nt") - col("k")).cast("double")
+                / lit(2.0)
+                * (lit(1.0) / col("n1").cast("double")
+                  + lit(1.0) / col("n2").cast("double")))).cast("long"))
+            .as("q_q6"))
+        .orderBy(col("g1"), col("g2"))
+    },
+
+    // McNemar paired-proportion test: did each user's HIGH-VALUE
+    // conversion status (a purchase with value >= 200 — the q_abtest_z
+    // rarity criterion, so the status genuinely flips between halves)
+    // CHANGE across the two timeline halves — the
+    // discordant-pair counts b = converted→lapsed, c = lapsed→converted,
+    // chi² = (b−c)²/(b+c) plus the Edwards continuity-corrected variant,
+    // all exact integer arithmetic until the single q6 division. One
+    // user-keyed combiner reduction; the 2×2 readout is one row.
+    QueryDef.sql(
+      "q_mcnemar",
+      """WITH base AS (
+        |  SELECT user_id, CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS di,
+        |    CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |sp AS (SELECT (MIN(di) + MAX(di) + 1) // 2 AS cut FROM base),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN di < sp.cut THEN conv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(MAX(CASE WHEN di >= sp.cut THEN conv ELSE 0 END) AS BIGINT) AS c2
+        |  FROM base CROSS JOIN sp GROUP BY user_id),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM pu)
+        |SELECT n_users, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    ELSE ((b - c) * (b - c) * 1000000) // (b + c) END AS chi2_q6,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    WHEN ABS(b - c) <= 1 THEN 0
+        |    ELSE ((ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000) // (b + c)
+        |  END AS chi2_cc_q6
+        |FROM agg""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("di"),
+        when(col("event_type") === "purchase" && col("value") >= 200, 1)
+          .otherwise(0).as("conv"))
+      val sp = base.agg(expr("(min(di) + max(di) + 1) div 2").as("cut"))
+      val pu = base.crossJoin(broadcast(sp))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("di") < col("cut"), col("conv")).otherwise(0)).cast("long").as("c1"),
+          max(when(col("di") >= col("cut"), col("conv")).otherwise(0)).cast("long").as("c2"))
+      val agg = pu.agg(count(lit(1)).as("n_users"),
+        sum(when(col("c1") === 1 && col("c2") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("c1") === 0 && col("c2") === 1, 1L).otherwise(0L)).as("c"))
+      agg.select(col("n_users"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, lit(null))
+          .otherwise(expr("((b - c) * (b - c) * 1000000) div (b + c)")).as("chi2_q6"),
+        when(col("b") + col("c") === 0, lit(null))
+          .when(abs(col("b") - col("c")) <= 1, lit(0L))
+          .otherwise(expr("((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) div (b + c)"))
+          .as("chi2_cc_q6"))
     }
   )
 }

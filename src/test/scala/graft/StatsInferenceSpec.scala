@@ -125,6 +125,54 @@ class StatsInferenceSpec extends SparkSpec {
     }
   }
 
+  test("auc-roc: U-identity bounds and rank consistency") {
+    val r = SparkEntry.queries("q_auc_roc")(spark, sf("sf0.01")).collect().head
+    val n1 = r.getAs[Long]("n_pos"); val n0 = r.getAs[Long]("n_neg")
+    val u2 = r.getAs[Long]("u_x2"); val auc = r.getAs[Long]("auc_q6")
+    assert(n0 > 0 && n1 > 0 && n0 + n1 == 500)
+    assert(u2 >= 0 && u2 <= 2 * n0 * n1, s"U out of range: $u2")
+    assert(auc == u2 * 500000 / (n0 * n1))
+    assert(auc >= 0 && auc <= 1000000)
+  }
+
+  test("confusion matrix: marginals conserve the corpus") {
+    val rows = SparkEntry.queries("q_langid_confusion")(spark, sf("sf0.01")).collect()
+    val nDocs = Tables.documents(spark, sf("sf0.01")).count()
+    // every document is exactly one (actual, predicted) cell: actual
+    // marginals tp+fn sum to the corpus, predicted marginals tp+fp too
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum == nDocs)
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp")).sum == nDocs)
+    rows.foreach { r =>
+      Option(r.getAs[Any]("precision_q6")).foreach(p =>
+        assert(p.asInstanceOf[Long] >= 0 && p.asInstanceOf[Long] <= 1000000))
+      Option(r.getAs[Any]("f1_q6")).foreach { f =>
+        val fl = f.asInstanceOf[Long]
+        val p = r.getAs[Long]("precision_q6"); val rc = r.getAs[Long]("recall_q6")
+        assert(fl <= math.max(p, rc) && fl >= math.min(p, rc) - 1,
+          "harmonic mean must sit between precision and recall")
+      }
+    }
+  }
+
+  test("tukey hsd: all pairs present, q >= 0, consistent with anova moments") {
+    val rows = SparkEntry.queries("q_tukey_hsd")(spark, sf("sf0.01")).collect()
+    val k = SparkEntry.queries("q_anova_f")(spark, sf("sf0.01")).collect()
+      .head.getAs[Long]("k_groups")
+    assert(rows.length == k * (k - 1) / 2, "one row per unordered group pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("g1") < r.getAs[String]("g2"))
+      Option(r.getAs[Any]("q_q6")).foreach(q => assert(q.asInstanceOf[Long] >= 0))
+    }
+  }
+
+  test("mcnemar: discordant pairs exist and chi2 matches the closed form") {
+    val r = SparkEntry.queries("q_mcnemar")(spark, sf("sf0.01")).collect().head
+    val b = r.getAs[Long]("b"); val c = r.getAs[Long]("c")
+    assert(b + c > 0, "the threshold must leave discordant pairs at sf0.01")
+    assert(b + c <= r.getAs[Long]("n_users"))
+    assert(r.getAs[Long]("chi2_q6") == (b - c) * (b - c) * 1000000 / (b + c))
+  }
+
   test("negative sampling: disjoint from positives and deterministic") {
     val d = sf("sf0.01")
     val neg = SparkEntry.queries("q_negative_sampling")(spark, d)
