@@ -722,4 +722,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert(p.contains("partial_sum"), s"denominator sum lost its combiner:\n$p")
   }
+
+  test("rank-test windows run over the value histogram, never raw rows") {
+    // Mann-Whitney / Kruskal-Wallis / AUC share the histogram-rank shape:
+    // the raw scan must reduce through a map-side-combined aggregate
+    // BEFORE any Window appears, so the single-partition rank window only
+    // ever sees the domain-bounded histogram
+    for (q <- Seq("q_mann_whitney", "q_kruskal_wallis", "q_auc_roc")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: histogram lost map-side combine:\n$p")
+      val preWindow = p.substring(p.indexOf("Window"))
+      assert(preWindow.contains("HashAggregate"),
+        s"$q: window is not fed by an aggregate:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("connected-components rounds are keyed joins + combiner min, no windows") {
+    val p = plan("q_connected_components")
+    // the localCheckpoints hide per-round plans; the visible tail must
+    // still be the combiner-count readout with no window/sort of labels
+    assert(!p.contains("Window"), s"CC must not sort/window raw labels:\n$p")
+    assert(p.contains("partial_count"), s"size count lost its combiner:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // one un-checkpointed round over a synthetic graph: the min-label
+    // fold must partial-aggregate map-side and join on the vertex keys
+    import spark.implicits._
+    val ids = (0L until 50L).toDF("v")
+    val e = (0L until 49L).map(i => (i, i + 1)).toDF("a", "b")
+    val adj = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+    val lbl = ids.select(col("v"), col("v").as("l"))
+    val nbr = adj.join(lbl.select(col("v").as("u"), col("l")), Seq("u"))
+      .select(col("v"), col("l"))
+    val ptr = lbl.as("x")
+      .join(lbl.select(col("v").as("l"), col("l").as("l2")).as("y"), Seq("l"))
+      .select(col("x.v").as("v"), col("l2").as("l"))
+    val round = lbl.unionAll(nbr).unionAll(ptr)
+      .groupBy(col("v")).agg(min(col("l")).as("l"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("partial_min"), s"round lost its map-side min combiner:\n$rp")
+    assert(!rp.contains("CartesianProduct") && !rp.contains("Window"),
+      s"round must be keyed joins only:\n$rp")
+  }
+
+  test("pca moment pass is one combiner-reduced self-join; iterations broadcast") {
+    val p = plan("q_pca_power_iter")
+    // the O(n·d²) moment reduction must partial-aggregate map-side
+    assert(p.contains("partial_sum"), s"moment sums lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("negative sampling anti-joins positives on the composite key") {
+    val p = plan("q_negative_sampling")
+    assert(p.contains("LeftAnti"), s"positive exclusion lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
