@@ -689,6 +689,116 @@ object StatsTimeSeries {
           array_join(transform(array_sort(collect_list(struct(col("sg"), col("s")))),
             x => x.getField("s")), "").as("sax"))
         .orderBy(col("event_type"))
+    },
+
+    // Additive Holt-Winters (triple exponential, index-based period 7)
+    // over the per-type daily count series — the seasonal completion of
+    // q_holt_linear. α = β = γ = 1/2 as exact binary halving (the
+    // holtStep discipline: halving a < 2⁵³ integer in a double is exact
+    // and FLOOR is negative-safe, so both engines replay the fold
+    // bit-for-bit): l' = ⌊(x − s_slot + l + b)/2⌋, b' = ⌊(l' − l + b)/2⌋,
+    // s_slot' = ⌊(x − l' + s_slot)/2⌋, slot = (rn−1) mod 7. Level seeds
+    // at ⌊Σ(first 7)/7⌋ with the first week's deviations as the seasonal
+    // vector; seasonality is INDEX-based (grid gaps compress), which is
+    // what makes the recursion engine-portable. Sequential per-series
+    // state (9 longs) runs in-partition over the BOUNDED daily grid
+    // exactly like q_holt_linear; the oracle carries the seven seasonal
+    // slots as recursive-CTE columns.
+    QueryDef.sql(
+      "q_holt_winters",
+      {
+        def sOld(p: String, rn: String) =
+          s"CASE ($rn - 1) % 7" +
+            (0 to 6).map(i => s" WHEN $i THEN $p.s$i").mkString + " END"
+        val l2 = s"CAST(FLOOR((s.xc - ${sOld("w", "s.rn")} + w.l + w.b) / 2.0) AS BIGINT)"
+        val b2 = s"CAST(FLOOR(($l2 - w.l + w.b) / 2.0) AS BIGINT)"
+        val sNew = s"CAST(FLOOR((s.xc - $l2 + ${sOld("w", "s.rn")}) / 2.0) AS BIGINT)"
+        val slotCols = (0 to 6).map(i =>
+          s"CASE WHEN (s.rn - 1) % 7 = $i THEN $sNew ELSE w.s$i END").mkString(",\n    ")
+        val initS = (1 to 7).map(i => s"x$i - l0").mkString(", ")
+        val xPivot = (1 to 7).map(i =>
+          s"MAX(CASE WHEN rn = $i THEN xc END) AS x$i").mkString(",\n    ")
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |seq AS (
+           |  SELECT event_type, x * 100 AS xc,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM daily),
+           |init AS (
+           |  SELECT event_type, SUM(CASE WHEN rn <= 7 THEN xc ELSE 0 END) // 7 AS l0,
+           |    $xPivot
+           |  FROM seq GROUP BY event_type HAVING MAX(rn) >= 8),
+           |walk(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+           |  SELECT event_type, CAST(7 AS BIGINT), l0, CAST(0 AS BIGINT), $initS
+           |  FROM init
+           |  UNION ALL
+           |  SELECT s.event_type, s.rn, $l2, $b2,
+           |    $slotCols
+           |  FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1),
+           |last AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+           |  FROM walk)
+           |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+           |  CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+           |  CAST(s0 AS BIGINT) AS s0_c, CAST(s1 AS BIGINT) AS s1_c,
+           |  CAST(s2 AS BIGINT) AS s2_c, CAST(s3 AS BIGINT) AS s3_c,
+           |  CAST(s4 AS BIGINT) AS s4_c, CAST(s5 AS BIGINT) AS s5_c,
+           |  CAST(s6 AS BIGINT) AS s6_c,
+           |  CAST(l + b + ${sOld("last", "rn + 1")} AS BIGINT) AS fc1_c
+           |FROM last WHERE rr = 1 ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("ep"),
+          (col("x") * 100).as("xc"))
+        .as[(String, Long, Long)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("ep"))
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(String, Long, Long, Long, Array[Long], Long)]
+          var cur: String = null
+          var n = 0L; var l = 0L; var b = 0L
+          var sv = new Array[Long](7)
+          val firstWeek = new Array[Long](7)
+          def flush(): Unit = if (n > 7) {
+            val fc1 = l + b + sv(((n + 1 - 1) % 7).toInt)
+            out += ((cur, n, l, b, sv.clone(), fc1))
+          }
+          it.foreach { case (t, _, xc) =>
+            if (t != cur) {
+              flush(); cur = t; n = 0L; l = 0L; b = 0L; sv = new Array[Long](7)
+            }
+            n += 1
+            if (n <= 7) {
+              firstWeek((n - 1).toInt) = xc
+              if (n == 7) {
+                l = firstWeek.sum / 7
+                b = 0L
+                for (i <- 0 until 7) sv(i) = firstWeek(i) - l
+              }
+            } else {
+              val slot = ((n - 1) % 7).toInt
+              val l2 = math.floor((xc - sv(slot) + l + b) / 2.0).toLong
+              val b2 = math.floor((l2 - l + b) / 2.0).toLong
+              val s2 = math.floor((xc - l2 + sv(slot)) / 2.0).toLong
+              l = l2; b = b2; sv(slot) = s2
+            }
+          }
+          flush()
+          out.iterator
+        }
+        .map { case (t, n, l, b, sv, fc1) =>
+          (t, n, l, b, sv(0), sv(1), sv(2), sv(3), sv(4), sv(5), sv(6), fc1)
+        }
+        .toDF("event_type", "n_days", "level_c", "trend_c",
+          "s0_c", "s1_c", "s2_c", "s3_c", "s4_c", "s5_c", "s6_c", "fc1_c")
+        .orderBy(col("event_type"))
     }
   )
 }
