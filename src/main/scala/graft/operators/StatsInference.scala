@@ -446,6 +446,71 @@ object StatsInference {
           .when(abs(col("b") - col("c")) <= 1, lit(0L))
           .otherwise(expr("((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) div (b + c)"))
           .as("chi2_cc_q6"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov over the same parity cohorts as
+    // q_mann_whitney: D = max|F₀(x) − F₁(x)| read off the centi-value
+    // histogram with the division deferred — the per-cell statistic
+    // |cum₀·n₁ − cum₁·n₀| is an exact BIGINT (≤ n₀·n₁ ≈ 3.6e12 at the
+    // 100x fact table, so ·10⁶ stays inside int64), and only the final
+    // asymptotic λ = D·√(n₀n₁/(n₀+n₁)) is one shared IEEE tree. The
+    // cumulative window runs over the domain-bounded histogram, never a
+    // sort of the fact table.
+    QueryDef.sql(
+      "q_ks_test",
+      """WITH base AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS coh,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |hist AS (
+        |  SELECT vq,
+        |    CAST(SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM base GROUP BY vq),
+        |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        |        FROM hist),
+        |rk AS (
+        |  SELECT SUM(c0) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS f0,
+        |    SUM(c1) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS f1
+        |  FROM hist),
+        |mx AS (
+        |  SELECT CAST(MAX(ABS(f0 * tot.n1 - f1 * tot.n0)) AS BIGINT) AS d_num
+        |  FROM rk CROSS JOIN tot)
+        |SELECT tot.n0, tot.n1, mx.d_num,
+        |  CASE WHEN tot.n0 = 0 OR tot.n1 = 0 THEN NULL
+        |    ELSE (mx.d_num * 1000000) // (tot.n0 * tot.n1) END AS d_q6,
+        |  CASE WHEN tot.n0 = 0 OR tot.n1 = 0 THEN NULL
+        |    ELSE CAST(FLOOR(CAST(mx.d_num AS DOUBLE)
+        |      / (CAST(tot.n0 AS DOUBLE) * CAST(tot.n1 AS DOUBLE))
+        |      * SQRT(CAST(tot.n0 AS DOUBLE) * CAST(tot.n1 AS DOUBLE)
+        |             / CAST(tot.n0 + tot.n1 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) END AS ks_q6
+        |FROM tot CROSS JOIN mx""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        pmod(col("user_id"), lit(2)).cast("long").as("coh"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      val hist = base.groupBy(col("vq")).agg(
+        sum(when(col("coh") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("coh") === 1, 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint(true)
+      val tot = hist.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      // domain-bounded global window: one row per centi-unit value cell
+      val w = Window.orderBy(col("vq")).rowsBetween(Window.unboundedPreceding, 0)
+      val mx = hist.select(
+          sum(col("c0")).over(w).as("f0"), sum(col("c1")).over(w).as("f1"))
+        .crossJoin(broadcast(tot))
+        .agg(max(abs(col("f0") * col("n1") - col("f1") * col("n0"))).as("d_num"))
+      val n0d = col("n0").cast("double")
+      val n1d = col("n1").cast("double")
+      tot.crossJoin(broadcast(mx))
+        .select(col("n0"), col("n1"), col("d_num"),
+          when(col("n0") === 0 || col("n1") === 0, lit(null))
+            .otherwise(expr("(d_num * 1000000) div (n0 * n1)")).as("d_q6"),
+          when(col("n0") === 0 || col("n1") === 0, lit(null))
+            .otherwise(floor(col("d_num").cast("double") / (n0d * n1d)
+              * sqrt(n0d * n1d / (col("n0") + col("n1")).cast("double"))
+              * lit(1000000.0)).cast("long"))
+            .as("ks_q6"))
     }
   )
 }

@@ -61,6 +61,16 @@ object Eval {
       |         ELSE 'es' END AS pred_lang
       |  FROM scored)""".stripMargin
 
+  /** The argmax decision rule of `predSql`, as an engine Column over the
+    * output of [[scored]]. */
+  private def predicted(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("pred_lang",
+      when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "unknown")
+        .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+        .when(col("s_fr") >= col("s_es"), "fr")
+        .otherwise("es"))
+
   val queries: Seq[QueryDef] = Seq(
 
     // AUC-ROC of the English-ness score s_en against the lang column:
@@ -144,13 +154,7 @@ object Eval {
          |    ELSE (2 * ((tp * 1000000) // (tp + fp)) * ((tp * 1000000) // (tp + fn)))
          |      // ((tp * 1000000) // (tp + fp) + (tp * 1000000) // (tp + fn)) END AS f1_q6
          |FROM m ORDER BY class""".stripMargin) { (s, d) =>
-      val pred = scored(Tables.documents(s, d))
-        .withColumn("pred_lang",
-          when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "unknown")
-            .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
-            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
-            .when(col("s_fr") >= col("s_es"), "fr")
-            .otherwise("es"))
+      val pred = predicted(scored(Tables.documents(s, d)))
       val cm = pred.groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("c")).localCheckpoint(true)
       val cls = cm.select(col("lang").as("class"))
@@ -180,6 +184,173 @@ object Eval {
                 " div ((tp * 1000000) div (tp + fp) + (tp * 1000000) div (tp + fn))"))
             .as("f1_q6"))
         .orderBy(col("class"))
+    },
+
+    // Cohen's kappa of the langid classifier against the lang column:
+    // chance-corrected agreement κ = (N·Σdiag − Σ row_i·col_i) /
+    // (N² − Σ row_i·col_i), an exact rational from the confusion-matrix
+    // marginals — the numerator can be negative (worse-than-chance), so
+    // the q6 readout extracts the sign before the floor division to keep
+    // both engines on positive-operand integer division (Spark `div`
+    // truncates toward zero, DuckDB `//` floors; they only agree on
+    // nonnegative operands). N² ≤ 2.5e11 at the 100x corpus, so
+    // |num|·10⁶ stays inside int64. One combiner matrix bounded by the
+    // label vocabulary squared; the marginal join is label-vocabulary
+    // sized.
+    QueryDef.sql(
+      "q_cohens_kappa",
+      s"""WITH $scoredSql,
+         |$predSql,
+         |cm AS (
+         |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pred GROUP BY lang, pred_lang),
+         |tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS BIGINT) AS agree
+         |  FROM cm),
+         |rm AS (SELECT lang AS cls, CAST(SUM(c) AS BIGINT) AS r FROM cm GROUP BY lang),
+         |cg AS (SELECT pred_lang AS cls, CAST(SUM(c) AS BIGINT) AS g
+         |       FROM cm GROUP BY pred_lang),
+         |pe AS (
+         |  SELECT CAST(COALESCE(SUM(rm.r * cg.g), 0) AS BIGINT) AS pe_num
+         |  FROM rm JOIN cg ON rm.cls = cg.cls)
+         |SELECT tot.n AS n_docs, tot.agree, pe.pe_num,
+         |  CASE WHEN tot.n * tot.n - pe.pe_num = 0 THEN NULL
+         |  ELSE (CASE WHEN tot.n * tot.agree - pe.pe_num < 0 THEN -1 ELSE 1 END)
+         |    * ((ABS(tot.n * tot.agree - pe.pe_num) * 1000000)
+         |       // (tot.n * tot.n - pe.pe_num)) END AS kappa_q6
+         |FROM tot CROSS JOIN pe""".stripMargin) { (s, d) =>
+      val cm = predicted(scored(Tables.documents(s, d)))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val tot = cm.agg(sum(col("c")).as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("c")).otherwise(0L)).as("agree"))
+      val rm = cm.groupBy(col("lang").as("cls")).agg(sum(col("c")).as("r"))
+      val cg = cm.groupBy(col("pred_lang").as("cls")).agg(sum(col("c")).as("g"))
+      val pe = rm.join(cg, Seq("cls"))
+        .agg(coalesce(sum(col("r") * col("g")), lit(0L)).as("pe_num"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"), col("agree"), col("pe_num"),
+          when(col("n") * col("n") - col("pe_num") === 0, lit(null))
+            .otherwise(
+              when(col("n") * col("agree") - col("pe_num") < 0, lit(-1L)).otherwise(lit(1L))
+                * expr("(abs(n * agree - pe_num) * 1000000) div (n * n - pe_num)"))
+            .as("kappa_q6"))
+    },
+
+    // Calibration of the Laplace-smoothed English-ness probability
+    // p = (s_en+1)/(Σscores+4) against the lang column, in 10 fixed
+    // probability bins: per bin the count, the positive rate, the mean
+    // predicted probability, and their gap — the reliability-diagram
+    // readout (and the per-bin terms of ECE). The raw ratio s_en/Σ is
+    // degenerate on this corpus (every doc with any hit lands in bin 9
+    // because non-English stopword hits are rare); the +1/+4 smoothing
+    // is the standard fix and also defines the score for zero-hit docs,
+    // so calibration covers the WHOLE corpus. Per-row p_q6 =
+    // ((s_en+1)·10⁶) div (tot+4) is an exact integer BEFORE the bin
+    // sum, so mean_pred_q6 is engine-exact. One combiner groupBy onto
+    // 10 bins.
+    QueryDef.sql(
+      "q_calibration_bins",
+      s"""WITH $scoredSql,
+         |pp AS (
+         |  SELECT lang, s_en, s_en + s_de + s_fr + s_es AS tot
+         |  FROM scored),
+         |b AS (
+         |  SELECT LEAST(9, ((s_en + 1) * 10) // (tot + 4)) AS bin,
+         |    ((s_en + 1) * 1000000) // (tot + 4) AS p_q6,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM pp),
+         |g AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(SUM(p_q6) AS BIGINT) AS sp
+         |  FROM b GROUP BY bin)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  sp // n AS mean_pred_q6,
+         |  (n_pos * 1000000) // n AS rate_q6,
+         |  ABS(sp // n - (n_pos * 1000000) // n) AS gap_q6
+         |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
+      val pp = scored(Tables.documents(s, d))
+        .withColumn("tot", col("s_en") + col("s_de") + col("s_fr") + col("s_es"))
+      val g = pp.select(
+          least(lit(9), expr("((s_en + 1) * 10) div (tot + 4)")).cast("long").as("bin"),
+          expr("((s_en + 1) * 1000000) div (tot + 4)").as("p_q6"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"), sum(col("p_q6")).as("sp"))
+      g.select(col("bin"), col("n"), col("n_pos"),
+          expr("sp div n").as("mean_pred_q6"),
+          expr("(n_pos * 1000000) div n").as("rate_q6"),
+          abs(expr("sp div n") - expr("(n_pos * 1000000) div n")).as("gap_q6"))
+        .orderBy(col("bin"))
+    },
+
+    // Cumulative gains / lift by score decile: rank the corpus by the
+    // English-ness score descending, cut into 10 deciles, and read off
+    // how much of the positive class the top k/10 captures (gain) and at
+    // what multiple of the base rate (lift) — the campaign-targeting
+    // readout that complements AUC. Deciles are assigned WHOLE
+    // score-histogram cells by their exclusive cumulative start
+    // (LEAST(9, cumb·10 div N)), so tied scores never straddle a decile
+    // and the assignment is deterministic in both engines; with a
+    // coarse integer score the high deciles can be empty and cell-heavy
+    // deciles oversized — that is the documented tie contract. Both
+    // windows run over aggregates (score histogram, then 10 decile
+    // rows), never the corpus.
+    QueryDef.sql(
+      "q_lift_gain",
+      s"""WITH $scoredSql,
+         |hist AS (
+         |  SELECT s_en AS sc, CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM scored GROUP BY s_en),
+         |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS p
+         |        FROM hist),
+         |rk AS (
+         |  SELECT sc, t, c1,
+         |    SUM(t) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) - t AS cumb
+         |  FROM hist),
+         |g AS (
+         |  SELECT LEAST(9, (rk.cumb * 10) // tot.n) AS dec,
+         |    CAST(SUM(t) AS BIGINT) AS n_d, CAST(SUM(c1) AS BIGINT) AS pos_d
+         |  FROM rk CROSS JOIN tot GROUP BY LEAST(9, (rk.cumb * 10) // tot.n)),
+         |cum AS (
+         |  SELECT dec, n_d, pos_d,
+         |    CAST(SUM(n_d) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |    CAST(SUM(pos_d) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+         |  FROM g)
+         |SELECT CAST(dec AS BIGINT) AS decile, n_d AS n, pos_d AS n_pos, cn AS cum_n,
+         |  cp AS cum_pos,
+         |  CASE WHEN tot.p = 0 THEN NULL ELSE (cp * 1000000) // tot.p END AS gain_q6,
+         |  CASE WHEN tot.p = 0 OR cn = 0 THEN NULL
+         |    ELSE (cp * tot.n * 1000000) // (cn * tot.p) END AS lift_q6
+         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin) { (s, d) =>
+      val hist = scored(Tables.documents(s, d))
+        .groupBy(col("s_en").as("sc"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint(true)
+      val tot = hist.agg(sum(col("t")).as("n"), sum(col("c1")).as("p"))
+      // domain-bounded window: one row per distinct stopword-hit count
+      val w = Window.orderBy(col("sc").desc).rowsBetween(Window.unboundedPreceding, 0)
+      val g = hist.select(col("t"), col("c1"),
+          (sum(col("t")).over(w) - col("t")).as("cumb"))
+        .crossJoin(broadcast(tot))
+        .groupBy(least(lit(9), expr("(cumb * 10) div n")).as("dec"))
+        .agg(sum(col("t")).as("n_d"), sum(col("c1")).as("pos_d"))
+      // 10-row window over the decile aggregate
+      val wd = Window.orderBy(col("dec")).rowsBetween(Window.unboundedPreceding, 0)
+      g.select(col("dec"), col("n_d"), col("pos_d"),
+          sum(col("n_d")).over(wd).as("cn"),
+          sum(col("pos_d")).over(wd).as("cp"))
+        .crossJoin(broadcast(tot))
+        .select(col("dec").cast("long").as("decile"), col("n_d").as("n"),
+          col("pos_d").as("n_pos"), col("cn").as("cum_n"), col("cp").as("cum_pos"),
+          when(col("p") === 0, lit(null))
+            .otherwise(expr("(cp * 1000000) div p")).as("gain_q6"),
+          when(col("p") === 0 || col("cn") === 0, lit(null))
+            .otherwise(expr("(cp * n * 1000000) div (cn * p)")).as("lift_q6"))
+        .orderBy(col("decile"))
     }
   )
 }

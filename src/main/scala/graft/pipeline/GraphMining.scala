@@ -225,8 +225,74 @@ object GraphMining {
         .groupBy(col("l").as("component"))
         .agg(count(lit(1)).as("size"))
         .orderBy(col("component"))
+    },
+
+    // Personalized PageRank: the teleport vector concentrates on the seed
+    // set doc_id % 100 = 0 (~1% of the corpus) instead of spreading
+    // uniformly — the "related to THESE documents" ranking that powers
+    // seed-expansion retrieval, over the same power-law graph as
+    // q_pagerank_skew (the hub is where proximity mass piles up and where
+    // a naive per-vertex formulation would skew). Same integer-exact
+    // round shape as pageRankOn: seeds reset to 150000 per round, every
+    // other vertex's reset is 0, contributions floor(r·0.85/3); the
+    // per-round dst-sum is a combiner aggregate, so the hot vertex
+    // partial-aggregates map-side. Non-seed vertices the seeds never
+    // reach stay at exactly 0 and are excluded from the readout.
+    QueryDef.sql(
+      "q_ppr",
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |${Graphs.skewEdgesSql},
+         |r0 AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN doc_id % 100 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |  FROM nodes),
+         |${pprIterSql("r0", "r1")},
+         |${pprIterSql("r1", "r2")},
+         |${pprIterSql("r2", "r3")}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_q6
+         |FROM r3 WHERE r > 0
+         |ORDER BY rank_q6 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val docs = Tables.documents(s, d)
+      // edges materialized once, pre-partitioned on src — every round's
+      // rank join reuses the partitioning (the pageRankOn discipline)
+      val edges = Graphs.skewedEdges(docs)
+        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+      def reset(base: Long) =
+        when(pmod(col("doc_id"), lit(100)) === 0, lit(base)).otherwise(lit(0L))
+      var ranks = nodes.select(col("doc_id"), reset(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contribs = edges
+          .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+          .select(col("dst"),
+            floor(col("r") * lit(850000.0) / lit(3000000.0)).cast("long").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        ranks = nodes
+          .join(contribs.select(col("dst").as("doc_id"), col("cin")), Seq("doc_id"), "left")
+          .select(col("doc_id"), (reset(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+      }
+      ranks.filter(col("r") > 0)
+        .select(col("doc_id"), col("r").as("rank_q6"))
+        .orderBy(col("rank_q6").desc, col("doc_id"))
+        .limit(20)
     }
   )
+
+  /** One personalized-PageRank round as an oracle CTE: seed reset 150000,
+    * non-seed reset 0, contributions floor(r·0.85/3) — the seeded twin of
+    * Graphs.iterSql. */
+  private def pprIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.doc_id,
+       |    CASE WHEN nd.doc_id % 100 = 0 THEN 150000 ELSE 0 END
+       |      + COALESCE(SUM(c.c), 0) AS r
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst AS doc_id,
+       |      CAST(FLOOR(p.r * 850000.0 / 3000000.0) AS BIGINT) AS c
+       |    FROM edges e JOIN $prev p ON p.doc_id = e.src) c
+       |    ON c.doc_id = nd.doc_id
+       |  GROUP BY nd.doc_id)""".stripMargin
 
   /** `rounds` rounds of min-label propagation with pointer jumping over an
     * undirected edge list `edges` (a, b). Each round every vertex takes
