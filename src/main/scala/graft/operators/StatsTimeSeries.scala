@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * baselines. */
 object StatsTimeSeries {
 
+  /** One additive Holt-Winters update with α = β = γ = 1/2 as exact
+    * binary halving (the holtStep discipline — halving a < 2⁵³ integer in
+    * a double is exact and FLOOR is negative-safe, so batch, stream, and
+    * the recursive-CTE oracle replay the identical fold):
+    * l' = ⌊(x − s + l + b)/2⌋, b' = ⌊(l' − l + b)/2⌋,
+    * s' = ⌊(x − l' + s)/2⌋. Shared by q_holt_winters and
+    * streaming/Sessions.holtWintersStream. */
+  def hwStep(l: Long, b: Long, s: Long, xc: Long): (Long, Long, Long) = {
+    val l2 = math.floor((xc - s + l + b) / 2.0).toLong
+    val b2 = math.floor((l2 - l + b) / 2.0).toLong
+    val s2 = math.floor((xc - l2 + s) / 2.0).toLong
+    (l2, b2, s2)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
 
@@ -784,9 +798,7 @@ object StatsTimeSeries {
               }
             } else {
               val slot = ((n - 1) % 7).toInt
-              val l2 = math.floor((xc - sv(slot) + l + b) / 2.0).toLong
-              val b2 = math.floor((l2 - l + b) / 2.0).toLong
-              val s2 = math.floor((xc - l2 + sv(slot)) / 2.0).toLong
+              val (l2, b2, s2) = hwStep(l, b, sv(slot), xc)
               l = l2; b = b2; sv(slot) = s2
             }
           }

@@ -239,6 +239,56 @@ object Sessions {
       }
   }
 
+  final case class HwState(n: Long, l: Long, b: Long,
+      sv: Seq[Long], fw: Seq[Long])
+  final case class HwSnapshot(event_type: String, n_days: Long,
+      level_c: Long, trend_c: Long, s0_c: Long, s1_c: Long, s2_c: Long,
+      s3_c: Long, s4_c: Long, s5_c: Long, s6_c: Long, fc1_c: Long)
+
+  /** Streaming additive Holt-Winters (period 7) — the continuous twin of
+    * the batch q_holt_winters fold (operators/StatsTimeSeries): per-series
+    * state is 16 longs (n, level, trend, 7 seasonal slots, the first-week
+    * seed buffer) regardless of history length; each micro-batch folds its
+    * daily rows in day order through the SAME StatsTimeSeries.hwStep, so
+    * one availableNow drop reproduces the batch operator's full seasonal
+    * readout exactly for every series past its seed week (StreamingSpec
+    * proves it). Seasonality is INDEX-based like the batch operator, so
+    * the slot is determined by the per-series arrival count, not the
+    * calendar — the stream is assumed day-complete per micro-batch, the
+    * same pre-reduction contract as the batch daily grid. */
+  def holtWintersStream(ds: Dataset[HoltDaily]): Dataset[HwSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, Seq.fill(7)(0L), Seq.fill(7)(0L)))
+          rows.toSeq.sortBy(_.ep).foreach { r =>
+            val n = st.n + 1
+            if (n <= 7) {
+              val fw = st.fw.updated((n - 1).toInt, r.xc)
+              st =
+                if (n == 7) {
+                  val l = fw.sum / 7
+                  HwState(n, l, 0L, fw.map(_ - l), fw)
+                } else st.copy(n = n, fw = fw)
+            } else {
+              val slot = ((n - 1) % 7).toInt
+              val (l2, b2, s2) = graft.operators.StatsTimeSeries.hwStep(
+                st.l, st.b, st.sv(slot), r.xc)
+              st = st.copy(n = n, l = l2, b = b2, sv = st.sv.updated(slot, s2))
+            }
+          }
+          state.update(st)
+          val fc1 = st.l + st.b + st.sv((st.n % 7).toInt)
+          Iterator(HwSnapshot(key, st.n, st.l, st.b,
+            st.sv(0), st.sv(1), st.sv(2), st.sv(3), st.sv(4), st.sv(5),
+            st.sv(6), fc1))
+      }
+  }
+
   final case class SampleDoc(source: String, doc_id: Long)
   final case class MinKRow(source: String, rk: Long, doc_id: Long)
 
