@@ -778,4 +778,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"positive exclusion lost its anti-join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("KS / lift windows read the bounded checkpointed histogram") {
+    // both queries cumulative-sum over a score/value histogram that is
+    // localCheckpoint'd (2 consumers) — the window input must be either
+    // the checkpoint scan or an aggregate, never the raw fact table
+    for (q <- Seq("q_ks_test", "q_lift_gain")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: lost its cumulative window:\n$p")
+      val preWindow = p.substring(p.indexOf("Window"))
+      assert(preWindow.contains("HashAggregate") || preWindow.contains("ExistingRDD"),
+        s"$q: window not fed by histogram aggregate/checkpoint:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("kappa and calibration are pure combiner aggregations, no windows") {
+    for (q <- Seq("q_cohens_kappa", "q_calibration_bins")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: unexpected window:\n$p")
+      assert(p.contains("partial_"), s"$q: lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("personalized pagerank rounds are keyed joins + combiner sums, no windows") {
+    val p = plan("q_ppr")
+    assert(!p.contains("Window"), s"PPR must never window per-vertex ranks:\n$p")
+    assert(p.contains("partial_sum"), s"dst contribution sum lost its combiner:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
