@@ -494,6 +494,83 @@ object Commerce {
     },
 
 
+    // Croston's method — the intermittent-demand forecaster (the classic
+    // for spare-parts/slow-mover series where q_reorder_point's normal
+    // approximation breaks): per part, EWMA the demand SIZES and the
+    // inter-arrival GAPS separately over demand occurrences, forecast
+    // rate = z/p. α = 1/2 as exact binary halving (the hwStep
+    // discipline), so the per-part fold replays bit-for-bit in the
+    // recursive-CTE oracle. Contract: z seeds at the first size, p seeds
+    // at the first gap (occurrence 2); updates z' = ⌊(s+z)/2⌋,
+    // p' = ⌊(g+p)/2⌋; parts need ≥ 2 demand days. SBA column = the
+    // Syntetos-Boylan bias correction (1 − α/2) = 3/4. Sequential state
+    // is 4 longs per part over the (part, day) pre-reduction — demand
+    // days per part are bounded by the calendar, not the fact table.
+    QueryDef.sql(
+      "q_croston",
+      """WITH RECURSIVE dem AS (
+        |  SELECT l_partkey AS pk,
+        |    DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS di,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sz
+        |  FROM lineitem GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT pk, sz,
+        |    CAST(di - LAG(di) OVER (PARTITION BY pk ORDER BY di) AS BIGINT) AS gap,
+        |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY di) AS rn
+        |  FROM dem),
+        |init AS (SELECT pk FROM seq GROUP BY pk HAVING MAX(rn) >= 2),
+        |walk(pk, rn, z, p) AS (
+        |  SELECT s.pk, CAST(1 AS BIGINT), s.sz, CAST(0 AS BIGINT)
+        |  FROM seq s JOIN init i ON i.pk = s.pk WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.pk, s.rn,
+        |    CAST(FLOOR((s.sz + w.z) / 2.0) AS BIGINT),
+        |    CASE WHEN s.rn = 2 THEN s.gap
+        |      ELSE CAST(FLOOR((s.gap + w.p) / 2.0) AS BIGINT) END
+        |  FROM walk w JOIN seq s ON s.pk = w.pk AND s.rn = w.rn + 1),
+        |last AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY rn DESC) AS rr
+        |  FROM walk)
+        |SELECT pk AS l_partkey, rn AS n_demands, z AS z_c, p AS p_c,
+        |  (z * 1000000) // p AS rate_q6, (z * 750000) // p AS sba_q6
+        |FROM last WHERE rr = 1 AND rn >= 2
+        |ORDER BY l_partkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("di"))
+        .agg(sum(col("l_quantity").cast("long")).as("sz"))
+        .as[(Long, Long, Long)]
+        .repartition(col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"), col("di"))
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var cur = Long.MinValue
+          var n = 0L; var z = 0L; var p = 0L; var lastDi = 0L
+          def flush(): Unit = if (n >= 2) out += ((cur, n, z, p))
+          it.foreach { case (pk, di, sz) =>
+            if (pk != cur) { flush(); cur = pk; n = 0L; z = 0L; p = 0L }
+            n += 1
+            if (n == 1) z = sz
+            else {
+              val g = di - lastDi
+              z = math.floor((sz + z) / 2.0).toLong
+              p = if (n == 2) g else math.floor((g + p) / 2.0).toLong
+            }
+            lastDi = di
+          }
+          flush()
+          out.iterator
+        }
+        .map { case (pk, n, z, p) =>
+          (pk, n, z, p, (z * 1000000L) / p, (z * 750000L) / p)
+        }
+        .toDF("l_partkey", "n_demands", "z_c", "p_c", "rate_q6", "sba_q6")
+        .orderBy(col("l_partkey"))
+        .limit(500)
+    },
+
     // Bill-of-materials explosion: the part hierarchy (child c belongs to
     // assembly c div 7, needing c mod 5 + 1 units per parent unit) walked
     // four levels down with quantities MULTIPLIED along each path — the
