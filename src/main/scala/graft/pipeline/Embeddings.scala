@@ -670,6 +670,137 @@ object Embeddings {
       }
       val w = c.groupBy(col("i").as("dim")).agg(sum(col("c")).as("w"))
       rescale(w, "w", "v_q6", 1e6).select(col("dim"), col("v_q6")).orderBy(col("dim"))
+    },
+
+    // Recall@5 of multi-table LSH ANN against the brute-force ground
+    // truth — the eval that closes the similarity-search loop (does the
+    // scale path actually find what the exact path finds?). The
+    // candidate structure is the REAL ANN deployment shape: the 8
+    // hyperplanes split into two independent 4-bit tables, and a
+    // candidate qualifies by matching the probe's bucket in EITHER table
+    // (a single 8-bit table leaves every probe with recall 0 on this
+    // corpus — sign-hash selectivity 1/256 is sharper than the top-5
+    // neighborhood). The OR is expressed as an equi-join on the (vector,
+    // table) key + DISTINCT, never an OR-join. Per probe: candidate
+    // count, how many of the exact top-5 the candidate-restricted top-5
+    // recovers, recall as a q6 integer; both paths share one dot/cosine
+    // computation (the q_ann_bruteforce expression verbatim). A probe
+    // alone in both its buckets scores recall 0, the honest ANN miss.
+    // Scale posture: probe set broadcasts, dots stream map-side through
+    // the codegen'd qdot, table count and plane count grow with log2(n)
+    // at a real corpus (see LshPlanes).
+    QueryDef.sql(
+      "q_ann_recall_at_k",
+      s"""WITH $qelemsSql,
+         |proj AS (
+         |  SELECT vec_id, p,
+         |    CAST(SUM(qe * (((1103515245*(p*97+i+1)+12345) % 2097152) - 1048576)) AS BIGINT) AS s
+         |  FROM qe, UNNEST(RANGE(0, $LshPlanes)) AS u(p)
+         |  GROUP BY vec_id, p),
+         |tbls AS MATERIALIZED (
+         |  SELECT vec_id, p // 4 AS tbl,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POWER(2, p % 4) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id, p // 4),
+         |norms AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |dots AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cand_id, CAST(SUM(q.qe*c.qe) AS BIGINT) AS dot_q
+         |  FROM qe q JOIN qe c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8
+         |  GROUP BY q.vec_id, c.vec_id),
+         |scoredp AS MATERIALIZED (
+         |  SELECT qid, cand_id,
+         |    CAST(FLOOR(dot_q / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) AS BIGINT) AS cos_q6
+         |  FROM dots JOIN norms n1 ON n1.vec_id = qid
+         |            JOIN norms n2 ON n2.vec_id = cand_id),
+         |gt AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, cand_id) AS rk
+         |    FROM scoredp) x WHERE rk <= 5),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT s.qid, s.cand_id, s.cos_q6
+         |  FROM scoredp s
+         |  JOIN tbls bq ON bq.vec_id = s.qid
+         |  JOIN tbls bc ON bc.vec_id = s.cand_id AND bc.tbl = bq.tbl
+         |    AND bc.bucket = bq.bucket),
+         |ann AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, cand_id) AS rk
+         |    FROM cand) x WHERE rk <= 5),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS c FROM cand GROUP BY qid),
+         |hits AS (
+         |  SELECT g.qid, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM gt g JOIN ann a ON a.qid = g.qid AND a.cand_id = g.cand_id
+         |  GROUP BY g.qid)
+         |SELECT e.vec_id AS qid, COALESCE(nc.c, 0) AS n_candidates,
+         |  COALESCE(h.h, 0) AS n_hits,
+         |  (COALESCE(h.h, 0) * 1000000) // 5 AS recall_q6
+         |FROM embeddings e
+         |LEFT JOIN ncand nc ON nc.qid = e.vec_id
+         |LEFT JOIN hits h ON h.qid = e.vec_id
+         |WHERE e.vec_id < 8 ORDER BY qid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.QDot.qdot
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // two independent 4-bit tables from the same 8 hyperplane signs
+      val tbls = qelems(s, d)
+        .select(col("vec_id"), col("i"), col("qe"),
+          explode(sequence(lit(0), lit(LshPlanes - 1))).as("p"))
+        .withColumn("r",
+          (lit(1103515245L) * (col("p") * 97 + col("i") + 1) + 12345L) % 2097152L
+            - 1048576L)
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("qe") * col("r")).as("s"))
+        .groupBy(col("vec_id"), expr("p div 4").as("tbl"))
+        .agg(sum(when(col("s") >= 0, pow(lit(2), pmod(col("p"), lit(4))).cast("long"))
+          .otherwise(0L)).cast("long").as("bucket"))
+        .localCheckpoint(true)
+      val norms = emb.select(col("vec_id"),
+        qdot(col("embedding"), col("embedding")).as("n2"))
+      val probe = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("pe"))
+      val scored = emb.withColumnRenamed("vec_id", "cand_id")
+        .crossJoin(broadcast(probe))
+        .filter(col("qid") =!= col("cand_id"))
+        .select(col("qid"), col("cand_id"),
+          qdot(col("pe"), col("embedding")).as("dot_q"))
+        .join(broadcast(norms.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
+        .join(norms.select(col("vec_id").as("cand_id"), col("n2").as("cn2")),
+          Seq("cand_id"))
+        .select(col("qid"), col("cand_id"),
+          floor(col("dot_q") / sqrt(col("qn2").cast("double") * col("cn2")) * 1000000)
+            .cast("long").as("cos_q6"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_q6").desc, col("cand_id"))
+      val gt = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("qid"), col("cand_id"))
+      // the either-table OR as an equi-join on (vector, tbl) + distinct
+      val cand = scored
+        .join(broadcast(tbls.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("tbl"), col("bucket").as("qb"))),
+          Seq("qid"))
+        .join(tbls.select(col("vec_id").as("cand_id"), col("tbl"),
+          col("bucket").as("cb")), Seq("cand_id", "tbl"))
+        .filter(col("qb") === col("cb"))
+        .select(col("qid"), col("cand_id"), col("cos_q6"))
+        .distinct()
+        .localCheckpoint(true)
+      val ann = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("qid"), col("cand_id"))
+      val nc = cand.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      val hits = gt.join(ann, Seq("qid", "cand_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"))
+        .join(nc, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("c"), lit(0L)).as("n_candidates"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          expr("(coalesce(h, 0) * 1000000) div 5").as("recall_q6"))
+        .orderBy(col("qid"))
     }
   )
 }
