@@ -276,6 +276,102 @@ object GraphMining {
         .select(col("doc_id"), col("r").as("rank_q6"))
         .orderBy(col("rank_q6").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Approximate neighborhood function (HyperANF): per vertex, an HLL
+    // sketch of its r-hop out-ball, advanced one hop per round by
+    // register-wise max-merge over the out-edges — THE way to read
+    // ball-growth / effective-diameter off a graph too big for exact
+    // reachability (exact is |V|·|ball| state; this is ≤ 64 registers
+    // per vertex, and the per-round merge is one keyed join + combiner
+    // max-groupBy, the same shuffle shape as PageRank). Register state
+    // is SPARSE (only touched buckets exist; an absent bucket is rho 0),
+    // so round 0 is exactly one row per vertex. The readout sums
+    // per-vertex floor-quantized HLL estimates — each per-vertex z is a
+    // sum of ≤ 64 negative powers of two plus an integer (every partial
+    // sum exactly representable in a double), so the oracle replays the
+    // registers AND the estimates bit-for-bit. Shares hllMix/rhoOf with
+    // the sketch family (one hash definition everywhere).
+    //
+    // Readout honesty: sum_ball_est is the RAW HLL estimate, which is
+    // upward-biased when balls are small relative to m = 64 (the fixture
+    // regime); deployments apply linear counting below 2.5m, but ln is
+    // not correctly rounded in either engine so it cannot join the
+    // cross-engine contract. sum_present / sum_rho carry the exact
+    // register-level growth curve, which is the monotone ball-growth
+    // signal at any scale.
+    QueryDef.sql(
+      "q_anf", {
+        val (bSql, rhoSql) = Sketches.rhoSqlOf("hv")
+        def stepSql(prev: String, cur: String): String =
+          s"""$cur AS MATERIALIZED (
+             |  SELECT v, b, MAX(rho) AS rho FROM (
+             |    SELECT v, b, rho FROM $prev
+             |    UNION ALL
+             |    SELECT e.src AS v, r.b, r.rho
+             |    FROM edges e JOIN $prev r ON r.v = e.dst) u
+             |  GROUP BY v, b)""".stripMargin
+        def estSql(src: String, round: Int): String =
+          s"""SELECT CAST($round AS BIGINT) AS round,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             |  CAST(SUM(np) AS BIGINT) AS sum_present,
+             |  CAST(SUM(srho) AS BIGINT) AS sum_rho,
+             |  CAST(SUM(est) AS BIGINT) AS sum_ball_est
+             |FROM (
+             |  SELECT v, CAST(COUNT(*) AS BIGINT) AS np,
+             |    CAST(SUM(rho) AS BIGINT) AS srho,
+             |    CAST(FLOOR(0.709 * 64 * 64 /
+             |    (SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE))
+             |     + (64 - COUNT(*)) * 1.0)) AS BIGINT) AS est
+             |  FROM $src GROUP BY v) x""".stripMargin
+        s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+           |edges AS MATERIALIZED (
+           |  SELECT doc_id AS src, (doc_id * 7 + j) % n.n_docs AS dst
+           |  FROM documents CROSS JOIN n CROSS JOIN UNNEST(RANGE(1, 4)) AS u(j)),
+           |${Sketches.hllMixCtes("documents", "doc_id", "doc_id,")},
+           |r0 AS MATERIALIZED (
+           |  SELECT doc_id AS v, $bSql AS b, $rhoSql AS rho FROM h),
+           |${stepSql("r0", "s1")},
+           |${stepSql("s1", "s2")},
+           |${stepSql("s2", "s3")}
+           |SELECT * FROM (
+           |  ${estSql("r0", 0)}
+           |  UNION ALL ${estSql("s1", 1)}
+           |  UNION ALL ${estSql("s2", 2)}
+           |  UNION ALL ${estSql("s3", 3)}) z
+           |ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Graphs.syntheticEdges(docs)
+        .repartition(col("dst")).localCheckpoint(true)
+      val (bCol, rhoCol) = Sketches.rhoOf(Sketches.hllMix(col("doc_id")))
+      val r0 = docs.select(col("doc_id").as("v"), bCol.as("b"), rhoCol.as("rho"))
+        .localCheckpoint(true)
+      val rounds = scala.collection.mutable.ListBuffer(r0)
+      var cur = r0
+      for (_ <- 1 to 3) {
+        cur = cur
+          .unionAll(edges
+            .join(cur.select(col("v").as("dst"), col("b"), col("rho")), Seq("dst"))
+            .select(col("src").as("v"), col("b"), col("rho")))
+          .groupBy(col("v"), col("b")).agg(max(col("rho")).as("rho"))
+          .localCheckpoint(true)
+        rounds += cur
+      }
+      rounds.toList.zipWithIndex.map { case (regs, i) =>
+        regs.groupBy(col("v"))
+          .agg(count(lit(1)).as("np"), sum(col("rho")).as("srho"),
+            (sum(lit(1.0) /
+              expr("cast(shiftleft(cast(1 as bigint), cast(rho as int)) as double)"))
+              + (lit(64) - count(lit(1))) * lit(1.0)).as("z"))
+          .select(col("np"), col("srho"),
+            floor(lit(0.709) * 64 * 64 / col("z")).cast("long").as("est"))
+          .agg(count(lit(1)).as("n_vertices"), sum(col("np")).as("sum_present"),
+            sum(col("srho")).as("sum_rho"), sum(col("est")).as("sum_ball_est"))
+          .select(lit(i.toLong).as("round"), col("n_vertices"),
+            col("sum_present"), col("sum_rho"), col("sum_ball_est"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("round"))
     }
   )
 

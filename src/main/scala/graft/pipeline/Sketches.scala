@@ -132,6 +132,11 @@ object Sketches {
   def rhoOf(hv: Column): (Column, Column) =
     (hv.bitwiseAND(63), lit(26L) - bitLen(shiftright(hv, 6)))
 
+  /** Oracle SQL twin of [[rhoOf]] over a mixed-hash column/expression
+    * `hv`: (bucket, rho) expression strings. */
+  def rhoSqlOf(hv: String): (String, String) =
+    (s"$hv & 63", s"26 - (${bitLenSql(s"($hv >> 6)")})")
+
   val queries: Seq[QueryDef] = Seq(
 
     // EXACT distinct counting as mergeable state: Spark's native bitmap
