@@ -808,4 +808,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"dst contribution sum lost its combiner:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("sequential folds (holt-winters, croston) stay keyed mapPartitions") {
+    // per-series state must run inside a partition after one hash
+    // exchange on the series key — no window, no driver collect
+    for ((q, key) <- Seq("q_holt_winters" -> "event_type",
+                         "q_croston" -> "l_partkey")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q: fold lost mapPartitions:\n$p")
+      assert(p.contains(s"hashpartitioning($key"),
+        s"$q: missing series-key exchange:\n$p")
+      assert(!p.contains("Window"), s"$q: unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("ANN recall candidate generation is equi-keyed, never cartesian") {
+    val p = plan("q_ann_recall_at_k")
+    // the only nested-loop allowed is the 8-row probe broadcast; the
+    // bucket restriction must be an equi-join on the (vector, table) key
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("hashpartitioning(qid"), s"per-probe top-k lost its key:\n$p")
+  }
+
+  test("ANF register merge is a keyed join + combiner max, no windows") {
+    val p = plan("q_anf")
+    assert(!p.contains("Window"), s"ANF must never window registers:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // one un-checkpointed merge round: vertex-keyed equi-join on dst and
+    // a map-side-combined (v, b) max
+    import spark.implicits._
+    val regs = (0L until 50L).map(v => (v, v % 64, 1L)).toDF("v", "b", "rho")
+    val e = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val round = regs
+      .unionAll(e.join(regs.select(col("v").as("dst"), col("b"), col("rho")), Seq("dst"))
+        .select(col("src").as("v"), col("b"), col("rho")))
+      .groupBy(col("v"), col("b")).agg(max(col("rho")).as("rho"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("partial_max"), s"round lost its map-side max combiner:\n$rp")
+    assert(!rp.contains("CartesianProduct") && !rp.contains("Window"),
+      s"round must be keyed joins only:\n$rp")
+  }
 }
