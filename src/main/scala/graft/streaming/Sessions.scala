@@ -289,6 +289,47 @@ object Sessions {
       }
   }
 
+  final case class CrostonDemand(l_partkey: Long, di: Long, sz: Long)
+  final case class CrostonState(n: Long, z: Long, p: Long, lastDi: Long)
+  final case class CrostonSnapshot(l_partkey: Long, n_demands: Long,
+      z_c: Long, p_c: Long, rate_q6: Long, sba_q6: Long)
+
+  /** Streaming Croston — the continuous twin of the batch q_croston fold
+    * (operators/Commerce): per-part state is 4 longs (occurrence count,
+    * size EWMA, gap EWMA, last demand day) regardless of history; each
+    * micro-batch folds its (part, day, size) demand rows in day order
+    * through the same exact-halving updates, so one availableNow drop
+    * reproduces the batch operator's (n_demands, z_c, p_c, rate_q6,
+    * sba_q6) exactly for every part past its second demand day
+    * (StreamingSpec proves it). Same day-complete pre-reduction contract
+    * as the batch (part, day) grid. */
+  def crostonStream(ds: Dataset[CrostonDemand]): Dataset[CrostonSnapshot] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.l_partkey)
+      .flatMapGroupsWithState[CrostonState, CrostonSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[CrostonState]) =>
+          var st = state.getOption.getOrElse(CrostonState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.di).foreach { r =>
+            val n = st.n + 1
+            st =
+              if (n == 1) CrostonState(1L, r.sz, 0L, r.di)
+              else {
+                val g = r.di - st.lastDi
+                val z = math.floor((r.sz + st.z) / 2.0).toLong
+                val p = if (n == 2) g else math.floor((g + st.p) / 2.0).toLong
+                CrostonState(n, z, p, r.di)
+              }
+          }
+          state.update(st)
+          if (st.n >= 2)
+            Iterator(CrostonSnapshot(key, st.n, st.z, st.p,
+              (st.z * 1000000L) / st.p, (st.z * 750000L) / st.p))
+          else Iterator.empty
+      }
+  }
+
   final case class SampleDoc(source: String, doc_id: Long)
   final case class MinKRow(source: String, rk: Long, doc_id: Long)
 

@@ -248,6 +248,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming croston after one availableNow drop equals the batch fold") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cro").toString
+    val inDir = s"$tmp/in"
+    Tables.lineitem(spark, sf())
+      .groupBy($"l_partkey",
+        datediff($"l_shipdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("di"))
+      .agg(sum($"l_quantity".cast("long")).as("sz"))
+      .coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Sessions.CrostonDemand]
+    val q = Sessions.crostonStream(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cro_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cro_stream")
+      .select($"l_partkey", $"n_demands", $"z_c", $"p_c", $"rate_q6", $"sba_q6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_croston")(spark, sf())
+      .select($"l_partkey", $"n_demands", $"z_c", $"p_c", $"rate_q6", $"sba_q6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming debounce after one availableNow drop equals the batch fold") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-deb").toString
