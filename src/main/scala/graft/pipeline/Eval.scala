@@ -351,6 +351,103 @@ object Eval {
           when(col("p") === 0 || col("cn") === 0, lit(null))
             .otherwise(expr("(cp * n * 1000000) div (cn * p)")).as("lift_q6"))
         .orderBy(col("decile"))
+    },
+
+    // Youden-J optimal operating point on the ROC of the English-ness
+    // score: for every candidate threshold t (= a histogram cell,
+    // predict positive when score ≥ t), TPR − FPR as exact q6 integers
+    // from descending cumulative counts; the argmax row is the
+    // threshold a deployed filter would actually run at. Ties break
+    // toward the HIGHER threshold (fewer false positives at equal J) —
+    // deterministic in both engines. One bounded-histogram window, one
+    // 1-row readout.
+    QueryDef.sql(
+      "q_youden_threshold",
+      s"""WITH $scoredSql,
+         |hist AS (
+         |  SELECT s_en AS sc, CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM scored GROUP BY s_en),
+         |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS p
+         |        FROM hist),
+         |rk AS (
+         |  SELECT sc,
+         |    CAST(SUM(c1) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         |    CAST(SUM(t - c1) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+         |  FROM hist),
+         |j AS (
+         |  SELECT sc, tp, fp,
+         |    (tp * 1000000) // tot.p AS tpr_q6,
+         |    (fp * 1000000) // (tot.n - tot.p) AS fpr_q6,
+         |    (tp * 1000000) // tot.p - (fp * 1000000) // (tot.n - tot.p) AS j_q6
+         |  FROM rk CROSS JOIN tot WHERE tot.p > 0 AND tot.n > tot.p)
+         |SELECT CAST(sc AS BIGINT) AS threshold, tp, fp, tpr_q6, fpr_q6, j_q6
+         |FROM j ORDER BY j_q6 DESC, sc DESC LIMIT 1""".stripMargin) { (s, d) =>
+      val hist = scored(Tables.documents(s, d))
+        .groupBy(col("s_en").as("sc"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint(true)
+      val tot = hist.agg(sum(col("t")).as("n"), sum(col("c1")).as("p"))
+      val w = Window.orderBy(col("sc").desc).rowsBetween(Window.unboundedPreceding, 0)
+      hist.select(col("sc"),
+          sum(col("c1")).over(w).as("tp"),
+          sum(col("t") - col("c1")).over(w).as("fp"))
+        .crossJoin(broadcast(tot))
+        .filter(col("p") > 0 && col("n") > col("p"))
+        .select(col("sc").cast("long").as("threshold"), col("tp"), col("fp"),
+          expr("(tp * 1000000) div p").as("tpr_q6"),
+          expr("(fp * 1000000) div (n - p)").as("fpr_q6"),
+          expr("(tp * 1000000) div p - (fp * 1000000) div (n - p)").as("j_q6"))
+        .orderBy(col("j_q6").desc, col("threshold").desc)
+        .limit(1)
+    },
+
+    // Average precision (PR-AUC, the imbalanced-class companion of
+    // q_auc_roc): AP = Σ_cells c1_k · precision(k) / P over the
+    // score-descending histogram, where precision at a cell is the exact
+    // q6 integer cumPos·10⁶ div cumN — whole cells score at their
+    // end-of-cell precision (the deterministic tie contract; documented,
+    // identical in both engines). Baseline = prevalence; a score that
+    // ranks positives early lands AP well above it. No window touches
+    // raw rows.
+    QueryDef.sql(
+      "q_pr_auc",
+      s"""WITH $scoredSql,
+         |hist AS (
+         |  SELECT s_en AS sc, CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM scored GROUP BY s_en),
+         |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS p
+         |        FROM hist),
+         |rk AS (
+         |  SELECT c1,
+         |    CAST(SUM(c1) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         |    CAST(SUM(t) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+         |  FROM hist),
+         |ap AS (
+         |  SELECT CAST(SUM(c1 * ((cp * 1000000) // cn)) AS BIGINT) AS s
+         |  FROM rk)
+         |SELECT tot.p AS n_pos, tot.n - tot.p AS n_neg,
+         |  CASE WHEN tot.p = 0 THEN NULL ELSE ap.s // tot.p END AS ap_q6,
+         |  CASE WHEN tot.n = 0 THEN NULL
+         |    ELSE (tot.p * 1000000) // tot.n END AS prevalence_q6
+         |FROM tot CROSS JOIN ap""".stripMargin) { (s, d) =>
+      val hist = scored(Tables.documents(s, d))
+        .groupBy(col("s_en").as("sc"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint(true)
+      val tot = hist.agg(sum(col("t")).as("n"), sum(col("c1")).as("p"))
+      val w = Window.orderBy(col("sc").desc).rowsBetween(Window.unboundedPreceding, 0)
+      val ap = hist.select(col("c1"),
+          sum(col("c1")).over(w).as("cp"), sum(col("t")).over(w).as("cn"))
+        .agg(sum(col("c1") * expr("(cp * 1000000) div cn")).as("s"))
+      tot.crossJoin(broadcast(ap))
+        .select(col("p").as("n_pos"), (col("n") - col("p")).as("n_neg"),
+          when(col("p") === 0, lit(null)).otherwise(expr("s div p")).as("ap_q6"),
+          when(col("n") === 0, lit(null))
+            .otherwise(expr("(p * 1000000) div n")).as("prevalence_q6"))
     }
   )
 }
