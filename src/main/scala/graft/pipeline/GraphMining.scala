@@ -392,10 +392,20 @@ object GraphMining {
 
   /** `rounds` rounds of min-label propagation with pointer jumping over an
     * undirected edge list `edges` (a, b). Each round every vertex takes
-    * min(own, neighbors', label-of-label) — the last term doubles the
-    * distance a minimum has traveled per round, so full convergence needs
-    * only ⌈log₂(diameter)⌉+1 rounds (GraphMiningSpec proves the bound is
-    * tight: one round fewer leaves a worst-case path unconverged).
+    * min(own, neighbors', label-of-label).
+    *
+    * Convergence contract — read before reusing on a new graph: the
+    * pointer term l(l(v)) doubles the distance the minimum has traveled
+    * per round ONLY when vertex ids are monotone along geodesics toward
+    * the component minimum (consecutive-id paths/grids — the
+    * q_connected_components island fixture, where ⌈log₂(diameter)⌉+1
+    * rounds therefore suffice and StatsInferenceSpec proves that bound
+    * tight in both directions). On arbitrary id layouts l(v) can point
+    * ACROSS the component to a vertex no closer to the minimum, the
+    * doubling stalls, and worst-case convergence degrades toward
+    * O(diameter) rounds — FoldCrossCheckSpec measures random 60-vertex
+    * graphs needing more rounds than the log bound. Size `rounds` from
+    * the id geometry of YOUR graph, or iterate to a fixpoint.
     * Returns (v, l) with l = the component's minimum vertex id. */
   def ccLabels(ids: org.apache.spark.sql.DataFrame,
                edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
