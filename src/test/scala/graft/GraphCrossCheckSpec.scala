@@ -30,6 +30,57 @@ class GraphCrossCheckSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("anf equals an exact driver-side register simulation") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val n = docs.length.toLong
+    val P = 2147483647L
+    def mix(key: Long): Long = {
+      val x1 = (((key % P + P) % P) * 2654435761L + 104729L) % P
+      val x3 = ((x1 ^ (x1 >> 15)) * 104729L + 12345L) % P
+      x3 ^ (x3 >> 13)
+    }
+    def bitLen25(w: Long): Long = (0 until 25).count(j => w >= (1L << j)).toLong
+    // r0: each vertex's own (bucket, rho); rounds merge OUT-neighbors'
+    // registers bucket-wise by max — the HyperANF ball advance
+    val edges = docs.flatMap(src => (1 to 3).map(j => (src, (src * 7 + j) % n)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var reg: Map[Long, Map[Long, Long]] = docs.map { v =>
+      val hv = mix(v)
+      v -> Map((hv & 63L) -> (26L - bitLen25(hv >> 6)))
+    }.toMap
+    def readout(round: Long): (Long, Long, Long, Long) = {
+      var present = 0L; var srho = 0L; var est = 0L
+      for (v <- docs) {
+        val rs = reg(v)
+        present += rs.size; srho += rs.values.sum
+        val z = rs.values.map(r => 1.0 / (1L << r)).sum + (64 - rs.size) * 1.0
+        est += math.floor(0.709 * 64 * 64 / z).toLong
+      }
+      (docs.length.toLong, present, srho, est)
+    }
+    val expected = scala.collection.mutable.ListBuffer(readout(0))
+    for (_ <- 1 to 3) {
+      reg = docs.map { v =>
+        val merged = (reg(v).toSeq ++ edges.getOrElse(v, Array.empty[Long])
+          .flatMap(d => reg(d).toSeq))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        v -> merged
+      }.toMap
+      expected += readout(expected.size.toLong)
+    }
+    val got = SparkEntry.queries("q_anf")(spark, dir)
+      .orderBy(col("round")).collect()
+    for ((r, i) <- got.zipWithIndex) {
+      val (nv, np, sr, se) = expected(i)
+      assert(r.getAs[Long]("n_vertices") == nv && r.getAs[Long]("sum_present") == np
+        && r.getAs[Long]("sum_rho") == sr && r.getAs[Long]("sum_ball_est") == se,
+        s"round $i: (${r.getAs[Long]("n_vertices")},${r.getAs[Long]("sum_present")}," +
+          s"${r.getAs[Long]("sum_rho")},${r.getAs[Long]("sum_ball_est")}) vs ($nv,$np,$sr,$se)")
+    }
+  }
+
   test("markov conversion equals T^8-by-squaring over a driver-side map") {
     val dir = sf("sf0.001")
     val ev = Tables.events(spark, dir)
