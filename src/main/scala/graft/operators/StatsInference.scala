@@ -98,7 +98,11 @@ object StatsInference {
     },
 
     // Mann-Whitney U (two cohorts by user parity, value at centi-unit
-    // quantization) with the exact tie correction. Ranks never touch raw
+    // quantization) with the exact tie correction. Cohort = pmod(id, 2)
+    // on BOTH sides: the SQL twin normalizes `%` as ((id % 2) + 2) % 2
+    // because DuckDB's `%` keeps the dividend's sign (a negative id
+    // would yield -1 and join neither cohort) while Spark's pmod is
+    // always nonnegative — the engines must agree on any id domain. Ranks never touch raw
     // rows: the centi-value histogram carries per-cell cohort counts, the
     // doubled block mid-rank 2·cumBefore + t + 1 is exact integer
     // arithmetic (the q_spearman doubled-rank trick), and U is reported
@@ -109,7 +113,7 @@ object StatsInference {
     QueryDef.sql(
       "q_mann_whitney",
       """WITH base AS (
-        |  SELECT CAST(user_id % 2 AS BIGINT) AS coh,
+        |  SELECT CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS coh,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS vq
         |  FROM events),
         |hist AS (
@@ -259,7 +263,15 @@ object StatsInference {
     // Wilcoxon signed-rank (paired test): each user's centi-quantized
     // value total in the second half of the timeline vs the first half —
     // the pair is (user, period), the signed difference d is an exact
-    // BIGINT, zero differences drop per the textbook procedure. Ranks of
+    // BIGINT, zero differences drop per the textbook procedure.
+    // PAIRING CONVENTION: a user active in only one half is paired with
+    // an implicit 0 total for the missing half (d = ±that half's total),
+    // NOT dropped as the textbook paired test would drop an incomplete
+    // pair. This keeps n_pairs a pure function of the events table
+    // (deterministic, engine-consistent) at the cost of deviating from
+    // the strict definition when activity is one-sided; callers wanting
+    // the textbook test should pre-filter to users with events in both
+    // halves. Ranks of
     // |d| use the doubled-mid-rank histogram (bounded by the USER
     // dimension, not the fact table), W⁺ is reported ×2 as an exact
     // BIGINT, and the normal approximation carries the exact Σ(t³−t)/48
@@ -459,7 +471,7 @@ object StatsInference {
     QueryDef.sql(
       "q_ks_test",
       """WITH base AS (
-        |  SELECT CAST(user_id % 2 AS BIGINT) AS coh,
+        |  SELECT CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS coh,
         |    CAST(FLOOR(value * 100) AS BIGINT) AS vq
         |  FROM events),
         |hist AS (

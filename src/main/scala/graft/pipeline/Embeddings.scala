@@ -570,9 +570,16 @@ object Embeddings {
     // matters because this spectrum's top is near-degenerate
     // (l2/l1 = 0.987): plain per-round iteration would need ~700 rounds
     // for the 1e-6 variance capture StatsInferenceSpec gates; M^1024
-    // reaches 1-3e-12, i.e. the q8 quantization floor. Elements quantize at q3 (NOT the cosine
-    // family's q6) so the centered moment n*Sxy - Sx*Sy stays exact
-    // int64 up to n ~ 5e6 rows; every rescale divides by the max-abs
+    // reaches 1-3e-12, i.e. the q8 quantization floor. Elements quantize
+    // at q3 (NOT the cosine family's q6), and the centered moment
+    // n*Sxy - Sx*Sy is accumulated in 128-bit arithmetic (HUGEINT in
+    // DuckDB, DECIMAL(38,0) in Spark — the q_anova_f pattern): the
+    // moment is bounded by n²·1e6, which exceeds int64 already at
+    // n ≈ 3.0e6 rows, and a silent Spark long wrap there would produce
+    // a wrong principal component while DuckDB errors — divergent
+    // failure modes. In 128-bit it is exact to n ≈ 1e16. Only the
+    // per-element product sums Sxy (≤ n·1e6) stay int64, safe to
+    // n ≈ 9e12. Every rescale divides by the max-abs
     // entry with a DOUBLE floor (int64->double->floor is bit-identical
     // cross-engine; integer div is NOT, because DuckDB floors while
     // Spark div truncates toward zero on negatives). The matrix carries
@@ -598,12 +605,13 @@ object Embeddings {
             |  FROM q a JOIN q b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
             |cov AS (
             |  SELECT m2.i, m2.j,
-            |    CAST(nn.n * m2.sxy - ma.sx * mb.sx AS BIGINT) AS c
+            |    CAST(nn.n AS HUGEINT) * m2.sxy
+            |      - CAST(ma.sx AS HUGEINT) * mb.sx AS c
             |  FROM m2
             |  JOIN m1 ma ON ma.i = m2.i
             |  JOIN m1 mb ON mb.i = m2.j
             |  CROSS JOIN nn),
-            |mx0 AS (SELECT CAST(MAX(ABS(c)) AS BIGINT) AS m FROM cov),
+            |mx0 AS (SELECT MAX(ABS(c)) AS m FROM cov),
             |c0 AS MATERIALIZED (
             |  SELECT i, j, CASE WHEN mx0.m = 0 THEN CAST(0 AS BIGINT)
             |    ELSE CAST(FLOOR(CAST(c AS DOUBLE) * 100000000.0
@@ -645,7 +653,8 @@ object Embeddings {
         .join(broadcast(m1.select(col("i").as("j"), col("sx").as("sxb"))), Seq("j"))
         .crossJoin(broadcast(nn))
         .select(col("i"), col("j"),
-          (col("n") * col("sxy") - col("sxa") * col("sxb")).as("c"))
+          (col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sxa").cast("decimal(38,0)") * col("sxb")).as("c"))
       def rescale(m: org.apache.spark.sql.DataFrame, valCol: String,
                   out: String, scale: Double): org.apache.spark.sql.DataFrame = {
         val mx = m.agg(max(abs(col(valCol))).as("m"))

@@ -54,11 +54,17 @@ def retime_isolated(queries, sf_dir):
           f"(median-of-3, {sf_dir}) ...", flush=True)
     r = subprocess.run(["sbt", "runMain graft.Bench"],
                        env=env, capture_output=True, text=True)
-    m = re.search(r'\{"metric".*\}', r.stdout)
-    if not m:
-        print("  re-time Bench run produced no JSON — keeping in-suite flags")
-        return {}
-    return json.loads(m.group(0)).get("queries", {})
+    # Line-anchored, non-greedy: Bench prints its JSON as one whole line.
+    # A greedy '.*\}' over full sbt stdout would swallow any later line
+    # ending in '}' (sbt logging, a second echo) and corrupt the parse.
+    for m in re.finditer(r'^\{"metric".*?\}\s*$', r.stdout, re.MULTILINE):
+        try:
+            return json.loads(m.group(0).strip()).get("queries", {})
+        except json.JSONDecodeError:
+            continue
+    print("  re-time Bench run produced no parseable JSON — "
+          "keeping in-suite flags")
+    return {}
 
 
 def main():
