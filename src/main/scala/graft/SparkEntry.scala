@@ -44,6 +44,7 @@ object SparkEntry {
       pipeline.Multimodal.queries ++
       pipeline.Sketches.queries ++
       pipeline.Graphs.queries ++
+      pipeline.GraphStructure.queries ++
       pipeline.GraphMining.queries ++
       pipeline.Eval.queries ++
       sources.EmbeddedDb.queries

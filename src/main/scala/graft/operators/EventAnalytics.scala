@@ -465,9 +465,15 @@ object EventAnalytics {
         .select(col("user_id"), col("event_id").as("pid"), col("tus").as("ptus"))
       val t = ev.filter(col("event_type") =!= "purchase")
         .select(col("user_id"), col("event_type").as("channel"), col("tus"))
-      val pt = p.join(t, p("user_id") === t("user_id") &&
-          t("tus") < p("ptus") && t("tus") >= p("ptus") - 86400000000L)
-        .select(col("pid"), col("channel"))
+      // Explicit leg aliases: p and t share the `ev` lineage, and the
+      // dataframe-apply form p("user_id") === t("user_id") makes Spark
+      // warn "Constructing trivially true equals predicate" before its
+      // self-join disambiguation fixes it up — qualify instead.
+      val pt = p.as("p").join(t.as("t"),
+          col("p.user_id") === col("t.user_id") &&
+          col("t.tus") < col("p.ptus") &&
+          col("t.tus") >= col("p.ptus") - 86400000000L)
+        .select(col("p.pid").as("pid"), col("t.channel").as("channel"))
       val n = pt.groupBy(col("pid")).agg(count(lit(1)).as("n_t"))
       pt.join(n, Seq("pid"))
         .select(col("channel"), expr("1000000 div n_t").as("c"))
