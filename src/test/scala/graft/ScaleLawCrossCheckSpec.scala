@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Engine-independent second voice for the two queries whose DuckDB
+  * replay dies of resource limits on the 100x rehearsal clone
+  * (q_bpe_merges: OOM; q_knn_graph: >70 GB temp spill) — exactly where an
+  * independent check matters most, since at that scale the engine
+  * otherwise runs unchecked.
+  *
+  * Strategy: plain-Scala replays FROM RAW TEXT (no engine code, no SQL)
+  * verified three ways —
+  *   1. against the engine on the base corpus,
+  *   2. against the engine on an in-test verbatim clone (the rehearsal
+  *      clone geometry: doc_id + k*10_000_000, text identical), which for
+  *      q_knn_graph exercises the rep-collapse path the engine uses at
+  *      scale while this replay stays naive per-doc — the replay shares
+  *      NEITHER the algorithm NOR the formulation with the scaled path,
+  *   3. the BPE clone-lift law (verbatim F-clone multiplies every pair
+  *      count by exactly F, preserves every argmax including ties, and
+  *      multiplies surviving token counts by F) is proved replay-vs-replay
+  *      — the law `tools/scale_second_voice.py` then applies to check the
+  *      engine's ACTUAL 100x rehearsal output against a base-corpus
+  *      python replay without DuckDB.
+  */
+class ScaleLawCrossCheckSpec extends SparkSpec {
+
+  private val CloneFactor = 5
+  private val CloneOffset = 10000000L
+
+  private lazy val baseDocs: Vector[(Long, String)] =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toVector
+
+  private lazy val cloneDir: String = {
+    val dir = Files.createTempDirectory("graft_clone").toFile.getAbsolutePath
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    (0 until CloneFactor)
+      .map(k => base.withColumn("doc_id", col("doc_id") + lit(k * CloneOffset)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def cloneDocs: Vector[(Long, String)] =
+    (0 until CloneFactor).flatMap(k =>
+      baseDocs.map { case (id, t) => (id + k * CloneOffset, t) }).sortBy(_._1).toVector
+
+  // ---------------------------------------------------------------- BPE
+
+  /** (round, lhs, rhs, n_pair, n_tokens_after) for 3 greedy merge rounds
+    * over the lowercase 100-char prefixes — the textbook sequential BPE,
+    * not the engine's gaps-and-islands window formulation. */
+  private def replayBpe(docs: Seq[(Long, String)]): Vector[(Long, String, String, Long, Long)] = {
+    var seqs: Vector[Vector[String]] = docs.map { case (_, t) =>
+      t.toLowerCase(java.util.Locale.ROOT).take(100)
+    }.filter(_.length >= 2).map(_.map(_.toString).toVector).toVector
+    (1 to 3).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { s =>
+        var i = 0
+        while (i < s.length - 1) {
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+          i += 1
+        }
+      }
+      val ((bt, bnt), bn) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      // greedy left-to-right non-overlapping apply
+      seqs = seqs.map { s =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == bt && s(i + 1) == bnt) {
+            out += (bt + bnt); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      (round.toLong, bt, bnt, bn, seqs.map(_.length.toLong).sum)
+    }.toVector
+  }
+
+  private def engineBpe(dir: String): Vector[(Long, String, String, Long, Long)] =
+    SparkEntry.queries("q_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toVector
+
+  test("q_bpe_merges: sequential greedy replay matches the engine on the base corpus") {
+    assert(engineBpe(sf("sf0.001")) == replayBpe(baseDocs))
+  }
+
+  test("q_bpe_merges: clone-lift law holds and the engine matches it on a verbatim clone") {
+    val base = replayBpe(baseDocs)
+    val lifted = base.map { case (r, a, b, n, nt) =>
+      (r, a, b, n * CloneFactor, nt * CloneFactor)
+    }
+    // the law itself, replay-vs-replay: cloning cannot change any merge
+    assert(replayBpe(cloneDocs) == lifted,
+      "clone-lift law violated by the reference replay itself")
+    assert(engineBpe(cloneDir) == lifted,
+      "engine diverged from the lifted replay on the verbatim clone")
+  }
+
+  // ---------------------------------------------------------------- kNN
+
+  /** Naive per-doc replay of the sparse-cosine kNN graph: 5-gram
+    * shingles, rare subspace 2 <= df <= max(20, N div 25), postings
+    * dots, cos_q6 = floor(dot*1e6 / sqrt(n1*n2)), symmetrized top-3 by
+    * (cos desc, nbr asc). */
+  private def replayKnn(docs: Seq[(Long, String)]): Vector[(Long, Long, Long, Long)] = {
+    val tokPat = "[a-z0-9]+".r
+    val shingles: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      val tk = tokPat.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toVector
+      val g = if (tk.length >= 5)
+        (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" "))
+      else Seq.empty[String]
+      id -> g
+    }.toMap
+    val tf: Map[Long, Map[String, Long]] = shingles.map { case (id, g) =>
+      id -> g.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    }
+    val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val cap = math.max(20L, docs.length.toLong / 25L)
+    val vec: Map[Long, Map[String, Long]] = tf.map { case (id, m) =>
+      id -> m.filter { case (t, _) => df(t) >= 2 && df(t) <= cap }
+    }
+    val norms: Map[Long, Long] = vec.map { case (id, m) =>
+      id -> m.values.map(v => v * v).sum
+    }
+    // postings: shingle -> sorted doc list; accumulate pair dots
+    val postings = scala.collection.mutable.Map.empty[String, List[(Long, Long)]]
+    vec.toSeq.sortBy(_._1).reverse.foreach { case (id, m) =>
+      m.foreach { case (t, f) => postings(t) = (id, f) :: postings.getOrElse(t, Nil) }
+    }
+    val dots = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    postings.values.foreach { ps =>
+      val arr = ps.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val (d1, f1) = arr(i); val (d2, f2) = arr(j)
+          val k = if (d1 < d2) (d1, d2) else (d2, d1)
+          dots(k) = dots.getOrElse(k, 0L) + f1 * f2
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val scored = dots.toSeq.map { case ((d1, d2), dot) =>
+      val c = math.floor(dot.toDouble * 1000000.0
+        / math.sqrt((norms(d1) * norms(d2)).toDouble)).toLong
+      (d1, d2, c)
+    }
+    val sym = scored.flatMap { case (d1, d2, c) => Seq((d1, d2, c), (d2, d1, c)) }
+    sym.groupBy(_._1).toVector.sortBy(_._1).flatMap { case (doc, nbrs) =>
+      nbrs.sortBy { case (_, nbr, c) => (-c, nbr) }.take(3).zipWithIndex
+        .map { case ((_, nbr, c), i) => (doc, (i + 1).toLong, nbr, c) }
+    }
+  }
+
+  private def engineKnn(dir: String): Vector[(Long, Long, Long, Long)] =
+    SparkEntry.queries("q_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+
+  test("q_knn_graph: naive postings replay matches the engine on the base corpus") {
+    assert(engineKnn(sf("sf0.001")) == replayKnn(baseDocs))
+  }
+
+  test("q_knn_graph: naive replay matches the engine's rep-collapsed path on a verbatim clone") {
+    // the clone floods the corpus with identical texts — the engine
+    // routes them through distinct-text representatives + clone-weighted
+    // df + direct self-cosine emission; the replay stays naive per-doc.
+    // Exact agreement here is the independent evidence the DuckDB replay
+    // cannot provide at the 100x rehearsal scale.
+    assert(engineKnn(cloneDir) == replayKnn(cloneDocs))
+  }
+}
