@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Print the end-of-round close-out tally lines FROM THE ARTIFACTS, so the
+NEXT.md prose can never drift from the committed JSONs (r11 lesson: the
+close-out said 198.0 s while the committed capture recorded 188.8 s —
+the capture had been regenerated after the prose was written).
+
+Usage: python3 tools/closeout_summary.py [--round N]
+Reads bench_full_latest.json, COVERAGE via tools/check_coverage.py, and
+every REHEARSAL_r{N}*.json / SECONDVOICE*.json present for the round.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    rnd = None
+    argv = sys.argv[1:]
+    if "--round" in argv:
+        rnd = int(argv[argv.index("--round") + 1])
+
+    cap = json.load(open(os.path.join(REPO, "bench_full_latest.json")))
+    sb, sa = cap.get("sentinel_before"), cap.get("sentinel_after")
+    print(f"bench: {cap['n_queries']} queries / {cap['value']:.1f} s "
+          f"(median-of-{cap.get('runs_per_query', '?')}, "
+          f"sentinel {sb:.2f}->{sa:.2f} s, "
+          f"contaminated={str(cap.get('contaminated', False)).lower()})")
+
+    cov = subprocess.run([sys.executable,
+                          os.path.join(REPO, "tools/check_coverage.py")],
+                         capture_output=True, text=True)
+    tail = [l for l in cov.stdout.strip().splitlines() if l][-2:]
+    print(f"coverage (exit {cov.returncode}): " + " | ".join(tail))
+
+    pats = ([f"REHEARSAL_r{rnd}*.json"] if rnd else ["REHEARSAL_r*.json"])
+    for pat in pats:
+        for p in sorted(glob.glob(os.path.join(REPO, pat))):
+            r = json.load(open(p))
+            print(f"{os.path.basename(p)}: {r['n_pass']} pass / "
+                  f"{r['n_fail']} fail / {r['n_skip']} skip "
+                  f"(factor {r.get('factor')}, power={r.get('power')}, "
+                  f"oracle_mode={r.get('oracle_mode', 'full')})")
+    for p in sorted(glob.glob(os.path.join(REPO, "SECONDVOICE*.json"))):
+        r = json.load(open(p))
+        print(f"{os.path.basename(p)}: "
+              f"bpe={'MATCH' if r['bpe']['match'] else 'MISMATCH'} "
+              f"knn={'MATCH' if r['knn']['match'] else 'MISMATCH'} "
+              f"(factor {r['factor']}, knn rows {r['knn']['rows_engine']})")
+
+
+if __name__ == "__main__":
+    main()
