@@ -579,10 +579,21 @@ object Embeddings {
     // a wrong principal component while DuckDB errors — divergent
     // failure modes. In 128-bit it is exact to n ≈ 1e16. Only the
     // per-element product sums Sxy (≤ n·1e6) stay int64, safe to
-    // n ≈ 9e12. Every rescale divides by the max-abs
-    // entry with a DOUBLE floor (int64->double->floor is bit-identical
-    // cross-engine; integer div is NOT, because DuckDB floors while
-    // Spark div truncates toward zero on negatives). The matrix carries
+    // n ≈ 9e12. Every rescale divides by the max-abs entry in PURE
+    // 128-bit INTEGER space via the shift identity
+    //   floor(c*S/m) = (c+m)*S div m - S
+    // — the shifted numerator is non-negative (m >= |c|), where
+    // truncating div and flooring div agree, so Spark's `div` and
+    // DuckDB's `//` are bit-identical despite their different negative
+    // conventions. A double-based floor would NOT be: DuckDB's
+    // HUGEINT->DOUBLE conversion composes two roundings
+    // (upper*2^64 + lower) and is not correctly rounded, so above 2^53
+    // (moment > 2^53 from n ≈ 9.5e4 rows) the engines could differ by
+    // 1 ULP and flip a FLOOR, cascading through the squarings
+    // (int64->double IS correctly rounded in both, but the centered
+    // moment is 128-bit — PcaRescaleSpec pins the >2^53 regime against
+    // an exact BigInt replay). The shifted numerator (c+m)*1e8 stays
+    // within 128 bits to n ≈ 6e11 rows. The matrix carries
     // q8 entries (64·1e16 product sums still < 2^63) because rescale
     // noise compounds over the squarings (q8 holds it below 1e-11).
     // Each squaring is a
@@ -614,8 +625,8 @@ object Embeddings {
             |mx0 AS (SELECT MAX(ABS(c)) AS m FROM cov),
             |c0 AS MATERIALIZED (
             |  SELECT i, j, CASE WHEN mx0.m = 0 THEN CAST(0 AS BIGINT)
-            |    ELSE CAST(FLOOR(CAST(c AS DOUBLE) * 100000000.0
-            |      / CAST(mx0.m AS DOUBLE)) AS BIGINT) END AS c
+            |    ELSE CAST((c + mx0.m) * 100000000 // mx0.m - 100000000
+            |      AS BIGINT) END AS c
             |  FROM cov CROSS JOIN mx0)""".stripMargin
         val squarings = (1 to 10).map { r =>
           val prev = s"c${r - 1}"
@@ -625,8 +636,8 @@ object Embeddings {
              |mx$r AS (SELECT CAST(MAX(ABS(c)) AS BIGINT) AS m FROM p$r),
              |c$r AS MATERIALIZED (
              |  SELECT i, j, CASE WHEN mx$r.m = 0 THEN CAST(0 AS BIGINT)
-             |    ELSE CAST(FLOOR(CAST(c AS DOUBLE) * 100000000.0
-             |      / CAST(mx$r.m AS DOUBLE)) AS BIGINT) END AS c
+             |    ELSE CAST((CAST(c AS HUGEINT) + mx$r.m) * 100000000
+             |      // mx$r.m - 100000000 AS BIGINT) END AS c
              |  FROM p$r CROSS JOIN mx$r)""".stripMargin
         }.mkString(",\n")
         s"""WITH $cov,
@@ -634,8 +645,8 @@ object Embeddings {
            |w AS (SELECT i AS dim, CAST(SUM(c) AS BIGINT) AS w FROM c10 GROUP BY i),
            |mw AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w)
            |SELECT dim, CASE WHEN mw.m = 0 THEN CAST(0 AS BIGINT)
-           |  ELSE CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0
-           |    / CAST(mw.m AS DOUBLE)) AS BIGINT) END AS v_q6
+           |  ELSE CAST((CAST(w AS HUGEINT) + mw.m) * 1000000
+           |    // mw.m - 1000000 AS BIGINT) END AS v_q6
            |FROM w CROSS JOIN mw ORDER BY dim""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
@@ -655,17 +666,24 @@ object Embeddings {
         .select(col("i"), col("j"),
           (col("n").cast("decimal(38,0)") * col("sxy")
             - col("sxa").cast("decimal(38,0)") * col("sxb")).as("c"))
+      // Integer-space floor rescale: floor(v*S/m) = (v+m)*S div m - S —
+      // the shifted numerator is non-negative (m >= |v|), so truncating
+      // div == flooring div and Spark's `div` is bit-identical to
+      // DuckDB's `//`; no value ever passes through a double (the
+      // 128-bit moment's HUGEINT->DOUBLE path is not correctly rounded
+      // above 2^53 in DuckDB).
       def rescale(m: org.apache.spark.sql.DataFrame, valCol: String,
-                  out: String, scale: Double): org.apache.spark.sql.DataFrame = {
+                  out: String, scale: Long): org.apache.spark.sql.DataFrame = {
         val mx = m.agg(max(abs(col(valCol))).as("m"))
         m.crossJoin(broadcast(mx))
           .withColumn(out,
             when(col("m") === 0, lit(0L))
-              .otherwise(floor(col(valCol).cast("double") * lit(scale)
-                / col("m").cast("double")).cast("long")))
+              .otherwise(
+                expr(s"(cast($valCol as decimal(38,0)) + m) * $scale div m")
+                  - lit(scale)))
           .drop("m", if (out == valCol) "__none__" else valCol)
       }
-      var c = rescale(cov, "c", "cq", 1e8).withColumnRenamed("cq", "c")
+      var c = rescale(cov, "c", "cq", 100000000L).withColumnRenamed("cq", "c")
         .localCheckpoint(true)
       for (_ <- 1 to 10) {
         val p = c.as("a")
@@ -674,11 +692,12 @@ object Embeddings {
           .groupBy(col("i"), col("jj").as("j2"))
           .agg(sum(col("c") * col("cb")).as("c"))
           .select(col("i"), col("j2").as("j"), col("c"))
-        c = rescale(p, "c", "cq", 1e8).withColumnRenamed("cq", "c")
+        c = rescale(p, "c", "cq", 100000000L).withColumnRenamed("cq", "c")
           .localCheckpoint(true)
       }
       val w = c.groupBy(col("i").as("dim")).agg(sum(col("c")).as("w"))
-      rescale(w, "w", "v_q6", 1e6).select(col("dim"), col("v_q6")).orderBy(col("dim"))
+      rescale(w, "w", "v_q6", 1000000L)
+        .select(col("dim"), col("v_q6")).orderBy(col("dim"))
     },
 
     // Recall@5 of multi-table LSH ANN against the brute-force ground

@@ -56,9 +56,16 @@ class ScaleLawCrossCheckSpec extends SparkSpec {
     * over the lowercase 100-char prefixes — the textbook sequential BPE,
     * not the engine's gaps-and-islands window formulation. */
   private def replayBpe(docs: Seq[(Long, String)]): Vector[(Long, String, String, Long, Long)] = {
+    // Engine convention (CorpusTokenizers.scala q_bpe_merges): truncate
+    // to the 100-char prefix FIRST, then lowercase, filter on the LOWERED
+    // length, and iterate by CODE POINT (the unit Spark/DuckDB SUBSTR and
+    // the python replay all count — UTF-16 surrogate pairs must not split).
     var seqs: Vector[Vector[String]] = docs.map { case (_, t) =>
-      t.toLowerCase(java.util.Locale.ROOT).take(100)
-    }.filter(_.length >= 2).map(_.map(_.toString).toVector).toVector
+      val cps = t.codePoints().limit(100).toArray
+      new String(cps, 0, cps.length).toLowerCase(java.util.Locale.ROOT)
+    }.map(p => p.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp))))
+      .filter(_.length >= 2).toVector
     (1 to 3).map { round =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       seqs.foreach { s =>

@@ -23,11 +23,17 @@ def main():
     if "--round" in argv:
         rnd = int(argv[argv.index("--round") + 1])
 
+    def fmt(v, spec="{:.2f}"):
+        # Older captures may miss sentinel/value fields — print n/a
+        # instead of crashing the tally tool.
+        return spec.format(v) if isinstance(v, (int, float)) else "n/a"
+
     cap = json.load(open(os.path.join(REPO, "bench_full_latest.json")))
     sb, sa = cap.get("sentinel_before"), cap.get("sentinel_after")
-    print(f"bench: {cap['n_queries']} queries / {cap['value']:.1f} s "
+    print(f"bench: {cap.get('n_queries', 'n/a')} queries / "
+          f"{fmt(cap.get('value'), '{:.1f}')} s "
           f"(median-of-{cap.get('runs_per_query', '?')}, "
-          f"sentinel {sb:.2f}->{sa:.2f} s, "
+          f"sentinel {fmt(sb)}->{fmt(sa)} s, "
           f"contaminated={str(cap.get('contaminated', False)).lower()})")
 
     cov = subprocess.run([sys.executable,
@@ -40,16 +46,20 @@ def main():
     for pat in pats:
         for p in sorted(glob.glob(os.path.join(REPO, pat))):
             r = json.load(open(p))
-            print(f"{os.path.basename(p)}: {r['n_pass']} pass / "
-                  f"{r['n_fail']} fail / {r['n_skip']} skip "
+            print(f"{os.path.basename(p)}: {r.get('n_pass', 'n/a')} pass / "
+                  f"{r.get('n_fail', 'n/a')} fail / {r.get('n_skip', 'n/a')} skip "
                   f"(factor {r.get('factor')}, power={r.get('power')}, "
                   f"oracle_mode={r.get('oracle_mode', 'full')})")
     for p in sorted(glob.glob(os.path.join(REPO, "SECONDVOICE*.json"))):
         r = json.load(open(p))
-        print(f"{os.path.basename(p)}: "
-              f"bpe={'MATCH' if r['bpe']['match'] else 'MISMATCH'} "
-              f"knn={'MATCH' if r['knn']['match'] else 'MISMATCH'} "
-              f"(factor {r['factor']}, knn rows {r['knn']['rows_engine']})")
+        # Every dict-valued entry with a "match" key is a check — the set
+        # grows round over round, so enumerate instead of hardcoding.
+        checks = {k: v for k, v in r.items()
+                  if isinstance(v, dict) and "match" in v}
+        parts = [f"{k}={'MATCH' if v.get('match') else 'MISMATCH'}"
+                 for k, v in sorted(checks.items())]
+        print(f"{os.path.basename(p)}: " + " ".join(parts or ["(no checks)"])
+              + f" (factor {r.get('factor', 'n/a')})")
 
 
 if __name__ == "__main__":

@@ -36,8 +36,18 @@ import sys
 import duckdb
 
 
+USAGE = ("usage: python3 tools/scale_second_voice.py "
+         "BASE_SF_DIR CLONE_DIR ENGINE_OUT_DIR FACTOR [--json OUT]")
+
+
 def replay_bpe(texts, rounds=3):
-    seqs = [list(t[:100].lower()) for t in texts if len(t[:100]) >= 2]
+    # Engine convention (CorpusTokenizers.scala q_bpe_merges): truncate to
+    # the 100-char prefix FIRST, then lowercase, and filter on the LOWERED
+    # length. Python str indexing is by code point, the same unit as
+    # Spark/DuckDB SUBSTR; main() asserts the corpus is ASCII so
+    # lowercasing is length-preserving and locale-free in every voice.
+    prefixes = [t[:100].lower() for t in texts]
+    seqs = [list(p) for p in prefixes if len(p) >= 2]
     out = []
     for rnd in range(1, rounds + 1):
         counts = {}
@@ -116,19 +126,40 @@ FROM ranked WHERE rk <= 3
 
 
 def main():
+    # Exit codes: 0 = all checks match, 1 = a check mismatched,
+    # 2 = bad invocation or violated precondition (did not run checks).
     argv = list(sys.argv[1:])
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(USAGE + "\n  --json requires a path", file=sys.stderr)
+            sys.exit(2)
         json_out = argv[i + 1]
         del argv[i:i + 2]
-    base, clone, eng_out, factor = argv[0], argv[1], argv[2], int(argv[3])
+    if len(argv) != 4:
+        print(USAGE, file=sys.stderr)
+        sys.exit(2)
+    base, clone, eng_out = argv[0], argv[1], argv[2]
+    try:
+        factor = int(argv[3])
+    except ValueError:
+        print(USAGE + f"\n  FACTOR must be an integer, got {argv[3]!r}",
+              file=sys.stderr)
+        sys.exit(2)
     con = duckdb.connect()
     report = {"factor": factor}
 
     # ---- 1. BPE: python base replay + lift law vs engine clone output
     texts = [r[0] for r in con.execute(
         f"SELECT text FROM '{base}/documents.parquet' ORDER BY doc_id").fetchall()]
+    non_ascii = sum(1 for t in texts if not t.isascii())
+    if non_ascii:
+        print(f"precondition violated: {non_ascii} non-ASCII document(s); "
+              "the cross-voice char-unit/lowercase equivalence (python code "
+              "points vs Spark/DuckDB SUBSTR vs JVM UTF-16) is only proved "
+              "for ASCII corpora", file=sys.stderr)
+        sys.exit(2)
     lifted = [(r, a, b, n * factor, nt * factor)
               for (r, a, b, n, nt) in replay_bpe(texts)]
     got = [tuple(r) for r in con.execute(
