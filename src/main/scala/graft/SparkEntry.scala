@@ -35,6 +35,7 @@ object SparkEntry {
       domain.ConsistentBursts.queries ++
       domain.Blackout.queries ++
       pipeline.TextPipeline.queries ++
+      pipeline.TextAnalysis.queries ++
       pipeline.Embeddings.queries ++
       pipeline.Packing.queries ++
       pipeline.Corpus.queries ++
