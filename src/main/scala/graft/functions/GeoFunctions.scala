@@ -156,6 +156,12 @@ object GeoFunctions {
 
   val stArea = udf((a: String) => if (a == null) 0.0 else parseWkt(a).getArea)
 
+  /** Boundary length (perimeter for polygons; interior rings included,
+    * multi-part summed — JTS getLength semantics). On rectilinear
+    * integer-lattice geometry every segment length is an integer, so the
+    * double sum is exact — what lets q_geo_union_pipeline oracle it. */
+  val stLength = udf((a: String) => if (a == null) 0.0 else parseWkt(a).getLength)
+
   val stCentroid = udf { (a: String) =>
     val c = parseWkt(a).getCentroid
     (c.getX, c.getY)

@@ -63,6 +63,108 @@ object Geo {
           (col("tr") * 8 + col("sw")).cast("double"),
           col("r") * lit(0.8)).as("geom"))
 
+  /** Shared DuckDB-oracle prefix (pos -> allf): replay of the jpl-id
+    * grid inversion -> land flag -> two-pass smoothing -> per-run DP
+    * frame solve -> feasible/infeasible frame spans, keyed by track.
+    * Both q_catalog_frames_meta and q_catalog_build build on it
+    * (callers wrap as "WITH RECURSIVE <prefix>, <tail...>"). */
+  private val catalogFramesPrefixSql: String =
+    """pos AS (
+      |  SELECT CAST(s_suppkey // 27 + 1 AS INTEGER) AS key,
+      |    ROW_NUMBER() OVER (PARTITION BY s_suppkey // 27
+      |      ORDER BY s_suppkey) AS rn,
+      |    ((s_suppkey // 27) <= 5
+      |      AND (s_suppkey % 27) BETWEEN 6 AND 18) AS land0
+      |  FROM supplier WHERE s_suppkey < 400),
+      |r0 AS (
+      |  SELECT key, rn, land0,
+      |    rn - ROW_NUMBER() OVER (PARTITION BY key, land0 ORDER BY rn) AS g0
+      |  FROM pos),
+      |shortland AS (
+      |  SELECT key, MAX(rn) AS e FROM r0 WHERE land0
+      |  GROUP BY key, g0 HAVING COUNT(*) < 5),
+      |i1 AS (
+      |  SELECT p.key, p.rn,
+      |    (p.land0 OR EXISTS (SELECT 1 FROM shortland s
+      |       WHERE s.key = p.key AND p.rn BETWEEN s.e - 1 AND s.e + 3)) AS land1
+      |  FROM pos p),
+      |r1 AS (
+      |  SELECT key, rn, land1,
+      |    rn - ROW_NUMBER() OVER (PARTITION BY key, land1 ORDER BY rn) AS g1
+      |  FROM i1),
+      |runlen AS (
+      |  SELECT key, land1, g1, COUNT(*) AS len
+      |  FROM r1 GROUP BY key, land1, g1),
+      |i2 AS (
+      |  SELECT r.key, r.rn, (r.land1 OR l.len < 5) AS land
+      |  FROM r1 r JOIN runlen l
+      |    ON l.key = r.key AND l.land1 = r.land1 AND l.g1 = r.g1),
+      |r2 AS (
+      |  SELECT key, rn, land,
+      |    rn - ROW_NUMBER() OVER (PARTITION BY key, land ORDER BY rn) AS g2
+      |  FROM i2),
+      |nn AS (
+      |  SELECT key, land,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY MIN(rn)) AS BIGINT) AS run_id,
+      |    CAST(MIN(rn) - 1 AS BIGINT) AS run_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r2 GROUP BY key, land, g2),
+      |dp AS (
+      |  SELECT key, run_id, n, n AS i, CAST(0 AS BIGINT) AS best,
+      |    CAST(-1 AS BIGINT) AS bj,
+      |    CAST(1000000000000 AS BIGINT) AS w1, CAST(1000000000000 AS BIGINT) AS w2,
+      |    CAST(1000000000000 AS BIGINT) AS w3, CAST(1000000000000 AS BIGINT) AS w4,
+      |    CAST(1000000000000 AS BIGINT) AS w5, CAST(1000000000000 AS BIGINT) AS w6,
+      |    CAST(1000000000000 AS BIGINT) AS w7, CAST(1000000000000 AS BIGINT) AS w8,
+      |    CAST(1000000000000 AS BIGINT) AS w9
+      |  FROM nn
+      |  UNION ALL
+      |  SELECT key, run_id, n, i,
+      |    LEAST(c4, c5, c6, c7, c8, c9) AS best,
+      |    CASE LEAST(c4, c5, c6, c7, c8, c9)
+      |      WHEN c4 THEN i + 4 WHEN c5 THEN i + 5 WHEN c6 THEN i + 6
+      |      WHEN c7 THEN i + 7 WHEN c8 THEN i + 8 ELSE i + 9 END AS bj,
+      |    w1, w2, w3, w4, w5, w6, w7, w8, w9
+      |  FROM (
+      |    SELECT key, run_id, n, i - 1 AS i,
+      |      CASE WHEN i + 3 <= n AND w3 < 1000000000000
+      |        THEN w3 + 64 ELSE 1000000000000 END AS c4,
+      |      CASE WHEN i + 4 <= n AND w4 < 1000000000000
+      |        THEN w4 + 27 ELSE 1000000000000 END AS c5,
+      |      CASE WHEN i + 5 <= n AND w5 < 1000000000000
+      |        THEN w5 + 8 ELSE 1000000000000 END AS c6,
+      |      CASE WHEN i + 6 <= n AND w6 < 1000000000000
+      |        THEN w6 + 1 ELSE 1000000000000 END AS c7,
+      |      CASE WHEN i + 7 <= n AND w7 < 1000000000000
+      |        THEN w7 ELSE 1000000000000 END AS c8,
+      |      CASE WHEN i + 8 <= n AND w8 < 1000000000000
+      |        THEN w8 + 1 ELSE 1000000000000 END AS c9,
+      |      best AS w1, w1 AS w2, w2 AS w3, w3 AS w4, w4 AS w5,
+      |      w5 AS w6, w6 AS w7, w7 AS w8, w8 AS w9
+      |    FROM dp WHERE i > 0) s),
+      |walk AS (
+      |  SELECT key, run_id, n, CAST(0 AS BIGINT) AS k FROM nn
+      |  UNION ALL
+      |  SELECT w.key, w.run_id, w.n, d.bj AS k
+      |  FROM walk w JOIN dp d
+      |    ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
+      |  WHERE w.k < w.n AND d.best < 1000000000000),
+      |feas AS (
+      |  SELECT w.key, nn.run_start + w.k AS "start",
+      |    nn.run_start + LEAST(d.bj + 1, w.n) AS "end", nn.land AS is_land
+      |  FROM walk w
+      |  JOIN dp d ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
+      |  JOIN nn ON nn.key = w.key AND nn.run_id = w.run_id
+      |  WHERE w.k < w.n AND d.best < 1000000000000),
+      |infeas AS (
+      |  SELECT nn.key, nn.run_start AS "start",
+      |    nn.run_start + nn.n AS "end", nn.land AS is_land
+      |  FROM nn JOIN dp d
+      |    ON d.key = nn.key AND d.run_id = nn.run_id AND d.i = 0
+      |  WHERE d.best >= 1000000000000),
+      |allf AS (
+      |  SELECT * FROM feas UNION ALL SELECT * FROM infeas)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // UTM zone + EPSG assignment incl. Norway/Svalbard exceptions
@@ -236,11 +338,53 @@ object Geo {
         .orderBy(col("c_nationkey"))
     },
 
-    // JTS topology pipeline: WKT squares per customer point → per-nation
-    // geometry union (custom Aggregator), area, envelope, simplify.
-    // Rows-only (no SpatiaLite in the oracle); exactness covered by
-    // GeoFunctionsSpec.
-    QueryDef.rowsOnly("q_geo_union_pipeline") { (s, d) =>
+    // JTS topology pipeline, ORACLE-VERIFIED: WKT 2×2 squares at integer
+    // offsets per customer point → per-nation geometry union (custom
+    // Aggregator) → area, envelope, boundary length. On the integer
+    // lattice every JTS quantity has a closed form plain SQL computes
+    // from the occupied unit cells — area = |cells|, perimeter =
+    // 4·|cells| − 2·|adjacent pairs| (interior rings and corner-touching
+    // MultiPolygon parts both fall out of the edge census), envelope =
+    // cell min/max — and shoelace/segment sums over integer coordinates
+    // are exact in double, so the hash pins the whole WKT→union→area/
+    // length/envelope path bit-for-bit. (stSimplify, formerly a rows-only
+    // column here, is covered by GeoFunctionsSpec + the K5 GeoJSON sink —
+    // its WKT string length has no closed form.)
+    QueryDef.sql(
+      "q_geo_union_pipeline",
+      """WITH sq AS (
+        |  SELECT c_nationkey,
+        |    CAST((c_custkey*37) % 340 - 170 AS BIGINT) AS x,
+        |    CAST((c_custkey*73) % 140 - 70 AS BIGINT) AS y
+        |  FROM customer WHERE c_custkey <= 2000),
+        |cells AS (
+        |  SELECT DISTINCT c_nationkey, x + dx.d AS cx, y + dy.d AS cy
+        |  FROM sq,
+        |    (SELECT UNNEST(RANGE(0, 2)) AS d) dx,
+        |    (SELECT UNNEST(RANGE(0, 2)) AS d) dy),
+        |adj AS (
+        |  SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_adj
+        |  FROM cells c JOIN cells n
+        |    ON n.c_nationkey = c.c_nationkey
+        |   AND ((n.cx = c.cx + 1 AND n.cy = c.cy)
+        |     OR (n.cx = c.cx AND n.cy = c.cy + 1))
+        |  GROUP BY c.c_nationkey),
+        |agg AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    MIN(cx) AS xmin, MIN(cy) AS ymin,
+        |    MAX(cx) + 1 AS xmax, MAX(cy) + 1 AS ymax
+        |  FROM cells GROUP BY c_nationkey),
+        |ns AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_squares
+        |  FROM sq GROUP BY c_nationkey)
+        |SELECT agg.c_nationkey, ns.n_squares,
+        |  CAST(agg.n_cells AS DOUBLE) AS union_area,
+        |  CAST(agg.xmin AS DOUBLE) AS xmin, CAST(agg.ymin AS DOUBLE) AS ymin,
+        |  CAST(agg.xmax AS DOUBLE) AS xmax, CAST(agg.ymax AS DOUBLE) AS ymax,
+        |  CAST(4 * agg.n_cells - 2 * COALESCE(adj.n_adj, 0) AS DOUBLE) AS perimeter_len
+        |FROM agg
+        |JOIN ns USING (c_nationkey)
+        |LEFT JOIN adj USING (c_nationkey)
+        |ORDER BY agg.c_nationkey""".stripMargin) { (s, d) =>
       val pts = Tables.customer(s, d).filter(col("c_custkey") <= 2000)
         .select(col("c_custkey"), col("c_nationkey"),
           ((col("c_custkey") * 37) % 340 - 170).cast("double").as("x"),
@@ -255,11 +399,11 @@ object Geo {
         .select(col("c_nationkey"), col("n_squares"),
           GeoFunctions.stArea(col("geom")).as("union_area"),
           GeoFunctions.stEnvelope(col("geom")).as("bbox"),
-          length(GeoFunctions.stSimplify(col("geom"), lit(0.5))).as("simplified_len"))
+          GeoFunctions.stLength(col("geom")).as("perimeter_len"))
         .select(col("c_nationkey"), col("n_squares"), col("union_area"),
           col("bbox._1").as("xmin"), col("bbox._2").as("ymin"),
           col("bbox._3").as("xmax"), col("bbox._4").as("ymax"),
-          col("simplified_len"))
+          col("perimeter_len"))
         .orderBy(col("c_nationkey"))
     },
 
@@ -458,12 +602,101 @@ object Geo {
 
     // Full §3.1 catalog build on a synthesized ESA-style burst grid:
     // jpl-id → triplet dissolve (geometry union agg) → land flag → DP frame
-    // optimization → frame assembly → EPSG → snapped UTM bbox
-    QueryDef.rowsOnly("q_catalog_build") { (s, d) =>
+    // optimization → frame assembly → EPSG → snapped UTM bbox.
+    // ORACLE-VERIFIED including the geometry columns (was rows-only through
+    // r12): on the integer grid the dissolved frame geometry is an exact
+    // rectangle whose JTS-retained vertex set is fully regular — left/right
+    // edges keep every 0.8° row seam, top/bottom edges keep the subswath
+    // seams at x0+1/x0+2 (verified structurally; any deviation breaks the
+    // hash) — so the oracle enumerates the SAME vertices, runs the SAME
+    // Snyder TM-forward series in SQL, and snaps. Cross-engine exactness
+    // does NOT need bit-identical transcendentals here: libm sin/cos may
+    // differ from the JVM's by ~1 ulp (≈1e-8 m after the series), but the
+    // outputs are 30 m-snapped ints and CatalogSnapGuardSpec proves every
+    // pre-snap coordinate sits ≥ 1e-3 m from a snap boundary and every
+    // centroid ≥ 0.5° from a UTM zone edge — five orders of magnitude of
+    // margin. EPSG reduces to arithmetic (centroid lat ∈ [0, 21.6]: no
+    // polar/Norway/Svalbard branch can fire).
+    QueryDef.sql(
+      "q_catalog_build",
+      "WITH RECURSIVE " + catalogFramesPrefixSql + ",\n" + {
+        val A = 6378137.0
+        val F = 1.0 / 298.257223563
+        val E2 = F * (2 - F)
+        val EP2 = E2 / (1 - E2)
+        val e4 = E2 * E2; val e6 = e4 * E2
+        val c0 = 1 - E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+        val c2 = 3 * E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+        val c4 = 15 * e4 / 256 + 45 * e6 / 1024
+        val c6 = 35 * e6 / 3072
+        def g(x: Double) = "%.17g".format(x)
+        s"""frames2 AS (
+           |  SELECT key AS track,
+           |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start", "end") AS fit,
+           |    "start", "end", is_land
+           |  FROM allf),
+           |geo AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY track, fit) AS BIGINT) AS fid,
+           |    CAST(track AS BIGINT) AS relative_orbit_number, is_land,
+           |    CAST("end" - "start" AS BIGINT) AS n_bursts,
+           |    "start", "end", (track - 1) * 8 AS x0
+           |  FROM frames2),
+           |ep AS (
+           |  SELECT fid,
+           |    CAST(32600 + FLOOR((x0 + 1.5 + 180) / 6) + 1 AS BIGINT) AS epsg,
+           |    FLOOR((x0 + 1.5 + 180) / 6) + 1 AS zone
+           |  FROM geo),
+           |rows0 AS (
+           |  SELECT fid, x0, "start", "end",
+           |    UNNEST(RANGE("start", "end" + 1)) AS k
+           |  FROM geo),
+           |verts AS (
+           |  SELECT v.fid, CAST(v.x0 + d.dx AS DOUBLE) AS vlon,
+           |    CAST(v.k * 8 AS DOUBLE) / 10 AS vlat
+           |  FROM rows0 v, (SELECT UNNEST(RANGE(0, 4)) AS dx) d
+           |  WHERE d.dx IN (0, 3) OR v.k IN (v."start", v."end")),
+           |trig AS (
+           |  SELECT v.fid, RADIANS(v.vlat) AS lat,
+           |    RADIANS(v.vlon) - RADIANS(e.zone * 6 - 183) AS dlon,
+           |    SIN(RADIANS(v.vlat)) AS slat, COS(RADIANS(v.vlat)) AS clat,
+           |    TAN(RADIANS(v.vlat)) AS tlat
+           |  FROM verts v JOIN ep e USING (fid)),
+           |mid AS (
+           |  SELECT fid, lat, tlat,
+           |    ${g(A)} / SQRT(1 - ${g(E2)} * slat * slat) AS n,
+           |    tlat * tlat AS t,
+           |    ${g(EP2)} * clat * clat AS c,
+           |    dlon * clat AS a0,
+           |    ${g(A)} * (${g(c0)} * lat - ${g(c2)} * SIN(2 * lat)
+           |      + ${g(c4)} * SIN(4 * lat) - ${g(c6)} * SIN(6 * lat)) AS m
+           |  FROM trig),
+           |tm AS (
+           |  SELECT fid,
+           |    0.9996 * n * (a0 + (1 - t + c) * POW(a0, 3) / 6
+           |      + (5 - 18 * t + t * t + 72 * c - 58 * ${g(EP2)})
+           |        * POW(a0, 5) / 120) + 500000.0 AS px,
+           |    0.9996 * (m + n * tlat * (a0 * a0 / 2
+           |      + (5 - t + 9 * c + 4 * c * c) * POW(a0, 4) / 24
+           |      + (61 - 58 * t + t * t + 600 * c - 330 * ${g(EP2)})
+           |        * POW(a0, 6) / 720)) AS py
+           |  FROM mid),
+           |bbox AS (
+           |  SELECT fid, MIN(px) AS x1, MIN(py) AS y1, MAX(px) AS x2, MAX(py) AS y2
+           |  FROM tm GROUP BY fid)
+           |SELECT g.fid, e.epsg, g.is_land, g.relative_orbit_number, g.n_bursts,
+           |  CAST(FLOOR((b.x1 - 5000.0) / 30.0) * 30 AS BIGINT) AS xmin,
+           |  CAST(FLOOR((b.y1 - 5000.0) / 30.0) * 30 AS BIGINT) AS ymin,
+           |  CAST(CEIL((b.x2 + 5000.0) / 30.0) * 30 AS BIGINT) AS xmax,
+           |  CAST(CEIL((b.y2 + 5000.0) / 30.0) * 30 AS BIGINT) AS ymax
+           |FROM geo g JOIN ep e USING (fid) JOIN bbox b USING (fid)
+           |ORDER BY g.fid""".stripMargin
+      }) { (s, d) =>
       val r = graft.domain.CatalogBuild.build(
         burstGridFixture(s, d), catalogFixtureLandWkt)
-      r.frames.select(col("fid"), col("epsg"), col("is_land"),
-          col("relative_orbit_number"), col("n_bursts"),
+      r.frames.select(col("fid").cast("long").as("fid"),
+          col("epsg").cast("long").as("epsg"), col("is_land"),
+          col("relative_orbit_number").cast("long").as("relative_orbit_number"),
+          col("n_bursts"),
           col("xmin"), col("ymin"), col("xmax"), col("ymax"))
         .orderBy(col("fid"))
     },
@@ -486,102 +719,8 @@ object Geo {
     // join (3 subswath rows per burst).
     QueryDef.sql(
       "q_catalog_frames_meta",
-      """WITH RECURSIVE pos AS (
-        |  SELECT CAST(s_suppkey // 27 + 1 AS INTEGER) AS key,
-        |    ROW_NUMBER() OVER (PARTITION BY s_suppkey // 27
-        |      ORDER BY s_suppkey) AS rn,
-        |    ((s_suppkey // 27) <= 5
-        |      AND (s_suppkey % 27) BETWEEN 6 AND 18) AS land0
-        |  FROM supplier WHERE s_suppkey < 400),
-        |r0 AS (
-        |  SELECT key, rn, land0,
-        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land0 ORDER BY rn) AS g0
-        |  FROM pos),
-        |shortland AS (
-        |  SELECT key, MAX(rn) AS e FROM r0 WHERE land0
-        |  GROUP BY key, g0 HAVING COUNT(*) < 5),
-        |i1 AS (
-        |  SELECT p.key, p.rn,
-        |    (p.land0 OR EXISTS (SELECT 1 FROM shortland s
-        |       WHERE s.key = p.key AND p.rn BETWEEN s.e - 1 AND s.e + 3)) AS land1
-        |  FROM pos p),
-        |r1 AS (
-        |  SELECT key, rn, land1,
-        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land1 ORDER BY rn) AS g1
-        |  FROM i1),
-        |runlen AS (
-        |  SELECT key, land1, g1, COUNT(*) AS len
-        |  FROM r1 GROUP BY key, land1, g1),
-        |i2 AS (
-        |  SELECT r.key, r.rn, (r.land1 OR l.len < 5) AS land
-        |  FROM r1 r JOIN runlen l
-        |    ON l.key = r.key AND l.land1 = r.land1 AND l.g1 = r.g1),
-        |r2 AS (
-        |  SELECT key, rn, land,
-        |    rn - ROW_NUMBER() OVER (PARTITION BY key, land ORDER BY rn) AS g2
-        |  FROM i2),
-        |nn AS (
-        |  SELECT key, land,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY MIN(rn)) AS BIGINT) AS run_id,
-        |    CAST(MIN(rn) - 1 AS BIGINT) AS run_start,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM r2 GROUP BY key, land, g2),
-        |dp AS (
-        |  SELECT key, run_id, n, n AS i, CAST(0 AS BIGINT) AS best,
-        |    CAST(-1 AS BIGINT) AS bj,
-        |    CAST(1000000000000 AS BIGINT) AS w1, CAST(1000000000000 AS BIGINT) AS w2,
-        |    CAST(1000000000000 AS BIGINT) AS w3, CAST(1000000000000 AS BIGINT) AS w4,
-        |    CAST(1000000000000 AS BIGINT) AS w5, CAST(1000000000000 AS BIGINT) AS w6,
-        |    CAST(1000000000000 AS BIGINT) AS w7, CAST(1000000000000 AS BIGINT) AS w8,
-        |    CAST(1000000000000 AS BIGINT) AS w9
-        |  FROM nn
-        |  UNION ALL
-        |  SELECT key, run_id, n, i,
-        |    LEAST(c4, c5, c6, c7, c8, c9) AS best,
-        |    CASE LEAST(c4, c5, c6, c7, c8, c9)
-        |      WHEN c4 THEN i + 4 WHEN c5 THEN i + 5 WHEN c6 THEN i + 6
-        |      WHEN c7 THEN i + 7 WHEN c8 THEN i + 8 ELSE i + 9 END AS bj,
-        |    w1, w2, w3, w4, w5, w6, w7, w8, w9
-        |  FROM (
-        |    SELECT key, run_id, n, i - 1 AS i,
-        |      CASE WHEN i + 3 <= n AND w3 < 1000000000000
-        |        THEN w3 + 64 ELSE 1000000000000 END AS c4,
-        |      CASE WHEN i + 4 <= n AND w4 < 1000000000000
-        |        THEN w4 + 27 ELSE 1000000000000 END AS c5,
-        |      CASE WHEN i + 5 <= n AND w5 < 1000000000000
-        |        THEN w5 + 8 ELSE 1000000000000 END AS c6,
-        |      CASE WHEN i + 6 <= n AND w6 < 1000000000000
-        |        THEN w6 + 1 ELSE 1000000000000 END AS c7,
-        |      CASE WHEN i + 7 <= n AND w7 < 1000000000000
-        |        THEN w7 ELSE 1000000000000 END AS c8,
-        |      CASE WHEN i + 8 <= n AND w8 < 1000000000000
-        |        THEN w8 + 1 ELSE 1000000000000 END AS c9,
-        |      best AS w1, w1 AS w2, w2 AS w3, w3 AS w4, w4 AS w5,
-        |      w5 AS w6, w6 AS w7, w7 AS w8, w8 AS w9
-        |    FROM dp WHERE i > 0) s),
-        |walk AS (
-        |  SELECT key, run_id, n, CAST(0 AS BIGINT) AS k FROM nn
-        |  UNION ALL
-        |  SELECT w.key, w.run_id, w.n, d.bj AS k
-        |  FROM walk w JOIN dp d
-        |    ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
-        |  WHERE w.k < w.n AND d.best < 1000000000000),
-        |feas AS (
-        |  SELECT w.key, nn.run_start + w.k AS "start",
-        |    nn.run_start + LEAST(d.bj + 1, w.n) AS "end", nn.land AS is_land
-        |  FROM walk w
-        |  JOIN dp d ON d.key = w.key AND d.run_id = w.run_id AND d.i = w.k
-        |  JOIN nn ON nn.key = w.key AND nn.run_id = w.run_id
-        |  WHERE w.k < w.n AND d.best < 1000000000000),
-        |infeas AS (
-        |  SELECT nn.key, nn.run_start AS "start",
-        |    nn.run_start + nn.n AS "end", nn.land AS is_land
-        |  FROM nn JOIN dp d
-        |    ON d.key = nn.key AND d.run_id = nn.run_id AND d.i = 0
-        |  WHERE d.best >= 1000000000000),
-        |allf AS (
-        |  SELECT * FROM feas UNION ALL SELECT * FROM infeas),
-        |frames AS (
+      "WITH RECURSIVE " + catalogFramesPrefixSql + ",\n" +
+      """frames AS (
         |  SELECT key AS track,
         |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY "start", "end") AS fit,
         |    "end" - "start" AS n_bursts, is_land
