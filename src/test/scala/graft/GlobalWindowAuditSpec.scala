@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Exhaustive inventory of SinglePartition (un-partitioned) windows across
   * the ENTIRE query registry. A global window moves its whole input to one
@@ -15,12 +17,17 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * stays exact, so the suite log's `WindowExec: No Partition Defined`
   * warning count is fully accounted for by these rationales).
   *
-  * Scope note: the audit reads each query's pre-AQE physical plan
-  * (`sparkPlan`). A window upstream of a `localCheckpoint` executes while
-  * the DataFrame is being BUILT and is lineage-truncated out of the final
-  * plan — building every query here (not just planning it) means those
-  * subplans still ran under this spec's session, but their shape is pinned
-  * by the per-query PlanAuditSpec tests, not this inventory.
+  * The audit covers BOTH plan surfaces: (1) each query's final pre-AQE
+  * physical plan (`sparkPlan`), and (2) — closing the r12 scope note's
+  * blind spot — every subplan that EXECUTES while a query is being built
+  * (a window upstream of a `localCheckpoint`/`count`/`isEmpty` inside an
+  * iterative helper runs at build time and is lineage-truncated out of the
+  * final plan). Build-phase plans are captured with a
+  * QueryExecutionListener registered for the duration of the build loop;
+  * Dataset actions (checkpoint, count, isEmpty, collect) all route through
+  * SQLExecution and fire it, and the forked test JVM runs suites
+  * sequentially, so every captured execution belongs to the query being
+  * built. Both inventories are two-way-asserted against their whitelists.
   */
 class GlobalWindowAuditSpec extends SparkSpec {
 
@@ -60,15 +67,72 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_catalog_frames_meta" -> "frame indexing over per-track burst rows (catalog-bounded)"
   )
 
-  test("every global window in the 301-query registry is whitelisted with a rationale") {
-    val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
-      val globals = df.queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-        case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g.nodeName
+  /** query -> why the global window inside its BUILD-PHASE (checkpointed)
+    * subplans is bounded. Separate from the final-plan whitelist: these
+    * windows execute during DataFrame construction and never appear in
+    * `sparkPlan`. */
+  private val boundedBuildPhaseWindows: Map[String, String] = Map.empty
+
+  /** Drain the async listener bus so every capture from the just-built
+    * query is attributed before the next build starts. LiveListenerBus
+    * .waitUntilEmpty is private[spark] — reflection, with a stability
+    * poll as the fallback. */
+  private def drainListenerBus(captured: => Int): Unit = {
+    val drained =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        val m = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount <= 1).get
+        if (m.getParameterCount == 0) m.invoke(bus)
+        else m.invoke(bus, java.lang.Long.valueOf(30000L))
+        true
+      } catch { case _: Throwable => false }
+    if (!drained) {
+      var last = -1
+      var stable = 0
+      while (stable < 3) { // 3 consecutive 100 ms polls with no new events
+        Thread.sleep(100)
+        val now = captured
+        if (now == last) stable += 1 else { stable = 0; last = now }
       }
-      if (globals.nonEmpty) Some(name) else None
-    }.toSet
+    }
+  }
+
+  test("every global window in the 301-query registry is whitelisted with a rationale") {
+    val buildPhase = scala.collection.mutable.Map.empty[String, Int]
+    @volatile var currentQuery: String = ""
+    @volatile var captures = 0
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        val globals = qe.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g.nodeName
+        }
+        if (globals.nonEmpty) buildPhase.synchronized {
+          buildPhase(currentQuery) = buildPhase.getOrElse(currentQuery, 0) + globals.size
+        }
+        captures += 1
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val found =
+      try {
+        SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+          currentQuery = name
+          val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+          val globals = df.queryExecution.sparkPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+            case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => g.nodeName
+          }
+          drainListenerBus(captures)
+          if (globals.nonEmpty) Some(name) else None
+        }.toSet
+      } finally spark.listenerManager.unregister(listener)
+
     val listed = boundedGlobalWindows.keySet
     val unlisted = (found -- listed).toSeq.sorted
     val stale = (listed -- found).toSeq.sorted
@@ -78,5 +142,25 @@ class GlobalWindowAuditSpec extends SparkSpec {
         "or add the query to the whitelist with why its input is bounded")
     assert(stale.isEmpty,
       s"stale whitelist entries (plan no longer has a global window): $stale")
+
+    // anti-vacuity: the iterative operators (dedup clusters, graph
+    // rounds, BPE merges) fire checkpoint/count actions while being
+    // built — if nothing was captured, the listener wiring is broken and
+    // the build-phase assertion below would pass for the wrong reason
+    assert(captures >= 50,
+      s"only $captures build-phase executions captured — the " +
+        "QueryExecutionListener is not seeing the iterative builds")
+    val foundBuild = buildPhase.synchronized(buildPhase.keySet.toSet)
+    val listedBuild = boundedBuildPhaseWindows.keySet
+    val unlistedBuild = (foundBuild -- listedBuild).toSeq.sorted
+    val staleBuild = (listedBuild -- foundBuild).toSeq.sorted
+    assert(unlistedBuild.isEmpty,
+      s"queries EXECUTE a SinglePartition window inside a build-phase " +
+        s"(checkpointed) subplan without a rationale: $unlistedBuild — " +
+        "re-key it or add it to boundedBuildPhaseWindows with why its " +
+        "input is bounded")
+    assert(staleBuild.isEmpty,
+      "stale build-phase whitelist entries (no global window executed " +
+        s"during the build anymore): $staleBuild")
   }
 }
