@@ -38,14 +38,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Oracles DuckDB cannot replay at clone scale (the engine side still runs
 # and is still required to succeed). Kept in ONE place so the rehearsal's
-# coverage reduction is explicit and documented.
+# coverage reduction is explicit and documented. Each of these has a
+# SECOND VOICE at clone scale: tools/scale_second_voice.py replays all
+# three rep-collapsed in pure python against the engine's clone output
+# (run it after this rehearsal's Verify; SECONDVOICE_r{N}_*.json), with
+# the naive-vs-engine independence leg in DedupScaleLawSpec.
 KNOWN_SKIPS = {
     "q_dedup_clusters": "verbatim-clone fixture makes every copy collide; "
-        "DuckDB's recursive cluster replay is superlinear on the clique",
+        "DuckDB's recursive cluster replay is superlinear on the clique "
+        "-- covered by scale_second_voice.py (rep-collapsed union-find)",
     "q_dedup_embedding": "same clique blowup through the embedding "
-        "near-dup pair replay",
+        "near-dup pair replay -- covered by scale_second_voice.py "
+        "(rep-collapsed class enumeration, lazy top-200)",
     "q_pack_sequences": "DuckDB recursive packing replay is superlinear "
-        "on cloned doc lengths",
+        "on cloned doc lengths -- covered by scale_second_voice.py "
+        "(pure-python sequential walk over the clone)",
 }
 
 
