@@ -600,5 +600,97 @@ object TextPipeline {
           (nMatch * 62500).cast("long").as("minhash_est_q6"))
         .orderBy(col("jaccard_q6").desc, col("doc1"), col("doc2"))
     },
+
+    // Exact SUBSTRING-level dedup (the Lee et al. 2022 training-data mode
+    // the MinHash/SimHash/passage/embedding family doesn't cover:
+    // repeated token SPANS across documents, not whole-document
+    // similarity). Per token position, the 15-token gram starting there
+    // (the anchor granularity — the published 50-token unit scaled to
+    // this corpus's ~40-120-token documents); a position is duplicated
+    // iff its gram appears in >= 2 distinct documents; per-doc coverage
+    // is the union of the [p, p+14] spans via gaps-and-islands. Scale
+    // posture: NO pair enumeration anywhere — the dup-gram set is a
+    // gram-keyed groupBy (map-side combine; a gram shared by a million
+    // docs is still ONE aggregate row), positions re-qualify through a
+    // semi-join, and the island window is keyed by doc_id. At 100 TB the
+    // same plan holds; production additionally pre-buckets on a 64-bit
+    // rolling hash (winnowing anchors) to cut shuffle bytes — both
+    // stages stay exact.
+    QueryDef.sql(
+      "q_dedup_substring",
+      """WITH toks AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    ARRAY_TO_STRING(tk[CAST(i AS INTEGER):CAST(i + 14 AS INTEGER)], ' ') AS g
+        |  FROM toks, UNNEST(RANGE(1, LEN(tk) - 13)) AS u(i)
+        |  WHERE LEN(tk) >= 15),
+        |dupg AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM pos)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |dpos AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN dupg USING (g)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(CASE WHEN prev IS NULL OR p - prev > 15 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM (SELECT doc_id, p,
+        |          LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dpos)),
+        |cov AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(mx - mn + 15) AS BIGINT) AS n_dup_tokens,
+        |    CAST(SUM(c) AS BIGINT) AS n_dup_positions
+        |  FROM (SELECT doc_id, grp, MIN(p) AS mn, MAX(p) AS mx,
+        |          COUNT(*) AS c
+        |        FROM isl GROUP BY doc_id, grp)
+        |  GROUP BY doc_id),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  COALESCE(cov.n_dup_positions, 0) AS n_dup_positions,
+        |  COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens,
+        |  CAST(COALESCE(cov.n_dup_tokens, 0) * 1000000
+        |    // GREATEST(nt.n_tokens, 1) AS BIGINT) AS dup_ratio_q6
+        |FROM nt LEFT JOIN cov USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("tk"))
+      val pos = toks.filter(size(col("tk")) >= 15)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("tk")) - 14)).as("i"), col("tk"))
+        .select(col("doc_id"), col("i").cast("long").as("p"),
+          concat_ws(" ", slice(col("tk"), col("i"), lit(15))).as("g"))
+      // dup grams: distinct (doc, gram) then a gram-keyed count — partial
+      // aggregation collapses a hot gram map-side; never a self-join
+      val dupg = pos.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("g"))
+      val dpos = pos.join(dupg, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("p")).distinct()
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val isl = dpos.withColumn("prev", lag(col("p"), 1).over(wOrd))
+        .withColumn("grp",
+          sum(when(col("prev").isNull || col("p") - col("prev") > 15, 1)
+            .otherwise(0)).over(wOrd))
+      val cov = isl.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+          count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("mx") - col("mn") + 15).as("n_dup_tokens"),
+          sum(col("c")).as("n_dup_positions"))
+      val nt = toks.select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"))
+      nt.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          expr("coalesce(n_dup_tokens, 0L) * 1000000 div greatest(n_tokens, 1L)")
+            .as("dup_ratio_q6"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -198,4 +198,57 @@ class DedupScaleLawSpec extends SparkSpec {
   test("q_pack_sequences: sequential walk matches the engine on a verbatim clone (bin state crosses copy blocks)") {
     assert(enginePack(cloneDir) == replayPack(cloneDocs))
   }
+
+  // ----------------------------------------------- substring dedup
+  /** naive per-doc replay: token lists, 15-token gram -> doc-set map,
+    * duplicated positions, interval-union coverage — plain collections,
+    * no windows, no joins. */
+  private def replaySubstring(docs: Seq[(Long, String)]): Vector[(Long, Long, Long, Long, Long)] = {
+    val tokPat = "[a-z0-9]+".r
+    val toks: Vector[(Long, Vector[String])] = docs.map { case (id, t) =>
+      id -> tokPat.findAllIn(t.toLowerCase(Locale.ROOT)).toVector
+    }.toVector
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    toks.foreach { case (id, tk) =>
+      if (tk.length >= 15)
+        (0 to tk.length - 15).foreach { i =>
+          val g = tk.slice(i, i + 15).mkString(" ")
+          gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+        }
+    }
+    toks.sortBy(_._1).map { case (id, tk) =>
+      val dupPos = if (tk.length < 15) Vector.empty[Int]
+      else (0 to tk.length - 15).filter { i =>
+        gramDocs(tk.slice(i, i + 15).mkString(" ")).size >= 2
+      }.toVector
+      var covered = 0L
+      var islands = 0L
+      var start = -1
+      var last = -1
+      dupPos.foreach { p =>
+        if (start < 0 || p - last > 15) {
+          if (start >= 0) covered += last - start + 15
+          start = p; islands += 1
+        }
+        last = p
+      }
+      if (start >= 0) covered += last - start + 15
+      val n = tk.length.toLong
+      (id, n, dupPos.length.toLong, covered,
+        covered * 1000000L / math.max(n, 1L))
+    }
+  }
+
+  private def engineSubstring(dir: String): Vector[(Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("q_dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toVector
+
+  test("q_dedup_substring: naive span-coverage replay matches the engine on the base corpus") {
+    assert(engineSubstring(sf("sf0.001")) == replaySubstring(baseDocs))
+  }
+
+  test("q_dedup_substring: naive replay matches the engine on a verbatim clone (every span duplicated)") {
+    assert(engineSubstring(cloneDir) == replaySubstring(cloneDocs))
+  }
 }

@@ -99,7 +99,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     }
   }
 
-  test("every global window in the 301-query registry is whitelisted with a rationale") {
+  test("every global window in the full query registry is whitelisted with a rationale") {
     val buildPhase = scala.collection.mutable.Map.empty[String, Int]
     @volatile var currentQuery: String = ""
     @volatile var captures = 0

@@ -849,4 +849,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rp.contains("CartesianProduct") && !rp.contains("Window"),
       s"round must be keyed joins only:\n$rp")
   }
+
+  test("substring dedup is gram-keyed aggregation + doc-keyed islands, never a pair join") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // duplicated positions re-qualify through a SEMI join on the gram —
+    // a pair-enumerating inner self-join here would be O(copies^2) on a
+    // hot gram at 100 TB
+    assert(p.contains("LeftSemi"), s"dup-gram qualification lost its semi-join:\n$p")
+    // both windows (lag + island id) are keyed by doc_id, never global
+    assert(p.contains("windowPartition=[doc_id") ||
+      p.contains("hashpartitioning(doc_id"), s"island window lost its doc key:\n$p")
+    // the dup-gram count combines map-side (a million-copy gram is one row)
+    assert(p.contains("partial_count"), s"dup-gram count lost its combiner:\n$p")
+  }
 }

@@ -24,9 +24,20 @@ never produce (clones multiply ROWS but keep per-key item degrees):
     (|parts| = 20000 -> cap 564 truncates 2000 -> 564), each line
     templated from a real row of that part so every non-key column
     stays realistic.
+  - documents gains ONE power SOURCE ('src999', 250·factor docs —
+    tying the largest base source's clone mass) whose texts share a hot
+    five-token vocabulary repeated into an identical >100-char prefix,
+    with a unique tail making every full text distinct. This is the
+    doc-corpus skew a verbatim clone can never produce: the hot grams'
+    document frequency blows past every df cap (rare-gram candidate
+    joins, kNN postings, source-overlap gram sets must TRUNCATE the hot
+    mass, not enumerate it), the identical prefix floods one LSH
+    cluster/BPE prefix class, and the power clone's second voice
+    genuinely diverges from the plain clone's (different BPE merge
+    table, different df-cap cutoffs).
 Both engines read the same parquet, so every oracle stays valid; the
-point is showing the capped bipartite/CF family flat under adversarial
-per-key degree, not just row volume.
+point is showing the capped families flat under adversarial per-key
+degree and per-source text mass, not just row volume.
 """
 import argparse
 import os
@@ -39,6 +50,12 @@ COPY = ["region", "nation", "customer", "supplier", "part"]
 POWER_USER = 3_999_999_999  # beyond any clone's user_id offset range
 POWER_EVENT_ITEMS = 2100
 POWER_ORDER_PARTS = 2000
+# beyond any clone's doc_id offset range (k*1e7, factor <= ~160) but
+# BELOW Long.Max / 2654435761 ~= 3.47e9 — the Knuth-hash samplers
+# multiply doc_id by that constant and ANSI Spark errors on overflow
+POWER_DOC_BASE = 2_000_000_000
+POWER_DOC_HOT = "zq vortex quill zephyr xylem "  # hot vocabulary block
+POWER_DOCS_PER_FACTOR = 250  # ties the largest base source per clone copy
 
 
 def power_events_sql(src, cols):
@@ -76,6 +93,24 @@ def power_lineitem_sql(src, cols):
                           FROM '{src}/lineitem.parquet'
                           ORDER BY l_partkey LIMIT {POWER_ORDER_PARTS})
     ) WHERE rn_pow = 1"""
+
+
+def power_docs_sql(cols, factor):
+    """One power source: 250·factor docs sharing a hot-vocabulary block
+    repeated into an identical 145-char prefix, each with a unique tail
+    token; columns emitted in table order for the positional UNION ALL."""
+    n = POWER_DOCS_PER_FACTOR * factor
+    text = f"REPEAT('{POWER_DOC_HOT}', 5) || 'tail' || i"
+    overrides = {
+        "doc_id": f"CAST({POWER_DOC_BASE} + i AS BIGINT) AS doc_id",
+        "text": f"{text} AS text",
+        "lang": "'en' AS lang",
+        "source": "'src999' AS source",
+        "n_chars": f"CAST(LENGTH({text}) AS BIGINT) AS n_chars",
+    }
+    sel = ", ".join(overrides.get(c, f"NULL AS {c}") for c in cols)
+    return (f"SELECT {sel} FROM (SELECT CAST(UNNEST(RANGE(0, {n})) "
+            f"AS BIGINT) AS i)")
 
 
 def clones(n):
@@ -121,6 +156,8 @@ def main():
             parts.append(power_events_sql(src, cols))
         if args.power and t == "lineitem":
             parts.append(power_lineitem_sql(src, cols))
+        if args.power and t == "documents":
+            parts.append(power_docs_sql(cols, args.factor))
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{t}.parquet'"
             " (FORMAT PARQUET)")
@@ -134,8 +171,13 @@ def main():
         po = con.execute(
             f"SELECT MAX(c) FROM (SELECT COUNT(DISTINCT l_partkey) AS c"
             f" FROM '{out}/lineitem.parquet' GROUP BY l_orderkey)").fetchone()[0]
+        pd_, pdd = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT text)"
+            f" FROM '{out}/documents.parquet' WHERE source = 'src999'"
+        ).fetchone()
         print(f"power: user {POWER_USER} holds {pu} items; "
-              f"widest order holds {po} parts")
+              f"widest order holds {po} parts; src999 holds {pd_} docs "
+              f"({pdd} distinct texts, one shared 145-char prefix)")
 
 
 if __name__ == "__main__":

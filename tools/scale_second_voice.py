@@ -9,13 +9,15 @@ on clone-clique data at EVERY clone factor).
 Five checks, chained with ScaleLawCrossCheckSpec / DedupScaleLawSpec to
 cover the full gap:
 
-1. q_bpe_merges — a pure-python sequential greedy BPE replay runs on the
-   BASE corpus (no Spark, no DuckDB, no SQL), then the clone-lift law
-   (a verbatim F-clone multiplies every pair count and surviving token
-   count by exactly F and preserves every argmax, ties included; proved
-   replay-vs-replay in ScaleLawCrossCheckSpec) lifts it to the clone
-   factor. The engine's ACTUAL clone output must match the lifted replay
-   row-for-row.
+1. q_bpe_merges — a pure-python WEIGHTED sequential greedy BPE replay
+   over the clone's distinct 100-char prefixes (each carrying its
+   multiplicity), no Spark and no SQL in the merge loop. On a verbatim
+   F-clone this reduces to the clone-lift law (every weight = F; the
+   law — ×F counts, argmaxes + ties preserved — is proved
+   replay-vs-replay in ScaleLawCrossCheckSpec); on a power clone the
+   weights differ per prefix, so the same replay covers the skewed
+   corpus where base-plus-lift cannot. The engine's ACTUAL clone output
+   must match row-for-row.
 
 2. q_knn_graph — a rep-collapsed DuckDB replay over the clone (distinct
    texts carry clone-weighted df; identical-text pairs emit self-cosine
@@ -67,24 +69,26 @@ USAGE = ("usage: python3 tools/scale_second_voice.py "
          "BASE_SF_DIR CLONE_DIR ENGINE_OUT_DIR FACTOR [--json OUT]")
 
 
-def replay_bpe(texts, rounds=3):
+def replay_bpe(prefix_counts, rounds=3):
     # Engine convention (CorpusTokenizers.scala q_bpe_merges): truncate to
     # the 100-char prefix FIRST, then lowercase, and filter on the LOWERED
     # length. Python str indexing is by code point, the same unit as
     # Spark/DuckDB SUBSTR; main() asserts the corpus is ASCII so
     # lowercasing is length-preserving and locale-free in every voice.
-    prefixes = [t[:100].lower() for t in texts]
-    seqs = [list(p) for p in prefixes if len(p) >= 2]
+    # Rep-collapsed: one sequence per DISTINCT prefix, pair counts and
+    # surviving token counts weighted by the prefix's multiplicity —
+    # exact because merges are a per-sequence function of the text alone.
+    seqs = [(list(p), w) for p, w in prefix_counts if len(p) >= 2]
     out = []
     for rnd in range(1, rounds + 1):
         counts = {}
-        for s in seqs:
+        for s, w in seqs:
             for i in range(len(s) - 1):
                 k = (s[i], s[i + 1])
-                counts[k] = counts.get(k, 0) + 1
+                counts[k] = counts.get(k, 0) + w
         (bt, bnt), bn = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         nxt = []
-        for s in seqs:
+        for s, w in seqs:
             o, i = [], 0
             while i < len(s):
                 if i < len(s) - 1 and s[i] == bt and s[i + 1] == bnt:
@@ -93,9 +97,9 @@ def replay_bpe(texts, rounds=3):
                 else:
                     o.append(s[i])
                     i += 1
-            nxt.append(o)
+            nxt.append((o, w))
         seqs = nxt
-        out.append((rnd, bt, bnt, bn, sum(len(s) for s in seqs)))
+        out.append((rnd, bt, bnt, bn, sum(len(s) * w for s, w in seqs)))
     return out
 
 
@@ -368,27 +372,32 @@ def main():
     con = duckdb.connect()
     report = {"factor": factor}
 
-    # ---- 1. BPE: python base replay + lift law vs engine clone output
-    texts = [r[0] for r in con.execute(
-        f"SELECT text FROM '{base}/documents.parquet' ORDER BY doc_id").fetchall()]
-    non_ascii = sum(1 for t in texts if not t.isascii())
+    # ---- 1. BPE: weighted python replay over the clone's distinct
+    # prefixes vs engine clone output (reduces to the proved clone-lift
+    # law on verbatim clones; also valid on power-skewed corpora)
+    prefix_counts = con.execute(
+        f"SELECT LOWER(SUBSTR(text, 1, 100)) AS p, CAST(COUNT(*) AS BIGINT) "
+        f"FROM '{clone}/documents.parquet' GROUP BY p").fetchall()
+    non_ascii = sum(w for p, w in prefix_counts if not p.isascii())
     if non_ascii:
-        print(f"precondition violated: {non_ascii} non-ASCII document(s); "
-              "the cross-voice char-unit/lowercase equivalence (python code "
-              "points vs Spark/DuckDB SUBSTR vs JVM UTF-16) is only proved "
-              "for ASCII corpora", file=sys.stderr)
+        print(f"precondition violated: {non_ascii} non-ASCII document "
+              "prefix(es); the cross-voice char-unit/lowercase equivalence "
+              "(python code points vs Spark/DuckDB SUBSTR vs JVM UTF-16) is "
+              "only proved for ASCII corpora", file=sys.stderr)
         sys.exit(2)
-    lifted = [(r, a, b, n * factor, nt * factor)
-              for (r, a, b, n, nt) in replay_bpe(texts)]
+    replay = replay_bpe(prefix_counts)
     got = [tuple(r) for r in con.execute(
         f"SELECT round, lhs, rhs, n_pair, n_tokens_after "
         f"FROM '{eng_out}/q_bpe_merges/*.parquet' ORDER BY round").fetchall()]
-    bpe_ok = got == lifted
-    report["bpe"] = {"match": bpe_ok, "engine": got, "lifted_replay": lifted}
+    bpe_ok = got == replay
+    report["bpe"] = {"match": bpe_ok, "engine": got,
+                     "weighted_replay": replay,
+                     "n_distinct_prefixes": len(prefix_counts)}
     print(f"bpe_merges: {'MATCH' if bpe_ok else 'MISMATCH'} "
-          f"(python replay x{factor} lift vs engine)")
+          f"(weighted python replay over {len(prefix_counts)} distinct "
+          f"prefixes vs engine)")
     if not bpe_ok:
-        print(f"  engine: {got}\n  lifted: {lifted}")
+        print(f"  engine: {got}\n  replay: {replay}")
 
     # ---- 2. kNN: rep-collapsed duckdb replay vs engine clone output
     con.execute("CREATE TEMP TABLE knn_ref AS " + KNN_REP_SQL.format(clone=clone))
