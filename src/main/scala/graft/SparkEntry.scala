@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Cdc.queries ++
       operators.Stats.queries ++
       operators.StatsInference.queries ++
+      operators.Resampling.queries ++
       operators.StatsTimeSeries.queries ++
       domain.Catalog.queries ++
       domain.BurstIngest.queries ++

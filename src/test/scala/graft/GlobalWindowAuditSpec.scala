@@ -61,6 +61,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_skyline" -> "cumulative min over the per-size group table (size-domain bound)",
     "q_grid_hotspots" -> "neighbor offsets over aggregated grid cells (raster-bounded)",
     "q_pmi_bigrams" -> "top-k rank over the df-capped bigram score table",
+    "q_bh_fdr" -> "BH rank over the m-row p-value table (m = |event_type| vocabulary)",
+    "q_bootstrap_ci" -> "CI order statistics over the <=200-row replicate-mean table",
     // ---- catalog domain: per-track frame assembly over catalog geometry
     // rows (k-row per-track tables, not a fact table)
     "q_catalog_build" -> "frame indexing over per-track burst rows (catalog-bounded)",
