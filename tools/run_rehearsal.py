@@ -118,6 +118,11 @@ def main():
         built = True
 
     dump = f"{args.clone}_verify"
+    # SPARK_GRAFT_VERIFY_ONLY (inherited by the sbt child) restricts the
+    # ENGINE pass too — used for wall-clock-bounded targeted runs at high
+    # factors; the artifact records it so a targeted engine pass can never
+    # read as full-registry engine evidence.
+    engine_only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "")
     r = run(["sbt", f"runMain graft.Verify {args.clone} {dump}"],
             capture_output=True, text=True)
     engine_failures = re.findall(r"\[verify\] \S+ failed.*",
@@ -177,6 +182,8 @@ def main():
 
     artifact = {
         "oracle_mode": "targeted" if args.only else "full",
+        "engine_mode": ("targeted (SPARK_GRAFT_VERIFY_ONLY)" if engine_only
+                        else "full registry"),
         "sf": args.sf,
         "clone": args.clone,
         "factor": args.factor,
