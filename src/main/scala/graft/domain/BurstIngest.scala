@@ -198,22 +198,135 @@ object BurstIngest {
 
   val queries: Seq[QueryDef] = Seq(
     // D9 end-to-end: synthetic granules → full ingest (grid → polygons →
-    // dateline split → Eq. 9-89/9-91 ids) → per-granule summary. Rows-only
-    // (JTS + physics side; exactness pinned by SourcesSpec).
-    QueryDef.rowsOnly("q_burst_ingest") { (s, d) =>
+    // dateline split → Eq. 9-89/9-91 ids) → per-granule summary. The
+    // engine runs the REAL parse (flatMap XML → rings → datelineSplit →
+    // BurstId.fromBurstParams → WKT); the oracle re-derives the
+    // deterministic fixture analytically (the q_burst_physics "split
+    // oracle" pattern) and replays the GEOMETRY leg too: a shoelace area
+    // over the same ring order, the >180°-span split predicate, and the
+    // grid bbox. Every double is quantized with round-half-up
+    // (floor(x·10^k + 0.5)) where the true value lands exactly on the
+    // integer lattice (grid steps 0.9/0.17/0.01, strip area 0.612), so
+    // a last-ulp disagreement between JTS and DuckDB cannot flip a bin —
+    // a 0.5-wide margin on both sides. Quantization happens PER BURST
+    // before the SUM/MIN/MAX so no raw-double aggregation order matters
+    // (QueryDef determinism contract).
+    QueryDef.sql(
+      "q_burst_ingest",
+      """WITH g AS (SELECT CAST(k AS BIGINT) AS k FROM UNNEST(RANGE(0, 25)) AS t(k)),
+        |b AS (
+        |  SELECT k, k % 175 + 1 AS trk,
+        |    1577836800000000 + CAST(FLOOR((2.5 + CAST(i AS DOUBLE) * 2.758273)
+        |      * 1000000.0) AS BIGINT) AS s_us
+        |  FROM g CROSS JOIN UNNEST(RANGE(0, 9)) AS u(i)),
+        |-- Eq. 9-89/9-91 for the all-IW1, no-crossing, first-orbit fixture:
+        |-- identical IEEE expression tree to the q_burst_physics oracle
+        |-- with sw = 1 (offset 0) and track = start_track
+        |ids AS (
+        |  SELECT k,
+        |    't' || LPAD(CAST(trk AS VARCHAR), 3, '0') || '_'
+        |      || LPAD(CAST(1 + CAST(FLOOR((
+        |           ((CAST(s_us // 1000000 - 1577836800 AS DOUBLE)
+        |             + CAST((s_us % 1000000) * 1000 AS DOUBLE) / 1000000000.0)
+        |            + 0.832 + 1.078 / 2)
+        |           + CAST(trk - 1 AS DOUBLE) * (12 * 86400.0 / 175.0)
+        |           - 2.299849) / 2.758273) AS BIGINT) AS VARCHAR), 6, '0')
+        |      || '_iw1' AS bid
+        |  FROM b),
+        |idagg AS (
+        |  SELECT k, COUNT(*) AS n_bursts, MIN(bid) AS first_burst_id,
+        |         MAX(bid) AS last_burst_id
+        |  FROM ids GROUP BY k),
+        |-- the geolocation grid, mirrored point-for-point (10 lines × 5 px)
+        |pts AS (
+        |  SELECT g.k, CAST(ln AS BIGINT) AS ln, CAST(px AS BIGINT) AS px,
+        |    (CASE WHEN g.k = 13 THEN 178.0
+        |          ELSE -170.0 + CAST(g.k AS DOUBLE) * 2.0 END)
+        |      + CAST(px AS DOUBLE) * 0.9 AS lon_raw,
+        |    -40.0 + CAST(g.k AS DOUBLE) * 3.0 + CAST(ln AS DOUBLE) * 0.17
+        |      + CAST(px AS DOUBLE) * 0.01 AS lat
+        |  FROM g CROSS JOIN UNNEST(RANGE(0, 10)) AS a(ln)
+        |         CROSS JOIN UNNEST(RANGE(0, 5)) AS c(px)),
+        |-- per-strip boundary ring in engine order: line ln forward,
+        |-- line ln+1 reversed, closed with the first point. Shoelace on
+        |-- UNWRAPPED lon (area is translation/cut invariant, so it equals
+        |-- the engine's post-split part sum).
+        |ring AS (
+        |  SELECT k, ln AS strip, px AS ord, lon_raw AS x, lat AS y
+        |    FROM pts WHERE ln < 9
+        |  UNION ALL
+        |  SELECT k, ln - 1 AS strip, 9 - px AS ord, lon_raw, lat
+        |    FROM pts WHERE ln > 0
+        |  UNION ALL
+        |  SELECT k, ln AS strip, 10 AS ord, lon_raw, lat
+        |    FROM pts WHERE ln < 9 AND px = 0),
+        |sho AS (
+        |  SELECT k, strip,
+        |    CAST(FLOOR(ABS(SUM(x * y2 - x2 * y)) / 2 * 1000.0 + 0.5) AS BIGINT)
+        |      AS area_q
+        |  FROM (SELECT k, strip, x, y,
+        |          LEAD(x) OVER (PARTITION BY k, strip ORDER BY ord) AS x2,
+        |          LEAD(y) OVER (PARTITION BY k, strip ORDER BY ord) AS y2
+        |        FROM ring) s
+        |  WHERE x2 IS NOT NULL
+        |  GROUP BY k, strip),
+        |-- wrapped-lon extremes drive the split predicate (envelope width
+        |-- > 180, datelineSplit) and the bbox; a split granule's parts
+        |-- touch the seam, so its envelope is exactly [-180, 180]
+        |wagg AS (
+        |  SELECT k,
+        |    MIN(CASE WHEN lon_raw > 180 THEN lon_raw - 360 ELSE lon_raw END) AS mn_w,
+        |    MAX(CASE WHEN lon_raw > 180 THEN lon_raw - 360 ELSE lon_raw END) AS mx_w,
+        |    MIN(CAST(FLOOR(lat * 100.0 + 0.5) AS BIGINT)) AS lat_min_q2,
+        |    MAX(CAST(FLOOR(lat * 100.0 + 0.5) AS BIGINT)) AS lat_max_q2
+        |  FROM pts GROUP BY k),
+        |geo AS (
+        |  SELECT w.k,
+        |    CAST(CASE WHEN w.mx_w - w.mn_w > 180 THEN 9 ELSE 0 END AS BIGINT)
+        |      AS n_dateline_split,
+        |    CAST(CASE WHEN w.mx_w - w.mn_w > 180 THEN 18 ELSE 9 END AS BIGINT)
+        |      AS n_polys,
+        |    a.area_q3,
+        |    CASE WHEN w.mx_w - w.mn_w > 180 THEN CAST(-1800 AS BIGINT)
+        |         ELSE CAST(FLOOR(w.mn_w * 10.0 + 0.5) AS BIGINT) END AS lon_min_q1,
+        |    CASE WHEN w.mx_w - w.mn_w > 180 THEN CAST(1800 AS BIGINT)
+        |         ELSE CAST(FLOOR(w.mx_w * 10.0 + 0.5) AS BIGINT) END AS lon_max_q1,
+        |    w.lat_min_q2, w.lat_max_q2
+        |  FROM wagg w
+        |  JOIN (SELECT k, SUM(area_q) AS area_q3 FROM sho GROUP BY k) a
+        |    USING (k))
+        |SELECT 'S1A_IW_SLC__1SDV_G' || LPAD(CAST(i.k AS VARCHAR), 3, '0') AS granule,
+        |  i.n_bursts, i.first_burst_id, i.last_burst_id,
+        |  geo.n_dateline_split, geo.n_polys, geo.area_q3,
+        |  geo.lon_min_q1, geo.lon_max_q1, geo.lat_min_q2, geo.lat_max_q2
+        |FROM idagg i JOIN geo ON geo.k = i.k
+        |ORDER BY granule""".stripMargin) { (s, d) =>
       import s.implicits._
       val files = s.range(0, 25).map(k => syntheticGranule(k.toInt))
         .toDF("_1", "_2", "_3").as[(String, String, String)]
+      val env = GeoFunctions.stEnvelope(col("wkt"))
       ingest(files)
+        .select(col("granule"), col("burst_id_jpl"),
+          col("wkt").startsWith("MULTIPOLYGON").cast("long").as("is_split"),
+          GeoFunctions.stNumGeometries(col("wkt")).cast("long").as("n_parts"),
+          floor(GeoFunctions.stArea(col("wkt")) * 1000 + 0.5).cast("long")
+            .as("area_q"),
+          floor(env.getField("_1") * 10 + 0.5).cast("long").as("xmin_q"),
+          floor(env.getField("_2") * 100 + 0.5).cast("long").as("ymin_q"),
+          floor(env.getField("_3") * 10 + 0.5).cast("long").as("xmax_q"),
+          floor(env.getField("_4") * 100 + 0.5).cast("long").as("ymax_q"))
         .groupBy(col("granule"))
         .agg(
           count(lit(1)).as("n_bursts"),
           min(col("burst_id_jpl")).as("first_burst_id"),
           max(col("burst_id_jpl")).as("last_burst_id"),
-          sum(when(col("wkt").startsWith("MULTIPOLYGON"), 1L).otherwise(0L))
-            .as("n_dateline_split"),
-          floor(sum(GeoFunctions.stArea(col("wkt"))) * 1000).cast("long")
-            .as("area_q3"))
+          sum(col("is_split")).as("n_dateline_split"),
+          sum(col("n_parts")).as("n_polys"),
+          sum(col("area_q")).as("area_q3"),
+          min(col("xmin_q")).as("lon_min_q1"),
+          max(col("xmax_q")).as("lon_max_q1"),
+          min(col("ymin_q")).as("lat_min_q2"),
+          max(col("ymax_q")).as("lat_max_q2"))
         .orderBy(col("granule"))
     },
 

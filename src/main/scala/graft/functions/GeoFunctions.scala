@@ -156,6 +156,12 @@ object GeoFunctions {
 
   val stArea = udf((a: String) => if (a == null) 0.0 else parseWkt(a).getArea)
 
+  /** Part count (1 for simple geometries, N for MULTI*) — lets the
+    * dateline-split gate count split parts exactly instead of inferring
+    * them from the WKT prefix. */
+  val stNumGeometries = udf((a: String) =>
+    if (a == null) 0 else parseWkt(a).getNumGeometries)
+
   /** Boundary length (perimeter for polygons; interior rings included,
     * multi-part summed — JTS getLength semantics). On rectilinear
     * integer-lattice geometry every segment length is an integer, so the
