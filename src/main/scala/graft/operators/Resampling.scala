@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * reduced mod 1,000,003 (a prime) because the power-clone fixture's
   * user_id (3,999,999,999) times 2654435761 overflows int64 under ANSI —
   * the same hazard make_rehearsal.py documents for doc ids. Users sharing
-  * a residue class resample together (a quasi-permutation); that only
-  * kicks in beyond 1e6 distinct users, far above any fixture, and is
-  * deterministic on both engines either way. The replicate mix then
+  * a residue class resample together (a quasi-permutation); that cannot
+  * happen silently — every query folds an injectivity assertion over the
+  * distinct users into its n_users column ([[nUsersGuarded]]), so a
+  * fixture that ever grows past the residue space (or lands on a
+  * colliding id layout) fails the engine run loudly instead of biasing
+  * the draws. The replicate mix then
   * re-hashes (h1 + b), and the DECISION BIT is the TOP bit (bit 31) —
   * the low bits of a multiplicative hash are parity-degenerate
   * (low bit of (h1+b)·odd == parity(h1+b), which would alternate signs
@@ -65,6 +68,22 @@ object Resampling {
   private def h1Col: Column =
     pmod(pmod(col("user_id"), lit(1000003L)) * lit(2654435761L),
       lit(2147483648L)).as("h1")
+
+  /** Loud guard for the mod-1,000,003 reduction: the draws are valid iff
+    * user_id → h1 is injective over the fixture's distinct users (the
+    * multiplier is odd, so h1 collides exactly when the residues do).
+    * Folded into the kept n_users column — a bare withColumn would be
+    * pruned by the optimizer and never evaluate — so any engine run
+    * (registry, rehearsal clone, future fixture) FAILS instead of
+    * silently coupling the users that share a residue class. Count-based
+    * aggregate, no extra shuffle beyond the user-bounded table. */
+  private def nUsersGuarded: Column =
+    (count(lit(1)) + coalesce(
+      assert_true(count(lit(1)) === countDistinct(col("h1")),
+        lit("resampling residue collision: two distinct user_ids share " +
+          "user_id mod 1000003 — draws would couple; raise the modulus"))
+        .cast("long"),
+      lit(0L))).as("n_users")
 
   private val h1Sql =
     "CAST((((user_id % 1000003) + 1000003) % 1000003) * 2654435761 % 2147483648 AS BIGINT) AS h1"
@@ -137,7 +156,7 @@ object Resampling {
         .agg((sum(when(col("di") >= col("cut"), col("vq")).otherwise(0L))
           - sum(when(col("di") < col("cut"), col("vq")).otherwise(0L))).as("dd"))
         .select(col("user_id"), h1Col, col("dd"))
-      val obs = pu.agg(count(lit(1)).as("n_users"), sum(col("dd")).as("t_obs"))
+      val obs = pu.agg(nUsersGuarded, sum(col("dd")).as("t_obs"))
       val reps = pu.crossJoin(repSpine(s))
         .groupBy(col("b"))
         .agg(sum(signCol * col("dd")).as("t_b"))
@@ -211,7 +230,7 @@ object Resampling {
           - sum(when(col("di") < col("cut"), col("vq")).otherwise(0L))).as("dd"))
         .select(col("g"), col("user_id"), h1Col, col("dd"))
       val obs = pu.groupBy(col("g"))
-        .agg(count(lit(1)).as("n_users"), sum(col("dd")).as("t_obs"))
+        .agg(nUsersGuarded, sum(col("dd")).as("t_obs"))
       val reps = pu.crossJoin(repSpine(s))
         .groupBy(col("g"), col("b"))
         .agg(sum(signCol * col("dd")).as("t_b"))
@@ -294,7 +313,7 @@ object Resampling {
       val pu = base.groupBy(col("user_id"))
         .agg(sum(col("vq")).as("su"), count(lit(1)).as("cu"))
         .select(col("user_id"), h1Col, col("su"), col("cu"))
-      val tot = pu.agg(count(lit(1)).as("n_users"),
+      val tot = pu.agg(nUsersGuarded,
         sum(col("su")).as("s"), sum(col("cu")).as("n"))
       val drawn = pu.crossJoin(repSpine(s))
         .select(col("b"), col("su"), col("cu"), poissonCaseCol(h2Col).cast("long").as("w"))

@@ -106,16 +106,57 @@ class ResamplingCrossCheckSpec extends SparkSpec {
         (4L * u + 2, Timestamp.valueOf("2024-01-05 12:00:00"), u.toLong, "null", 20.0),
         (4L * u + 3, Timestamp.valueOf("2024-01-25 12:00:00"), u.toLong, "null", 20.0))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-resample").toString
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val out = SparkEntry.queries("q_bh_fdr")(spark, dir).collect()
-      .map(r => r.getAs[String]("g") ->
-        ((r.getAs[Long]("p_num"), r.getAs[Long]("rejected")))).toMap
-    assert(out("shift")._1 == 1L && out("shift")._2 == 1L,
-      s"shifted group must reject: ${out("shift")}")
-    assert(out("null")._1 == 201L && out("null")._2 == 0L,
-      s"null group must survive: ${out("null")}")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-resample")
+    try {
+      val dir = dirPath.toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = SparkEntry.queries("q_bh_fdr")(spark, dir).collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("p_num"), r.getAs[Long]("rejected")))).toMap
+      // p_num for the shifted group depends on the deterministic hash
+      // draw: it is 1 unless some of the 200 sign vectors happens to be
+      // (near-)all-same-sign across the 30 users. A small bound keeps the
+      // test diagnosable if B, the hash constants, or the user-id layout
+      // ever change — the REJECTION is the semantic claim, not the exact
+      // count (which the sf0.01 replay tests already pin exactly).
+      assert(out("shift")._1 <= 5L && out("shift")._2 == 1L,
+        s"shifted group must reject with a small p: ${out("shift")} " +
+          "(p_num rides on the deterministic hash draw — see comment)")
+      assert(out("null")._1 == 201L && out("null")._2 == 0L,
+        s"null group must survive: ${out("null")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("residue guard: colliding user ids fail the run instead of coupling") {
+    // users 7 and 7 + 1000003 share a residue class — the draws would
+    // silently co-flip; the in-plan injectivity assertion must fire
+    val rows = Seq(
+      (0L, Timestamp.valueOf("2024-01-05 12:00:00"), 7L, "a", 10.0),
+      (1L, Timestamp.valueOf("2024-01-25 12:00:00"), 7L + 1000003L, "a", 20.0))
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-residue")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${dirPath.toString}/events.parquet")
+      for (q <- Seq("q_permutation_test", "q_bh_fdr", "q_bootstrap_ci")) {
+        val e = intercept[Exception] {
+          SparkEntry.queries(q)(spark, dirPath.toString).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("residue collision")),
+          s"$q: expected the residue guard, got $e")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("bootstrap ci: weights, replicate means, and CI ranks replay exactly") {
