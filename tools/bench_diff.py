@@ -100,6 +100,7 @@ def main():
         print(f"added ({len(added)}, {t:.1f} s): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
+    iso = {}
     if regs and retime:
         iso = retime_isolated([q for _, _, _, q in regs],
                               new.get("sf", "/root/testdata/sf0.1"))
@@ -110,15 +111,19 @@ def main():
                 kept.append((r, a, b, q))
             elif t > a * REG_RATIO:
                 kept.append((t / a, a, t, q))
-                print(f"  {q}: isolated median {t:.2f} s confirms regression")
+                print(f"  {q}: isolated={t:.2f}s confirms regression")
             else:
-                print(f"  {q}: isolated median {t:.2f} s vs old {a:.2f} s — "
+                print(f"  {q}: isolated={t:.2f}s vs old {a:.2f} s — "
                       "in-suite flag was contention noise, dropped")
         regs = kept
     if regs:
         print(f"\nREGRESSIONS (> {REG_RATIO}x and > {NOISE_SEC} s):")
         for r, a, b, q in sorted(regs, reverse=True):
-            print(f"  {q}: {a:.2f} -> {b:.2f} s ({r:.2f}x)")
+            # every flag carries its isolated re-time (or says it has
+            # none) so close-outs quote tool output, not hand-run numbers
+            tail = (f" isolated={iso[q]:.2f}s" if q in iso
+                    else " isolated=n/a (run with --retime)")
+            print(f"  {q}: {a:.2f} -> {b:.2f} s ({r:.2f}x){tail}")
     else:
         print(f"\nno regressions > {REG_RATIO}x and > {NOISE_SEC} s")
     if imps:
