@@ -494,6 +494,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("lsh_stream").count() > 0)
   }
 
+  test("incremental LSH dedup: a second availableNow drop resumes the " +
+      "checkpoint and the cumulative state equals the batch clusters") {
+    // The reference's incremental-append posture (parse_bursts.py:
+    // 1096-1189 skip-if-exists): each drop is a SEPARATE availableNow
+    // run against the same checkpoint, so the file source skips
+    // already-processed files and only the new drop flows through the
+    // stateful pass. The gate is state-table equality: connected
+    // components over the cumulative streamed star edges must equal the
+    // batch q_dedup_clusters labels over the full corpus — i.e. the
+    // dedup state after N incremental runs IS the batch state.
+    import graft.pipeline.TextPipeline
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-incr").toString
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, sf()).select($"doc_id", $"text")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(inDir).schema
+      val in = spark.readStream.schema(schema).parquet(inDir)
+      val q = Sessions.lshEdgesStream(in)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // drop 1: even ids — run to completion, query stops
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(inDir)
+    runOnce()
+    val run1 = spark.read.parquet(outDir).count()
+    assert(run1 > 0)
+    // drop 2: odd ids appended — a NEW query resumes the same checkpoint
+    Thread.sleep(50)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    // skip-if-exists held: run 2 processed only the new file, so every
+    // run-2 edge touches an odd doc (a pure-even edge could only come
+    // from re-processing drop 1; re-link edges carry the new odd hub)
+    assert(all.filter($"doc1" % 2 === 0 && $"doc2" % 2 === 0).count() == run1,
+      "run 2 emitted an even-even edge — the checkpoint re-processed drop 1")
+    // state equality: components over cumulative streamed edges == batch
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextPipeline.dedupClusters(docs.select($"doc_id"), pairs)
+        .as[(Long, Long)].collect().toMap
+    val batchEdges = TextPipeline.lshClusterEdges(
+        TextPipeline.minhashSignatures(spark, sf()))
+      .select($"doc1", $"doc2")
+    val streamed = labels(all.select($"doc1", $"doc2").distinct())
+    assert(streamed.nonEmpty && streamed == labels(batchEdges))
+  }
+
   test("streaming first-seen exact dedup equals the batch keeper set") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstseen").toString
