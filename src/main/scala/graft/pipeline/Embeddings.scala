@@ -217,7 +217,27 @@ object Embeddings {
     // embedding-cosine near-duplicate detection: LSH buckets generate the
     // candidate pairs (bucket-equality join — never the O(n²) cross
     // product), exact integer-quantized cosine verifies; pairs above the
-    // threshold are the near-dups
+    // threshold are the near-dups.
+    //
+    // Rep-collapse (the duplicate-clique defense, r14): identical vectors
+    // have identical buckets, norms, and dots, so the engine groups the
+    // corpus into EQUALITY CLASSES first (one shuffle by vector value),
+    // runs bucketing + candidate join + cosine on one representative per
+    // class, and only then expands class-pairs back to id pairs — capped
+    // at the 201 smallest ids per class and the 200 lexicographically
+    // smallest pairs per class-pair, which provably contains the global
+    // top-200: a pair using a member of rank ≥ 202 is lexicographically
+    // preceded by the ≥ 201 pairs that substitute each smaller member of
+    // the same class (for intra-class pairs the 200 smallest are
+    // (m1,m2)..(m1,m201) outright). Before this, a verbatim k× clone made
+    // every bucket a k-copy clique: the within-bucket join is quadratic
+    // in copies (k=100 → 10,000× base pairs; the r13 100× rehearsal
+    // spent ~40 min / 28 GB spill here). After: candidate volume is
+    // clone-invariant — the k copies collapse to one class row — which is
+    // exactly the shape scale_second_voice.py's rep-collapsed replay
+    // models. Base fixtures (all classes singleton) take the identical
+    // path with expansion a no-op, so the DuckDB oracle below is
+    // unchanged and the hash is bit-identical.
     QueryDef.sql(
       "q_dedup_embedding",
       s"""WITH $qelemsSql,
@@ -238,32 +258,69 @@ object Embeddings {
          |          JOIN norms n2 ON n2.vec_id = v2
          |WHERE FLOOR(dot / SQRT(CAST(n1.n2 AS DOUBLE) * n2.n2) * 1000000) >= 150000
          |ORDER BY cos_q6 DESC, v1, v2 LIMIT 200""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       import graft.functions.QDot.qdot
-      // element rows feed ONLY the hyperplane projection (lshBuckets needs
-      // per-dimension rows); the verify stage joins candidate ids back to
-      // the raw arrays and computes each dot in one codegen'd pass —
-      // no per-element join, no per-pair aggregation shuffle
-      val buckets = lshBuckets(qelems(s, d), LshPlanes)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // equality classes: one shuffle keyed by the vector value; cap each
+      // class at its 201 smallest ids (sufficient for any global top-200,
+      // see the header comment) so no per-class state is unbounded
+      val wCls = Window.partitionBy(col("embedding"))
+      val classed = emb
+        .withColumn("rep", min(col("vec_id")).over(wCls))
+        .withColumn("rn", row_number().over(wCls.orderBy(col("vec_id"))))
+        .withColumn("csize", count(lit(1)).over(wCls))
+      val reps = classed.filter(col("rn") === 1)
+        .select(col("rep"), col("embedding"), col("csize"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = buckets.as("a")
+      val members = classed.filter(col("rn") <= 201)
+        .groupBy(col("rep")).agg(sort_array(collect_list(col("vec_id"))).as("mem"))
+      // bucketing, candidate join, and the exact quantized cosine all run
+      // on ONE row per class — candidate volume is clone-invariant
+      val repElems = reps
+        .select(col("rep").as("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+        .select(col("vec_id"), col("i"),
+          floor(col("e").cast("double") * 1000000).cast("long").as("qe"))
+      val buckets = lshBuckets(repElems, LshPlanes)
+      val crossCls = buckets.as("a")
         .join(buckets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val norms = emb.select(col("vec_id"),
+        .select(col("a.vec_id").as("r1"), col("b.vec_id").as("r2"))
+      // a class with >= 2 copies is its own candidate pair (same bucket by
+      // construction); its cosine is exactly 1e6 but flows through the
+      // shared formula below rather than a special case
+      val intraCls = reps.filter(col("csize") >= 2)
+        .select(col("rep").as("r1"), col("rep").as("r2"))
+      val repVec = reps.select(col("rep"), col("embedding"))
+      val norms = repVec.select(col("rep"),
         qdot(col("embedding"), col("embedding")).as("n2"))
-      val dots = cand
-        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
-        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
-        .select(col("v1"), col("v2"), qdot(col("e1"), col("e2")).as("dot"))
-      dots
-        .join(norms.select(col("vec_id").as("v1"), col("n2").as("n21")), Seq("v1"))
-        .join(norms.select(col("vec_id").as("v2"), col("n2").as("n22")), Seq("v2"))
+      val clsPairs = crossCls.unionAll(intraCls)
+        .join(repVec.select(col("rep").as("r1"), col("embedding").as("e1")), Seq("r1"))
+        .join(repVec.select(col("rep").as("r2"), col("embedding").as("e2")), Seq("r2"))
+        .select(col("r1"), col("r2"), qdot(col("e1"), col("e2")).as("dot"))
+        .join(norms.select(col("rep").as("r1"), col("n2").as("n21")), Seq("r1"))
+        .join(norms.select(col("rep").as("r2"), col("n2").as("n22")), Seq("r2"))
         .withColumn("cos_q6",
           floor(col("dot") / sqrt(col("n21").cast("double") * col("n22")) * 1000000)
             .cast("long"))
         .filter(col("cos_q6") >= 150000)
-        .select(col("v1"), col("v2"), col("cos_q6"))
+      // expansion back to id pairs: pure Column HOFs (codegen'd, no UDF);
+      // per class-pair at most 201×201 intermediate structs, sliced to the
+      // 200 lexicographically smallest before the global top-200
+      val expanded = clsPairs
+        .join(members.select(col("rep").as("r1"), col("mem").as("m1")), Seq("r1"))
+        .join(members.select(col("rep").as("r2"), col("mem").as("m2")), Seq("r2"))
+        .withColumn("pairs",
+          when(col("r1") === col("r2"),
+            expr("slice(array_sort(filter(flatten(transform(m1, x -> " +
+              "transform(m1, y -> struct(x AS v1, y AS v2)))), " +
+              "p -> p.v1 < p.v2)), 1, 200)"))
+          .otherwise(
+            expr("slice(array_sort(flatten(transform(m1, x -> " +
+              "transform(m2, y -> struct(least(x, y) AS v1, " +
+              "greatest(x, y) AS v2))))), 1, 200)")))
+        .select(col("cos_q6"), explode(col("pairs")).as("pr"))
+      expanded
+        .select(col("pr.v1").as("v1"), col("pr.v2").as("v2"), col("cos_q6"))
         .orderBy(col("cos_q6").desc, col("v1"), col("v2"))
         .limit(200)
     },
