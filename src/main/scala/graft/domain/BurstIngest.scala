@@ -293,7 +293,8 @@ object BurstIngest {
         |         ELSE CAST(FLOOR(w.mx_w * 10.0 + 0.5) AS BIGINT) END AS lon_max_q1,
         |    w.lat_min_q2, w.lat_max_q2
         |  FROM wagg w
-        |  JOIN (SELECT k, SUM(area_q) AS area_q3 FROM sho GROUP BY k) a
+        |  JOIN (SELECT k, CAST(SUM(area_q) AS BIGINT) AS area_q3
+        |        FROM sho GROUP BY k) a
         |    USING (k))
         |SELECT 'S1A_IW_SLC__1SDV_G' || LPAD(CAST(i.k AS VARCHAR), 3, '0') AS granule,
         |  i.n_bursts, i.first_burst_id, i.last_burst_id,

@@ -145,14 +145,15 @@ object Eval {
          |  FROM cls)
          |SELECT cls AS class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
          |  CAST(fn AS BIGINT) AS fn,
-         |  CASE WHEN tp + fp = 0 THEN NULL
-         |    ELSE (tp * 1000000) // (tp + fp) END AS precision_q6,
-         |  CASE WHEN tp + fn = 0 THEN NULL
-         |    ELSE (tp * 1000000) // (tp + fn) END AS recall_q6,
-         |  CASE WHEN tp + fp = 0 OR tp + fn = 0
+         |  CAST(CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_q6,
+         |  CAST(CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_q6,
+         |  CAST(CASE WHEN tp + fp = 0 OR tp + fn = 0
          |      OR (tp * 1000000) // (tp + fp) + (tp * 1000000) // (tp + fn) = 0 THEN NULL
          |    ELSE (2 * ((tp * 1000000) // (tp + fp)) * ((tp * 1000000) // (tp + fn)))
-         |      // ((tp * 1000000) // (tp + fp) + (tp * 1000000) // (tp + fn)) END AS f1_q6
+         |      // ((tp * 1000000) // (tp + fp) + (tp * 1000000) // (tp + fn)) END
+         |    AS BIGINT) AS f1_q6
          |FROM m ORDER BY class""".stripMargin) { (s, d) =>
       val pred = predicted(scored(Tables.documents(s, d)))
       val cm = pred.groupBy(col("lang"), col("pred_lang"))

@@ -15,6 +15,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB native types an oracle projection may produce. Everything the
+# engine emits lands in this set when read back from parquet; an oracle
+# column outside it (HUGEINT from an uncast SUM, DECIMAL from uncast
+# arithmetic) is exactly the class the driver's type-sensitive hash
+# rejects even when stringified values match (r14: q_burst_ingest).
+ALLOWED_TYPES = {"VARCHAR", "BIGINT", "DOUBLE", "DATE", "TIMESTAMP",
+                 "BOOLEAN", "INTEGER"}
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -56,11 +64,24 @@ def main():
             n_skip += 1
             continue
         try:
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            rel = con.sql(sql)
+            exp_cols = list(rel.columns)
+            exp_types = [str(t) for t in rel.types]
+            exp_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # Native-type gate: the driver's hash is type-sensitive, while the
+        # row compare below stringifies values. An oracle projection that
+        # comes back HUGEINT/DECIMAL (e.g. an uncast SUM) hash-matches here
+        # but fails the driver (r14: q_burst_ingest). Fail locally first.
+        bad = [(c, t) for c, t in zip(exp_cols, exp_types)
+               if t.split("(")[0] not in ALLOWED_TYPES]
+        if bad:
+            print(f"FAIL {name}: oracle native type outside driver-safe set: "
+                  + ", ".join(f"{c}:{t}" for c, t in bad)
+                  + "  (cast the projection, e.g. CAST(SUM(x) AS BIGINT))")
             n_fail += 1
             continue
         try:

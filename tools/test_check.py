@@ -38,6 +38,15 @@ def main():
         rc, out = run_check(sf_dir, tmp)
         assert rc == 0 and "PASS q_fake" in out, f"harness failed a correct result!\n{out}"
 
+        # an oracle whose native type is HUGEINT must FAIL even though the
+        # stringified values match — the driver's hash is type-sensitive
+        # and this is exactly how r14's q_burst_ingest shipped red
+        json.dump({"q_fake": "SELECT SUM(n) AS n FROM (SELECT 42 AS n)"},
+                  open(f"{tmp}/oracle_sql.json", "w"))
+        rc, out = run_check(sf_dir, tmp)
+        assert rc == 1 and "native type outside driver-safe set" in out, \
+            f"harness passed an uncast HUGEINT oracle!\n{out}"
+
         # a skipped query is REDUCED COVERAGE, never a clean pass: the
         # summary must say so and the exit code must be distinct (2)
         env = dict(os.environ, GRAFT_CHECK_SKIP="q_fake")
