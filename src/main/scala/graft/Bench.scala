@@ -91,6 +91,27 @@ object Bench {
     // stamped contaminated:true so nobody triages phantom regressions.
     val sentinelFn = SparkEntry.queries("q_agg_pricing")
     val sentinelBefore = runOnce("warmup2", sentinelFn)
+    // The after/before ratio only detects contention that STARTS mid-run.
+    // A window that is already contended at t0 passes it (r14: 341.5 s
+    // capture, sentinel_before 2.06 s vs 1.1-1.5 s clean, contaminated:
+    // false — every flagged "regression" refuted by isolated retimes).
+    // So the capture also self-identifies as noisy when sentinel_before
+    // exceeds an absolute floor for this host, or 1.5x the previously
+    // committed capture's own sentinel_before.
+    val noisyFloor = sys.env.get("SPARK_GRAFT_SENTINEL_FLOOR")
+      .map(_.toDouble).getOrElse(1.7)
+    val committedSentinel: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_full_latest.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"sentinel_before":([0-9.eE+-]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        } else None
+      } catch { case _: Throwable => None }
+    val noisyWindow = sentinelBefore > noisyFloor ||
+      committedSentinel.exists(s => s > 0 && sentinelBefore > 1.5 * s)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -103,12 +124,16 @@ object Bench {
     def toJson(rs: Seq[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${rs.length},"n_total":${results.length},"runs_per_query":$runs,"contaminated":$contaminated,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${rs.length},"n_total":${results.length},"runs_per_query":$runs,"contaminated":$contaminated,"noisy_window":$noisyWindow,"sentinel_before":$sentinelBefore,"sentinel_after":$sentinelAfter,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = toJson(results, total)
     if (contaminated)
       System.err.println(f"[bench] CONTAMINATED capture: sentinel $sentinelBefore%.2fs -> $sentinelAfter%.2fs (machine ran concurrent work)")
+    if (noisyWindow)
+      System.err.println(f"[bench] NOISY WINDOW: sentinel_before $sentinelBefore%.2fs exceeds floor $noisyFloor%.2fs" +
+        committedSentinel.map(s => f" or 1.5x committed $s%.2fs").getOrElse("") +
+        " — window was contended before the run started; trust isolated retimes only")
     // The full per-query JSON goes to a repo file; stdout gets a COMPACT
     // line (total + the 24 slowest queries + any failures) because the
     // driver's stdout tail window truncates a 180-query line from the

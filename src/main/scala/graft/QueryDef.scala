@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - integer-valued derived columns are cast to BIGINT on both sides;
   *   - no non-deterministic FIRST/collect order — window row_number with a
   *     full tie-break instead (SURVEY.md §7.5 risk 5).
+  *
+  * Runner contract: a built plan may `persist()` intermediates that feed
+  * several downstream branches (e.g. q_dedup_embedding's equality-class
+  * reps). The plan is lazy, so the query function cannot unpersist them
+  * itself; the RUNNER must call `spark.catalog.clearCache()` after
+  * materializing each query (Verify and Bench both do, in their per-query
+  * `finally`) or cached blocks accumulate across a registry sweep.
   */
 final case class QueryDef(
     name: String,

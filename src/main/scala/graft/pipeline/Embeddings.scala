@@ -269,6 +269,9 @@ object Embeddings {
         .withColumn("rep", min(col("vec_id")).over(wCls))
         .withColumn("rn", row_number().over(wCls.orderBy(col("vec_id"))))
         .withColumn("csize", count(lit(1)).over(wCls))
+      // persisted because five branches read it (members, repElems, the
+      // bucket self-join's two sides, intraCls, repVec); released by the
+      // runner's post-materialization clearCache (QueryDef runner contract)
       val reps = classed.filter(col("rn") === 1)
         .select(col("rep"), col("embedding"), col("csize"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

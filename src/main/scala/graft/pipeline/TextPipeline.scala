@@ -429,6 +429,63 @@ object TextPipeline {
        |  FROM grams GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared oracle for q_dedup_clusters and q_dedup_incremental: a DuckDB
+    * recursive transitive closure over the pairwise LSH candidate set —
+    * both queries must land on the identical cluster table, however the
+    * edges were produced (batch star edges vs checkpoint-accumulated
+    * streaming edges). */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $gramsSql,
+       |$minhashSigSql,
+       |${bandsSql(LshBands, LshRowsPerBand)},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.sig_key = c.sig_key AND a.doc_id < c.doc_id),
+       |edges AS (
+       |  SELECT doc1 AS a, doc2 AS b FROM pairs
+       |  UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+       |canon AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_members
+       |FROM canon GROUP BY canonical_id ORDER BY canonical_id""".stripMargin
+
+  /** Two-drop incremental ingest for q_dedup_incremental: stage the corpus
+    * as two file drops and run [[graft.streaming.Sessions.lshEdgesStream]]
+    * to completion once per drop against one checkpoint, exactly like a
+    * daily ingest job restarted on each arrival. Returns the cumulative
+    * (doc1, doc2) edge table. Fresh temp dirs per invocation (under the
+    * shutdown-hook-cleaned root, so the lazily-read result outlives the
+    * call); the streaming runs execute eagerly in here — that cost IS the
+    * operator, so Bench bills it. */
+  private def incrementalDedupEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory(cleanupHook, "dedup-incr")
+    val inDir = tmp.resolve("in").toString
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def runDrop(drop: DataFrame): Unit = {
+      drop.write.mode("append").parquet(inDir)
+      val in = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      graft.streaming.Sessions.lshEdgesStream(in)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    runDrop(docs.filter(col("doc_id") % 2 === 0))
+    runDrop(docs.filter(col("doc_id") % 2 === 1))
+    s.read.parquet(outDir).select(col("doc1"), col("doc2")).distinct()
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on full text + normalized-prefix keys
@@ -495,35 +552,37 @@ object TextPipeline {
     // recursive transitive closure over the identical edge set); one row
     // per cluster with the canonical (min) doc id — the keep/drop list a
     // production dedup pipeline ships
-    QueryDef.sql(
-      "q_dedup_clusters",
-      s"""WITH RECURSIVE $gramsSql,
-         |$minhashSigSql,
-         |${bandsSql(LshBands, LshRowsPerBand)},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-         |  FROM bands a JOIN bands c
-         |    ON a.b = c.b AND a.sig_key = c.sig_key AND a.doc_id < c.doc_id),
-         |edges AS (
-         |  SELECT doc1 AS a, doc2 AS b FROM pairs
-         |  UNION ALL SELECT doc2, doc1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
-         |canon AS (
-         |  SELECT d.doc_id,
-         |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
-         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-         |  GROUP BY d.doc_id)
-         |SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |  CAST(SUM(doc_id) AS BIGINT) AS sum_members
-         |FROM canon GROUP BY canonical_id ORDER BY canonical_id""".stripMargin) { (s, d) =>
+    QueryDef.sql("q_dedup_clusters", clustersOracleSql) { (s, d) =>
       // star edges, not pairwise: components are provably identical (the
       // oracle's recursive closure runs over the pairwise set and the
       // hashes still match) but the hot-bucket cost is O(k), not O(k²)
       val pairs = lshClusterEdges(minhashSignatures(s, d), LshBands, LshRowsPerBand)
       dedupClusters(Tables.documents(s, d).select(col("doc_id")), pairs)
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_members"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // the INCREMENTAL form of q_dedup_clusters, driver-visible: the corpus
+    // arrives as two separate drops (even ids, then odd), each processed
+    // by its own availableNow run of the stateful LSH edge stream against
+    // ONE shared checkpoint — the reference's skip-if-exists append
+    // posture (parse_bursts.py:1096-1189) as a registered query. Run 2's
+    // file source skips drop 1's files; only the new drop flows through
+    // the per-bucket hub state (one long per (band, sig_key), re-link
+    // edges stitch old hubs to new minima). Connected components over the
+    // CUMULATIVE streamed star edges equal the batch clusters — the spec
+    // (StreamingSpec "incremental LSH dedup") proves label-map equality,
+    // and this query shares q_dedup_clusters' oracle verbatim, so the
+    // driver hash-gates stream-accumulated state == batch recompute.
+    // Components are invariant to how availableNow splits micro-batches:
+    // every emitted edge stays inside one LSH bucket and every bucket
+    // member is always linked (directly or via a re-link chain) to the
+    // bucket's running min, so the output depends only on the final
+    // component structure, not batch boundaries.
+    QueryDef.sql("q_dedup_incremental", clustersOracleSql) { (s, d) =>
+      val edges = incrementalDedupEdges(s, d)
+      dedupClusters(Tables.documents(s, d).select(col("doc_id")), edges)
         .groupBy(col("canonical_id"))
         .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_members"))
         .orderBy(col("canonical_id"))

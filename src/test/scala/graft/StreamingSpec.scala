@@ -544,6 +544,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == labels(batchEdges))
   }
 
+  test("registered q_dedup_incremental equals q_dedup_clusters row-for-row") {
+    // the registered incremental query (two availableNow runs against one
+    // checkpoint inside the query function) must land on the identical
+    // cluster table as the batch query — they share one oracle, so this
+    // is the same gate the driver applies, exercised in-suite
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_dedup_clusters")(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc == batch)
+  }
+
   test("streaming first-seen exact dedup equals the batch keeper set") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-firstseen").toString

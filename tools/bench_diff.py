@@ -54,10 +54,12 @@ def retime_isolated(queries, sf_dir):
           f"(median-of-3, {sf_dir}) ...", flush=True)
     r = subprocess.run(["sbt", "runMain graft.Bench"],
                        env=env, capture_output=True, text=True)
-    # Line-anchored, non-greedy: Bench prints its JSON as one whole line.
-    # A greedy '.*\}' over full sbt stdout would swallow any later line
-    # ending in '}' (sbt logging, a second echo) and corrupt the parse.
-    for m in re.finditer(r'^\{"metric".*?\}\s*$', r.stdout, re.MULTILINE):
+    # End-anchored, non-greedy: Bench prints its JSON as one whole line,
+    # but sbt prefixes it with "[info] " — so the start is NOT anchored
+    # (r15: the ^-anchored form matched nothing and every retime silently
+    # fell back to in-suite flags). A greedy '.*\}' over full sbt stdout
+    # would swallow any later line ending in '}' and corrupt the parse.
+    for m in re.finditer(r'\{"metric".*?\}\s*$', r.stdout, re.MULTILINE):
         try:
             return json.loads(m.group(0).strip()).get("queries", {})
         except json.JSONDecodeError:
@@ -76,13 +78,25 @@ def main():
     new_arg = argv[1] if len(argv) > 1 else "bench_full_latest.json"
     old, new = load(old_arg), load(new_arg)
     for name, cap in (("old", old), ("new", new)):
+        fmt = lambda v: f"{v:.2f}" if isinstance(v, (int, float)) else "?"
+        sb = cap.get("sentinel_before")
+        sa = cap.get("sentinel_after")
         if cap.get("contaminated"):
-            sb = cap.get("sentinel_before")
-            sa = cap.get("sentinel_after")
-            fmt = lambda v: f"{v:.2f}" if isinstance(v, (int, float)) else "?"
             sys.exit(f"{name} capture is contaminated "
                      f"(sentinel {fmt(sb)} -> {fmt(sa)} s) — "
                      "re-measure isolated")
+        # a window already contended at t0 passes the after/before ratio
+        # (r14's 341.5 s capture); such captures are only usable when every
+        # surviving flag is isolated-retimed
+        if cap.get("noisy_window"):
+            if not retime:
+                sys.exit(f"{name} capture is from a noisy window "
+                         f"(sentinel_before {fmt(sb)} s) — rerun with "
+                         "--retime so every flag is isolated-verified, "
+                         "or regenerate in a clean window")
+            print(f"WARNING: {name} capture is from a noisy window "
+                  f"(sentinel_before {fmt(sb)} s) — in-suite numbers "
+                  "untrusted, flags verified isolated below")
     oq, nq = old.get("queries", {}), new.get("queries", {})
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))

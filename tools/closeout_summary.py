@@ -11,6 +11,7 @@ every REHEARSAL_r{N}*.json / SECONDVOICE*.json present for the round.
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -51,16 +52,39 @@ def main():
             # null if the driver didn't parse the Bench line)
             core = drv.get("parsed") if isinstance(drv.get("parsed"), dict) \
                 else drv
+            # the driver wrapper often ships parsed:null with the Bench
+            # metric line embedded in its raw stdout `tail` — recover the
+            # LAST such line so the dual-capture comparison still fires
+            # (r14: this tool printed "cannot compare" against the very
+            # capture it was built to cross-check)
+            if not (isinstance(core, dict)
+                    and isinstance(core.get("value"), (int, float))) \
+                    and isinstance(drv.get("tail"), str):
+                ms = re.findall(r'\{"metric":"total".*?\}(?=\s|$)',
+                                drv["tail"])
+                for m in reversed(ms):
+                    try:
+                        core = json.loads(m)
+                        break
+                    except json.JSONDecodeError:
+                        continue
             val = core.get("value") if isinstance(core, dict) else None
             if not isinstance(val, (int, float)):
                 print(f"  (driver capture {os.path.basename(drv_path)} "
                       "carries no parsed totals — cannot compare)")
             elif val != cap.get("value"):
+                # a Bench stdout headline truncates `queries` to the 24
+                # slowest — n_total carries the real count
+                nq = core.get("n_total", len(core.get("queries", {})))
                 print(f"  (driver capture {os.path.basename(drv_path)}: "
                       f"{fmt(val, '{:.1f}')} s / "
-                      f"{len(core.get('queries', {}))} queries — differs "
+                      f"{nq} queries — differs "
                       "from the worktree capture above; per-query drift "
                       "between the builder's and the driver's benches)")
+            else:
+                print(f"  (driver capture {os.path.basename(drv_path)} "
+                      "matches the worktree capture: "
+                      f"{fmt(val, '{:.1f}')} s)")
 
     cov = subprocess.run([sys.executable,
                           os.path.join(REPO, "tools/check_coverage.py")],

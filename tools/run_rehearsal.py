@@ -47,6 +47,10 @@ KNOWN_SKIPS = {
     "q_dedup_clusters": "verbatim-clone fixture makes every copy collide; "
         "DuckDB's recursive cluster replay is superlinear on the clique "
         "-- covered by scale_second_voice.py (rep-collapsed union-find)",
+    "q_dedup_incremental": "shares q_dedup_clusters' recursive-closure "
+        "oracle verbatim, so the same clique blowup applies -- covered by "
+        "scale_second_voice.py (engine-vs-engine equality with the batch "
+        "clusters table, itself rep-collapse replayed)",
     "q_dedup_embedding": "same clique blowup through the embedding "
         "near-dup pair replay -- covered by scale_second_voice.py "
         "(rep-collapsed class enumeration, lazy top-200)",

@@ -6,8 +6,10 @@ permanently-skipped dedup oracles q_dedup_clusters / q_dedup_embedding /
 q_pack_sequences (the naive recursive/pairwise replays are superlinear
 on clone-clique data at EVERY clone factor).
 
-Five checks, chained with ScaleLawCrossCheckSpec / DedupScaleLawSpec to
-cover the full gap:
+Six checks, chained with ScaleLawCrossCheckSpec / DedupScaleLawSpec to
+cover the full gap (q_dedup_incremental — r15 — shares the clusters
+oracle and is second-voiced by engine-vs-engine equality with the batch
+clusters table, which check 3 independently replays):
 
 1. q_bpe_merges — a pure-python WEIGHTED sequential greedy BPE replay
    over the clone's distinct 100-char prefixes (each carrying its
@@ -231,6 +233,34 @@ def check_dedup_clusters(con, clone, eng_out):
     return ok, detail
 
 
+def check_dedup_incremental(con, clone, eng_out):
+    # q_dedup_incremental shares q_dedup_clusters' oracle (and its clone-
+    # scale skip). Its second voice chains through the batch table:
+    # engine(incremental) == engine(batch clusters) here, and
+    # engine(batch clusters) == rep-collapsed python replay in
+    # check_dedup_clusters — so the stream-accumulated state is tied to
+    # the independent replay without re-running it.
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{eng_out}/q_dedup_incremental/*.parquet'"
+    ).fetchone()[0]
+    diff = con.execute(
+        f"""SELECT COUNT(*) FROM (
+              (SELECT canonical_id, n_members, sum_members
+               FROM '{eng_out}/q_dedup_incremental/*.parquet'
+               EXCEPT
+               SELECT canonical_id, n_members, sum_members
+               FROM '{eng_out}/q_dedup_clusters/*.parquet')
+              UNION ALL
+              (SELECT canonical_id, n_members, sum_members
+               FROM '{eng_out}/q_dedup_clusters/*.parquet'
+               EXCEPT
+               SELECT canonical_id, n_members, sum_members
+               FROM '{eng_out}/q_dedup_incremental/*.parquet'))"""
+    ).fetchone()[0]
+    ok = n > 0 and diff == 0
+    return ok, {"match": ok, "rows": n, "symdiff_vs_batch_clusters": diff}
+
+
 # ---- q_dedup_embedding replay (Embeddings.scala constants) ------------
 def vec_bucket(qe, planes=8):
     bucket = 0
@@ -424,6 +454,7 @@ def main():
     # precondition, so power clones are covered too)
     all_ok = bpe_ok and knn_ok
     for key, fn in (("dedup_clusters", check_dedup_clusters),
+                    ("dedup_incremental", check_dedup_incremental),
                     ("dedup_embedding", check_dedup_embedding),
                     ("pack_sequences", check_pack_sequences)):
         ok, detail = fn(con, clone, eng_out)
