@@ -38,6 +38,7 @@ object SparkEntry {
       pipeline.TextPipeline.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Embeddings.queries ++
+      pipeline.EmbeddingsEval.queries ++
       pipeline.Packing.queries ++
       pipeline.Corpus.queries ++
       pipeline.CorpusTokenizers.queries ++
