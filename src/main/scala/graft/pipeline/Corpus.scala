@@ -666,22 +666,36 @@ object Corpus {
         |    * CAST(1000000.0 AS DOUBLE) / COUNT(*)) AS BIGINT) AS novelty_q6
         |FROM g JOIN first_seen f USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+      // One wide shuffle, not four: per-doc gram dedup happens INSIDE the
+      // array domain (array_distinct over the row's own 8-gram array), so
+      // n_grams is a map-side size() with no shuffle; the only gram-keyed
+      // exchange is the min-combined first_seen build (map-side partial
+      // min ⇒ shuffle volume ≈ distinct grams per partition, not the full
+      // posting list); and n_novel comes from first_seen ALONE (a gram is
+      // novel in exactly its min doc), killing the string-keyed join-back
+      // of the full gram table that dominated at 32x (42 s → the doc-keyed
+      // remainder is a broadcast-size join). Semantics identical to the
+      // oracle's DISTINCT + MIN + join formulation.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
         .filter(size(col("tk")) >= 8)
-      val g = toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("tk")) - 7),
-            i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("gram"))
-        .distinct()
-      val firstSeen = g.groupBy(col("gram"))
+      val docGrams = toks.select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("tk")) - 7),
+          i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("garr"))
+      val nGrams = docGrams.select(col("doc_id"),
+        size(col("garr")).cast("long").as("n_grams"))
+      val firstSeen = docGrams
+        .select(col("doc_id"), explode(col("garr")).as("gram"))
+        .groupBy(col("gram"))
         .agg(min(col("doc_id")).cast("long").as("first_doc"))
-      val novel = sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
-      g.join(firstSeen, Seq("gram"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          novel.cast("long").as("n_novel"),
-          floor(novel * lit(1000000.0) / count(lit(1))).cast("long").as("novelty_q6"))
+      val novelCounts = firstSeen.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("nv"))
+      nGrams.join(novelCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("nv"), lit(0L)).as("n_novel"),
+          floor(coalesce(col("nv"), lit(0L)) * lit(1000000.0) / col("n_grams"))
+            .cast("long").as("novelty_q6"))
         .orderBy(col("doc_id"))
     },
 
