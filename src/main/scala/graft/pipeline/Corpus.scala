@@ -680,9 +680,17 @@ object Corpus {
         .select(col("doc_id"),
           regexp_extract_all(lower(col("text")), lit(tokSparkPat), lit(0)).as("tk"))
         .filter(size(col("tk")) >= 8)
+      // persisted because two branches read it (n_grams map-side, the
+      // exploded first_seen build) and the gram-string construction is the
+      // CPU hog — without the cache Catalyst evaluates the subtree once
+      // per branch (measured 2.6x slower than the old distinct()-reuse
+      // plan at sf0.1). Released by the runner's clearCache (QueryDef
+      // runner contract). At 100 TB this is the materialize-the-inverted-
+      // index-once pattern of the shared gram tables.
       val docGrams = toks.select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("tk")) - 7),
           i => concat_ws(" ", slice(col("tk"), i, lit(8))))).as("garr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nGrams = docGrams.select(col("doc_id"),
         size(col("garr")).cast("long").as("n_grams"))
       val firstSeen = docGrams
