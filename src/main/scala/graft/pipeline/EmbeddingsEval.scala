@@ -446,6 +446,120 @@ object EmbeddingsEval {
           coalesce(col("h"), lit(0L)).as("n_hits"),
           expr("(coalesce(h, 0) * 1000000) div 5").as("recall_q6"))
         .orderBy(col("qid"))
+    },
+
+    // Hybrid retrieval head: reciprocal-rank fusion (k = 60) of the
+    // lexical BM25 ranking and the vector cosine ranking — the two-leg
+    // fusion every production search stack ships (Elasticsearch RRF,
+    // Vespa, LanceDB hybrid). The lexical leg is q_bm25_search's
+    // exact-integer BM25 verbatim (postings-bounded: only docs containing
+    // a query term are scored); the vector leg scores every candidate
+    // against one broadcast probe (vec_id 0 plays the encoded query) in a
+    // single map stage through the codegen'd qdot — no shuffle before the
+    // distributed top-k. Each leg is capped to its top 50 by
+    // TakeOrdered BEFORE the rank window, so the only un-partitioned
+    // windows in the plan run over ≤50-row inputs (whitelisted in
+    // GlobalWindowAuditSpec); fusion itself is a 50⟗50 join. RRF scores
+    // are pure integer arithmetic: 10^6 div (60 + rank), absent leg = 0.
+    QueryDef.sql(
+      "q_hybrid_rrf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+         |g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+         |  WHERE t IN ('table', 'hash', 'stream') AND doc_id <> 0
+         |  GROUP BY doc_id, t),
+         |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    CAST(SUM(
+         |      CAST(FLOOR((nn.n_docs - df.df + 0.5) * CAST(1000000.0 AS DOUBLE)
+         |                 / (df.df + 0.5)) AS BIGINT)
+         |      * ((22 * tf.tf * g.sumdl * 1000000)
+         |         // (10 * g.sumdl * tf.tf + 3 * g.sumdl + 9 * d2.dl * g.n)))
+         |      AS BIGINT) AS score
+         |  FROM tf JOIN df USING (t) JOIN dl d2 ON d2.doc_id = tf.doc_id
+         |  CROSS JOIN nn CROSS JOIN g GROUP BY tf.doc_id),
+         |lex AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |$qelemsSql,
+         |norms AS (SELECT vec_id, CAST(SUM(qe*qe) AS BIGINT) AS n2 FROM qe GROUP BY vec_id),
+         |dots AS (
+         |  SELECT v.vec_id, CAST(SUM(v.qe * p.qe) AS BIGINT) AS dot
+         |  FROM qe v JOIN qe p ON p.i = v.i AND p.vec_id = 0
+         |  WHERE v.vec_id <> 0 GROUP BY v.vec_id),
+         |cos AS (
+         |  SELECT d.vec_id,
+         |    CAST(FLOOR(d.dot / SQRT(CAST(np.n2 AS DOUBLE) * nv.n2) * 1000000)
+         |      AS BIGINT) AS cos_q6
+         |  FROM dots d JOIN norms np ON np.vec_id = 0
+         |              JOIN norms nv ON nv.vec_id = d.vec_id),
+         |vec AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_q6 DESC, vec_id) AS BIGINT) AS r_vec
+         |  FROM cos ORDER BY cos_q6 DESC, vec_id LIMIT 50)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |  CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS r_lex,
+         |  CAST(COALESCE(v.r_vec, 0) AS BIGINT) AS r_vec,
+         |  CAST(COALESCE(1000000 // (60 + l.r_lex), 0)
+         |     + COALESCE(1000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf_q6
+         |FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+         |ORDER BY rrf_q6 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.QDot.qdot
+      // lexical leg: q_bm25_search's integer BM25, same constants
+      val toks = Corpus.tokRows(s, d)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val g = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      val tf = toks
+        .filter(col("t").isin("table", "hash", "stream") && col("doc_id") =!= 0)
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val bm = tf.join(broadcast(dft), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          (floor((col("n_docs") - col("df") + 0.5) * lit(1000000.0)
+              / (col("df") + 0.5)).cast("long")
+            * expr("(22 * tf * sumdl * 1000000) div (10 * sumdl * tf + 3 * sumdl + 9 * dl * n)"))
+            .as("s"))
+        .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+      val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      // vector leg: one broadcast probe row (embedding + its norm), every
+      // candidate's dot and self-norm computed in the same map stage
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"),
+          qdot(col("embedding"), col("embedding")).as("pn2"))
+      val cos = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          floor(qdot(col("embedding"), col("pe"))
+              / sqrt(col("pn2").cast("double") * qdot(col("embedding"), col("embedding")))
+              * 1000000)
+            .cast("long").as("cos_q6"))
+      val vec = cos.orderBy(col("cos_q6").desc, col("vec_id")).limit(50)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cos_q6").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"),
+          (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+            .cast("long").as("rrf_q6"))
+        .orderBy(col("rrf_q6").desc, col("doc_id")).limit(20)
     }
   )
 }

@@ -66,7 +66,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     // ---- catalog domain: per-track frame assembly over catalog geometry
     // rows (k-row per-track tables, not a fact table)
     "q_catalog_build" -> "frame indexing over per-track burst rows (catalog-bounded)",
-    "q_catalog_frames_meta" -> "frame indexing over per-track burst rows (catalog-bounded)"
+    "q_catalog_frames_meta" -> "frame indexing over per-track burst rows (catalog-bounded)",
+    "q_hybrid_rrf" -> "per-leg rank over 50-row LIMIT-capped top-k sets (TakeOrdered precedes each window)"
   )
 
   /** query -> why the global window inside its BUILD-PHASE (checkpointed)
