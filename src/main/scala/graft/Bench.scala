@@ -34,6 +34,11 @@ object Bench {
       // bounded runtime-filter size — see GraftSession.BloomFilterMaxBits
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         GraftSession.BloomFilterMaxBits)
+      // single-file-per-map-task shuffle writes — see
+      // GraftSession.BypassMergeThreshold (thread dumps showed tasks
+      // serialized on FileOutputStream.open creating R files per map task)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        GraftSession.BypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The six global windows in source are all over provably tiny

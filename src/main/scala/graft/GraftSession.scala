@@ -22,6 +22,23 @@ object GraftSession {
       // it — set once at session construction (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", BloomFilterMaxBits)
+      .config("spark.shuffle.sort.bypassMergeThreshold", BypassMergeThreshold)
+
+  /** Never use the bypass-merge shuffle writer: it creates one file per
+    * REDUCE partition per map task, so a map stage writing an R-partition
+    * shuffle pays R file creations per task — thread dumps of the bench
+    * showed every executor thread serialized on `FileOutputStream.open0`
+    * (32 creations per tiny task; q_kcore's per-round degree stages spent
+    * 53 s of task time on ~15k rows, 1.7 s once disabled). With the
+    * threshold at 0, small-reducer-count shuffles take the
+    * UnsafeShuffleWriter path instead: one data + one index file per map
+    * task, binary records, radix sort on partition id. At production
+    * scale this conf is inert — `spark.sql.shuffle.partitions` is sized
+    * in the thousands, far above the default 200 threshold, so the
+    * bypass writer never fires there anyway; the only behavior change is
+    * at small partition counts, where file-creation count is exactly
+    * what dominates. */
+  val BypassMergeThreshold: String = "0"
 
   /** Runtime bloom-filter join pruning stays ON, but its size is bounded
     * at 512 KiB (4M bits) instead of Spark's 8 MiB ceiling: over

@@ -22,6 +22,10 @@ object Verify {
       // bounded runtime-filter size — see GraftSession.BloomFilterMaxBits
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         GraftSession.BloomFilterMaxBits)
+      // single-file-per-map-task shuffle writes — see
+      // GraftSession.BypassMergeThreshold
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        GraftSession.BypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
