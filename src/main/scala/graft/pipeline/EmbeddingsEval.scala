@@ -266,55 +266,54 @@ object EmbeddingsEval {
            |    // mw.m - 1000000 AS BIGINT) END AS v_q6
            |FROM w CROSS JOIN mw ORDER BY dim""".stripMargin
       }) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
-        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
-          floor(col("e").cast("double") * 1000).cast("long").as("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val m1 = q.groupBy(col("i")).agg(sum(col("x")).as("sx"))
-      val nn = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-      val cov = q.as("a").join(q.as("b"), Seq("vec_id"))
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(col("a.x") * col("b.x")).as("sxy"))
-        .join(broadcast(m1.select(col("i"), col("sx").as("sxa"))), Seq("i"))
-        .join(broadcast(m1.select(col("i").as("j"), col("sx").as("sxb"))), Seq("j"))
-        .crossJoin(broadcast(nn))
-        .select(col("i"), col("j"),
-          (col("n").cast("decimal(38,0)") * col("sxy")
-            - col("sxa").cast("decimal(38,0)") * col("sxb")).as("c"))
-      // Integer-space floor rescale: floor(v*S/m) = (v+m)*S div m - S —
-      // the shifted numerator is non-negative (m >= |v|), so truncating
-      // div == flooring div and Spark's `div` is bit-identical to
-      // DuckDB's `//`; no value ever passes through a double (the
-      // 128-bit moment's HUGEINT->DOUBLE path is not correctly rounded
-      // above 2^53 in DuckDB).
-      def rescale(m: org.apache.spark.sql.DataFrame, valCol: String,
-                  out: String, scale: Long): org.apache.spark.sql.DataFrame = {
-        val mx = m.agg(max(abs(col(valCol))).as("m"))
-        m.crossJoin(broadcast(mx))
-          .withColumn(out,
-            when(col("m") === 0, lit(0L))
-              .otherwise(
-                expr(s"(cast($valCol as decimal(38,0)) + m) * $scale div m")
-                  - lit(scale)))
-          .drop("m", if (out == valCol) "__none__" else valCol)
-      }
-      var c = rescale(cov, "c", "cq", 100000000L).withColumnRenamed("cq", "c")
-        .localCheckpoint(true)
-      for (_ <- 1 to 10) {
-        val p = c.as("a")
-          .join(c.select(col("i").as("j"), col("j").as("jj"), col("c").as("cb")).as("b"),
-            Seq("j"))
-          .groupBy(col("i"), col("jj").as("j2"))
-          .agg(sum(col("c") * col("cb")).as("c"))
-          .select(col("i"), col("j2").as("j"), col("c"))
-        c = rescale(p, "c", "cq", 100000000L).withColumnRenamed("cq", "c")
-          .localCheckpoint(true)
-      }
-      val w = c.groupBy(col("i").as("dim")).agg(sum(col("c")).as("w"))
-      rescale(w, "w", "v_q6", 1000000L)
-        .select(col("dim"), col("v_q6")).orderBy(col("dim"))
+      // Engine-side plan (r15 optimization; identical arithmetic, same
+      // oracle), two pieces:
+      //
+      // 1. Moment pass: one explode of the quantized vector per dimension
+      //    i carrying the full array, then a combiner-backed 64-group ×
+      //    65-sum aggregate — Σ x_i·x_j lands map-side, where the old q⋈q
+      //    self-join materialized n·64² intermediate rows through a
+      //    sort-merge join. Per-cell sums ≤ n·10⁶ stay BIGINT (the
+      //    oracle's m2/m1 types).
+      //
+      // 2. Everything after the moments is dimension-bounded (64×64 =
+      //    4096 cells at ANY corpus size) and runs on ONE row through a
+      //    single opaque compiled expression (functions/MatOps.scala,
+      //    PcaPowerTop64): centered covariance in 128-bit space, q8
+      //    rescale, ten exact squarings, row sums, q6 rescale — the
+      //    oracle's c0…c10/w CTE chain bit for bit. The previous
+      //    (i, j)-row layout paid ~4 exchanges + 1 localCheckpoint job
+      //    per squaring (~100 sequential driver round-trips for 4096-row
+      //    relations); this plan is 3 jobs end to end.
+      val xs = Tables.embeddings(s, d)
+        .select(transform(col("embedding"),
+          e => floor(e.cast("double") * 1000).cast("long")).as("xs"))
+      val rows = xs.select(posexplode(col("xs")).as(Seq("p", "xi")), col("xs"))
+      // 64 sum columns (the registry dimensionality); the size guard keeps
+      // lower-dimensional inputs (PcaRescaleSpec's 2-dim >2^53 fixture)
+      // ANSI-safe — the padding columns aggregate to 0 and are sliced off
+      // at assembly, so the expression sees exactly D×D cells
+      val prodSums = (1 to 64).map(j =>
+        sum(col("xi") * when(lit(j) <= size(col("xs")), element_at(col("xs"), j))
+          .otherwise(lit(0L))).as(s"s$j"))
+      val mo = rows.groupBy((col("p") + 1).cast("long").as("i"))
+        .agg(count(lit(1)).as("cnt"), (sum(col("xi")).as("sx") +: prodSums): _*)
+      // assemble the single moment row: per-i rows sorted by i, then
+      // flattened row-major (position (i-1)·64 + (j-1) holds Σ x_i·x_j);
+      // the n-null filter keeps empty input → empty output (a global agg
+      // otherwise produces one all-null row where the oracle yields none)
+      val one = mo.agg(
+        max(col("cnt")).as("n"), // identical in every group: vector count
+        expr("array_sort(collect_list(struct(i, sx, array(" +
+          (1 to 64).map(j => s"s$j").mkString(",") + ") AS sr)))").as("rows"))
+        .filter(col("n").isNotNull)
+      val v = one.select(graft.functions.MatOps.pcaPowerTop(
+        col("n"),
+        expr("transform(rows, r -> r.sx)"),
+        expr("flatten(transform(rows, r -> slice(r.sr, 1, size(rows))))")).as("v"))
+      v.select(posexplode(col("v")).as(Seq("p", "v_q6")))
+        .select((col("p") + 1).cast("long").as("dim"), col("v_q6"))
+        .orderBy(col("dim"))
     },
 
     // Recall@5 of multi-table LSH ANN against the brute-force ground

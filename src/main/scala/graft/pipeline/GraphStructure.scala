@@ -374,9 +374,17 @@ object GraphStructure {
       var st = cn.select(col("i")).distinct()
         .select(col("i"), lit(1000000L).as("s"))
       for (_ <- 1 to 3) {
+        // broadcast the O(|items|) strength vector to BOTH endpoint joins:
+        // the planner sees only a stats-free checkpointed relation and
+        // falls back to sort-merge, which re-shuffles the O(E) contest
+        // table by j and back by i EVERY round (2×2.3M rows/round at
+        // sf0.1). Broadcast keeps cn on its persisted i-partitioning end
+        // to end — zero edge-table exchanges per round (guide §3.1/§2.4);
+        // the model vector is the broadcastable side by construction
+        // (one row per item, the BT parameter vector).
         val dsum = cn
-          .join(st.select(col("i"), col("s").as("si")), Seq("i"))
-          .join(st.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+          .join(broadcast(st.select(col("i"), col("s").as("si"))), Seq("i"))
+          .join(broadcast(st.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
           .groupBy(col("i"))
           .agg(sum(expr("(n * 1000000000000) div (si + sj)")).as("dd"))
         st = dsum.join(wi, Seq("i"), "left")
