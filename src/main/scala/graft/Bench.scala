@@ -39,6 +39,10 @@ object Bench {
       // serialized on FileOutputStream.open creating R files per map task)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         GraftSession.BypassMergeThreshold)
+      // compute-dense small-byte stages keep their parallelism — see
+      // GraftSession.CoalesceMinPartitionSize
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        GraftSession.CoalesceMinPartitionSize)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The six global windows in source are all over provably tiny

@@ -23,6 +23,20 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", BloomFilterMaxBits)
       .config("spark.shuffle.sort.bypassMergeThreshold", BypassMergeThreshold)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        CoalesceMinPartitionSize)
+
+  /** AQE's partition coalescing floor, lowered 1m → 128k: with
+    * parallelism-first coalescing the target size is
+    * max(totalBytes/parallelism, minPartitionSize), so a compute-DENSE
+    * stage whose shuffled bytes are small (a postings join fanning out
+    * behind a 4 MB exchange, a gram self-join) collapses to 2–4 tasks at
+    * the default floor and serializes minutes of per-row work behind
+    * kilobytes of input (q_sparse_cosine_topk's dot stage ran on 2 of 32
+    * cores). At production shuffle sizes totalBytes/parallelism dwarfs
+    * either floor, so the setting is inert there; it only stops
+    * byte-based coalescing from starving small-byte/heavy-CPU stages. */
+  val CoalesceMinPartitionSize: String = "128k"
 
   /** Never use the bypass-merge shuffle writer: it creates one file per
     * REDUCE partition per map task, so a map stage writing an R-partition

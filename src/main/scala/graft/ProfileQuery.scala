@@ -30,6 +30,10 @@ object ProfileQuery {
         GraftSession.BloomFilterMaxBits)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         GraftSession.BypassMergeThreshold)
+      // compute-dense small-byte stages keep their parallelism — see
+      // GraftSession.CoalesceMinPartitionSize
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        GraftSession.CoalesceMinPartitionSize)
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,9 +18,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread keys for the compute-carrying fact tables. The driver's test
+    * fixtures are ONE parquet file with ONE row group per table, so every
+    * scan is a single split and all per-row work fused into the scan
+    * stage (regex tokenization, from_json, quantized explodes) runs on
+    * one core regardless of the session's parallelism — the guide's
+    * "unsplittable input" skew (§2.5). [[spread]] hash-repartitions such
+    * a table by its unique key right after the read, ONLY when the input
+    * layout under-parallelizes the session (fewer files than shuffle
+    * partitions AND a small total size): at production scale a table is
+    * thousands of splits and the condition is false, so no extra
+    * exchange is ever paid there. Dimension tables (region…part) are
+    * broadcast-sized and excluded. */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id"),
+    "events" -> Seq("event_id"),
+    "embeddings" -> Seq("vec_id"),
+    "orders" -> Seq("o_orderkey"))
+
+  private val SpreadMaxBytes = 512L * 1024 * 1024
+
+  private def spread(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    spreadKeys.get(name) match {
+      case Some(keys) =>
+        val files = df.inputFiles
+        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val small = files.length < parts && {
+          val bytes = files.map(f =>
+            new java.io.File(f.stripPrefix("file:")).length()).sum
+          bytes > 0 && bytes < SpreadMaxBytes
+        }
+        if (small)
+          df.repartition(parts, keys.map(org.apache.spark.sql.functions.col): _*)
+        else df
+      case None => df
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"), name)
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -33,7 +69,7 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     if (!spark.conf.getOption(NanosConf).contains("true"))
       spark.conf.set(NanosConf, "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spread(spark, spark.read.parquet(s"$sfDir/events.parquet"), "events")
     if (raw.schema("ts").dataType == LongType)
       // integral `div`, not `/`: epoch-ns ≈ 1.7e18 overflows double precision
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

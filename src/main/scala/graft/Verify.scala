@@ -26,6 +26,10 @@ object Verify {
       // GraftSession.BypassMergeThreshold
       .config("spark.shuffle.sort.bypassMergeThreshold",
         GraftSession.BypassMergeThreshold)
+      // compute-dense small-byte stages keep their parallelism — see
+      // GraftSession.CoalesceMinPartitionSize
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        GraftSession.CoalesceMinPartitionSize)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

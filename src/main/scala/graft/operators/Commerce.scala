@@ -49,10 +49,15 @@ object Commerce {
         |JOIN freq fb ON fb.pk = p.p2
         |CROSS JOIN n
         |ORDER BY lift_q6 DESC, p1, p2 LIMIT 50""".stripMargin) { (s, d) =>
+      // items feeds four consumers (n, freq, both self-join probes) and is
+      // NOT exchange-reused across them — unpersisted, the distinct + cap
+      // window re-ran per consumer (r15; released by the runner's
+      // clearCache contract)
       val items = graft.pipeline.Graphs.capItemsPerKey(
         Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct(), "ok", "pk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = items.agg(countDistinct(col("ok")).as("n_orders"))
       val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
       val pairs = items.as("a")
@@ -312,12 +317,15 @@ object Commerce {
         .groupBy(col("l_returnflag").as("g"),
           floor(col("l_extendedprice") * 100).cast("long").as("v"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val t = v.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+      // tw as a second window over the SAME g-partitioning as the
+      // cumulative sum — the separate groupBy + broadcast join evaluated
+      // the whole v aggregate a second time (r15, guide §2.4: same-keyed
+      // window reuses the established partitioning)
       val c = v.withColumn("cum",
         sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      c.join(broadcast(t), Seq("g"))
-        .filter(lit(2) * col("cum") >= col("tw"))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      c.filter(lit(2) * col("cum") >= col("tw"))
         .withColumn("rn",
           row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
         .filter(col("rn") === 1)
@@ -406,8 +414,12 @@ object Commerce {
           date_trunc("month", col("o_orderdate").cast("date")).cast("date").as("ymd"),
           floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
             .cast("long").as("rev"))
-      val fm = lo.groupBy(col("l_partkey")).agg(min(col("ymd")).as("first_ym"))
-      lo.join(fm, Seq("l_partkey"))
+      // first_ym via a part-keyed window instead of groupBy + self-join:
+      // the join re-evaluated the whole lineitem⋈orders subtree a second
+      // time (no exchange reuse across the aggregate) and shuffled it
+      // twice; the window shuffles lo by l_partkey once (r15, guide §2.4)
+      val wp = Window.partitionBy(col("l_partkey"))
+      lo.withColumn("first_ym", min(col("ymd")).over(wp))
         .groupBy(date_format(col("ymd"), "yyyy-MM").as("ym"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(when(col("first_ym") === col("ymd"), col("l_partkey")))

@@ -578,6 +578,10 @@ object Stats {
         col("l_returnflag").as("g"),
         col("l_quantity").cast("long").as("x"),
         floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      // (r15 negative result: deriving nn1 as a second window on the rx
+      // table — instead of this separate broadcast count — measured 1 s
+      // SLOWER at sf0.1; the broadcast build overlaps the rank scans,
+      // the extra window pass does not. Left as-was.)
       def doubledRanks(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
         val w = Window.partitionBy(col("g")).orderBy(col(v))
           .rowsBetween(Window.unboundedPreceding, 0)

@@ -123,6 +123,11 @@ object Corpus {
     val norms = vec.groupBy(col("rep")).agg(sum(col("tf") * col("tf")).as("nsq"))
 
     // rep-level dots: postings join over DISTINCT vectors only
+    // (r15 negative result, kept for the record: carrying nsq on the
+    // posting rows via a rep-keyed window removed the two norm joins of
+    // the pair table but ADDED two shuffles of vec — by rep for the
+    // window and back by t for the postings join — and measured ~0.5 s
+    // SLOWER at sf0.1; the norm joins stay)
     val dotsRep = vec.as("a")
       .join(vec.as("b"),
         col("a.t") === col("b.t") && col("a.rep") < col("b.rep"))
@@ -303,13 +308,18 @@ object Corpus {
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr, cos_q6
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // the union references scored twice; the shuffle ahead of the dot
-      // aggregation is reused across both branches (ReusedExchange —
-      // measured equal to an explicit persist, without pinning a pair
-      // table in executor memory at scale)
+      // both orientations of each pair come from ONE explode instead of a
+      // union of two scored subtrees: profiled at r15, the union's two
+      // branches did NOT get exchange reuse and the whole postings join
+      // ran twice (two identical 6.4 MB dot shuffles); the explode
+      // evaluates scored once and is a narrow row-doubling (guide §2.4)
       val scored = sparseCosScored(s, d)
-      val sym = scored.select(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("cos_q6"))
-        .unionByName(scored.select(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("cos_q6")))
+      val sym = scored.select(explode(array(
+          struct(col("doc1").as("doc_id"), col("doc2").as("nbr"), col("cos_q6")),
+          struct(col("doc2").as("doc_id"), col("doc1").as("nbr"), col("cos_q6"))))
+          .as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+          col("e.cos_q6").as("cos_q6"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("cos_q6").desc, col("nbr"))
       sym.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)

@@ -612,8 +612,13 @@ object Graphs {
         .select(col("i"), col("j"),
           floor(col("n_both") * lit(1000000.0)
             / (col("d_i") + col("d_j") - col("n_both"))).cast("long").as("w"))
-      val sim = simh.select(col("i"), col("j"), col("w"))
-        .unionAll(simh.select(col("j").as("i"), col("i").as("j"), col("w")))
+      // one explode instead of a union of two simh subtrees: the union's
+      // branches are not exchange-reused, so the pair join + degree joins
+      // ran twice (r15 profile); the explode evaluates simh once
+      val sim = simh.select(explode(array(
+          struct(col("i"), col("j"), col("w")),
+          struct(col("j").as("i"), col("i").as("j"), col("w")))).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.w").as("w"))
       val score = ui.join(sim, ui("item") === sim("i"))
         .groupBy(col("user_id"), col("j").as("ritem"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_neighbors"))

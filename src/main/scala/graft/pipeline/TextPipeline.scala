@@ -473,8 +473,15 @@ object TextPipeline {
     val outDir = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // stage each drop as multiple files: the documents table is one
+    // parquet file, so an unsplit drop gives the streaming micro-batch a
+    // single-task map stage that serializes the whole gram-hash pass
+    // (~0.8 s single-threaded per drop at sf0.1); a real ingest drop
+    // arrives as many files. Edge output is file-count-invariant (per
+    // bucket: distinct sorted ids).
+    val dropFiles = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
     def runDrop(drop: DataFrame): Unit = {
-      drop.write.mode("append").parquet(inDir)
+      drop.repartition(dropFiles).write.mode("append").parquet(inDir)
       val in = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
       graft.streaming.Sessions.lshEdgesStream(in)
         .writeStream.outputMode("append").format("parquet")
