@@ -480,9 +480,21 @@ object TextPipeline {
     // arrives as many files. Edge output is file-count-invariant (per
     // bucket: distinct sorted ids).
     val dropFiles = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    // The STREAM runs on a child session with single-digit state
+    // parallelism: the stateful operator's partition count is frozen
+    // into the checkpoint at query creation, and sizing it is a
+    // deployment decision driven by STATE volume, not the analytics
+    // session's core count — every extra state partition pays an HDFS
+    // state-store delta file + commit per micro-batch (measured: the
+    // two state stages carried 25 s of task time at 32 partitions,
+    // 7 s at 8, for ~5k LSH buckets of state). The map-side gram work
+    // still parallelizes across the drop files above.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, dropFiles).toString)
     def runDrop(drop: DataFrame): Unit = {
       drop.repartition(dropFiles).write.mode("append").parquet(inDir)
-      val in = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      val in = ss.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
       graft.streaming.Sessions.lshEdgesStream(in)
         .writeStream.outputMode("append").format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
