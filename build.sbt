@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized to the 128 GiB bench host: 8g under-provisioned a
+  // local[32] run (32 concurrent tasks share execution memory; GC showed
+  // up as 0.3-2 s per heavy query in stage profiles; full bench ~5 s
+  // faster at 16g). Override per environment via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
