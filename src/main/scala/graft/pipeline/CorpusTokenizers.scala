@@ -43,6 +43,9 @@ object CorpusTokenizers {
       .select(col("t").as("bt"), col("nt").as("bnt"), col("n").as("bn"))
     // offset-within-island computed join-free as
     // rn − (running max rn of the last NON-match) − 1
+    // applied feeds BOTH the n_tokens_after count and the next round's
+    // windows — unpersisted, the 3-window apply pass ran twice per round
+    // (r15; released by the runner's clearCache contract)
     val applied = pairs
       .crossJoin(broadcast(best))
       .withColumn("isM",
@@ -57,6 +60,7 @@ object CorpusTokenizers {
       .filter(col("pm") === 0)
       .select(col("doc_id"), col("i"),
         when(col("mrg") === 1, concat(col("t"), col("nt"))).otherwise(col("t")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stat = best
       .crossJoin(broadcast(applied.agg(count(lit(1)).as("n_tokens_after"))))
       .select(lit(r.toLong).as("round"), col("bt").as("lhs"), col("bnt").as("rhs"),
@@ -132,7 +136,11 @@ object CorpusTokenizers {
       .groupBy(col("w"), col("pos")).agg(max(col("L")).as("L"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // greedy chain: bounded rounds over the vocabulary-sized word set,
-    // each round eagerly materialized (the kCore census lesson)
+    // each round eagerly materialized (the kCore census lesson).
+    // (r15 negative result: replacing checkpoint+isEmpty with
+    // persist+count — one action per round instead of two — measured
+    // ~0.5 s SLOWER per wordpiece query; the checkpoint's plan
+    // truncation beats the saved job.)
     var cur = best.filter(col("pos") === 1)
       .select(col("w"), (lit(1L) + col("L")).as("npos"),
         expr("substring(w, 1, L)").as("piece"))
