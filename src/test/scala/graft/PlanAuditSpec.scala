@@ -151,8 +151,11 @@ class PlanAuditSpec extends SparkSpec {
     rows.foreach { case (g, n, c) => assert(n == c, s"mismatch for '$g'") }
 
     // the expression must sit inside a WholeStageCodegen span, not fall
-    // back (a local relation would constant-fold — use a parquet scan)
-    val p = Tables.documents(spark, sf("sf0.001"))
+    // back (a local relation would constant-fold — use a parquet scan;
+    // a RAW read, not Tables.documents: the r15 spread repartition adds
+    // an exchange, AQE then wraps the plan and hides the codegen stars
+    // from the pre-execution string — this pins the EXPRESSION)
+    val p = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
       .select(GramHash.gramHash5(substring(col("text"), 1, 5)).as("h"))
       .filter(col("h") >= 0).queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"gram_hash5 broke codegen:\n$p")
@@ -565,11 +568,17 @@ class PlanAuditSpec extends SparkSpec {
 
   test("media features never shuffle payload blobs") {
     val p = plan("q_media_features")
-    // decode + extract are partition-local (mapPartitions); the only
-    // exchanges allowed are the final ordering's range partition (and
-    // AQE shims) — a hash exchange would mean blobs moved by key
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"payload bytes crossed a hash shuffle:\n$p")
+    // decode + extract are partition-local: payload blobs exist only
+    // between the synthesize map (MapElements, printed BELOW) and the
+    // featurize MapPartitions (printed ABOVE) — no Exchange may sit
+    // between them. Exchanges elsewhere move only ids/features (e.g. the
+    // r15 Tables.spread repartition of the id spine, the final range
+    // sort), so the old blanket no-hash-exchange assertion is too blunt.
+    val pm = p.indexOf("MapPartitions")
+    val me = p.indexOf("MapElements")
+    assert(pm >= 0 && me > pm, s"expected MapPartitions above MapElements:\n$p")
+    assert(!p.substring(pm, me).contains("Exchange"),
+      s"payload bytes crossed a shuffle between synthesize and featurize:\n$p")
   }
 
   test("nearest as-of join is two keyed window shuffles, no join of raw streams") {

@@ -40,7 +40,11 @@ class QDotSpec extends SparkSpec {
   }
 
   test("qdot stays inside whole-stage codegen on a parquet-backed plan") {
-    val emb = Tables.embeddings(spark, sf())
+    // raw read, not Tables.embeddings: the r15 Tables.spread repartition
+    // adds an exchange, which makes AQE wrap the plan and hide the
+    // codegen stars from the pre-execution plan string — this spec pins
+    // the EXPRESSION's codegen-ability, so it wants the bare scan
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val plan = emb.select(QDot.qdot($"embedding", $"embedding").as("n2"))
       .queryExecution.executedPlan.toString
     // '*(n)' marks a WholeStageCodegen span; the projection with qdot must
