@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout line as one JSON object. sbt's
+// default forked-output handling wraps child stdout in "[info] " and child
+// stderr in "[error] ", then appends its own "[success] Total time" trailer
+// — BENCH_r14/r15 both came back parsed:null because of exactly that.
+// StdoutOutput forwards the forked process's stdout/stderr to this
+// process's streams RAW; showSuccess/showTiming drop the trailer, so the
+// bench JSON is the literal last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// showSuccess/showTiming are consumed by sbt's command engine, not by
+// other settings — exclude them from the unused-key lint.
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

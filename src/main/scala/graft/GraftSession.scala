@@ -26,6 +26,25 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         CoalesceMinPartitionSize)
 
+  /** One shared local-session conf block for every driver-contract main
+    * (Bench, Verify) and dev tool (ProfileQuery, PlanDump): the engine's
+    * session confs live HERE so correctness always runs under the same
+    * configs as the bench and dumped plans are the benched plans (the
+    * r15 advice: PlanDump was missing two of them). `cpus` sizes both the
+    * master and shuffle parallelism per the driver contract. */
+  def localBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", BloomFilterMaxBits)
+      .config("spark.shuffle.sort.bypassMergeThreshold", BypassMergeThreshold)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        CoalesceMinPartitionSize)
+
   /** AQE's partition coalescing floor, lowered 1m → 128k: with
     * parallelism-first coalescing the target size is
     * max(totalBytes/parallelism, minPartitionSize), so a compute-DENSE

@@ -14,16 +14,10 @@ object PlanDump {
     val only = args.lift(1).map(_.split(',').map(_.trim).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        GraftSession.BloomFilterMaxBits)
-      .getOrCreate()
+    // shared conf block — see GraftSession.localBuilder (r15 advice: this
+    // previously omitted the bypass-merge and coalesce-floor confs, so
+    // dumped plans could differ from benched plans under AQE)
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -19,21 +19,8 @@ object ProfileQuery {
       .flatMap(_.split(';')).map(_.split('=')).collect {
         case Array(k, v) => (k.trim, v.trim)
       }
-    val b0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        GraftSession.BloomFilterMaxBits)
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        GraftSession.BypassMergeThreshold)
-      // compute-dense small-byte stages keep their parallelism — see
-      // GraftSession.CoalesceMinPartitionSize
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        GraftSession.CoalesceMinPartitionSize)
+    // shared conf block — see GraftSession.localBuilder
+    val b0 = GraftSession.localBuilder(cpus)
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -38,14 +38,29 @@ object Tables {
 
   private val SpreadMaxBytes = 512L * 1024 * 1024
 
+  /** Total size of a scan's input files, resolved through the Hadoop
+    * FileSystem API so hdfs://s3a:// URIs and URL-encoded local paths size
+    * correctly (the old `new java.io.File(f.stripPrefix("file:"))` probe
+    * returned 0 for both, silently disabling the spread on exactly the
+    * remote single-split inputs it exists for). Unresolvable files count
+    * as 0 — the `bytes > 0` gate then fails closed (no spread), the safe
+    * direction. */
+  private[graft] def inputBytes(spark: SparkSession, files: Seq[String]): Long =
+    files.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      } catch { case _: Exception => 0L }
+    }.sum
+
   private def spread(spark: SparkSession, df: DataFrame, name: String): DataFrame =
     spreadKeys.get(name) match {
       case Some(keys) =>
         val files = df.inputFiles
         val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
         val small = files.length < parts && {
-          val bytes = files.map(f =>
-            new java.io.File(f.stripPrefix("file:")).length()).sum
+          val bytes = inputBytes(spark, files.toSeq)
           bytes > 0 && bytes < SpreadMaxBytes
         }
         if (small)

@@ -7,30 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // keep the default INT96 timestamp output: DuckDB reads INT96 as a
-      // NAIVE timestamp (matching oracle literals), whereas INT64 micros
-      // carry isAdjustedToUTC=true and come back as timestamptz (+00:00)
-      // — which would break every timestamp compare. The one INT96 trap
-      // (pyarrow converts to ns, wrapping far-future values) is handled
-      // by keeping all emitted timestamps inside the ns range.
-      .config("spark.ui.enabled", "false")
-      // bounded runtime-filter size — see GraftSession.BloomFilterMaxBits
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        GraftSession.BloomFilterMaxBits)
-      // single-file-per-map-task shuffle writes — see
-      // GraftSession.BypassMergeThreshold
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        GraftSession.BypassMergeThreshold)
-      // compute-dense small-byte stages keep their parallelism — see
-      // GraftSession.CoalesceMinPartitionSize
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        GraftSession.CoalesceMinPartitionSize)
-      .getOrCreate()
+    // Shared conf block (GraftSession.localBuilder): correctness always
+    // runs under the exact configs the bench runs under. Verify-specific
+    // note — keep the default INT96 timestamp output: DuckDB reads INT96
+    // as a NAIVE timestamp (matching oracle literals), whereas INT64
+    // micros carry isAdjustedToUTC=true and come back as timestamptz
+    // (+00:00) — which would break every timestamp compare. The one INT96
+    // trap (pyarrow converts to ns, wrapping far-future values) is
+    // handled by keeping all emitted timestamps inside the ns range.
+    val spark = GraftSession.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q_a,q_b → dump just those queries (dev loop;
