@@ -35,7 +35,12 @@ object ProfileQuery {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val tm = si.taskMetrics
-        stages.add(StageRec(si.stageId, si.name.takeWhile(_ != '\n'),
+        // RDD scope names identify the plan operators the stage executes
+        // (AQE-materialized stages all share an uninformative callsite)
+        val ops = si.rddInfos.sortBy(_.id).flatMap(_.scope)
+          .map(_.name.takeWhile(_ != '\n')).distinct.mkString(">")
+        stages.add(StageRec(si.stageId,
+          si.name.takeWhile(_ != '\n').take(24) + " | " + ops,
           si.numTasks,
           si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
           tm.executorRunTime, tm.jvmGCTime,
@@ -73,7 +78,7 @@ object ProfileQuery {
       ss.sortBy(s => -(s.completed - s.submitted)).take(12).foreach { s =>
         println(f"   stage ${s.id}%4d span=${(s.completed - s.submitted) / 1e3}%6.2fs " +
           f"tasks=${s.nTasks}%3d run=${s.execRunMs / 1e3}%6.2fs gc=${s.gcMs / 1e3}%5.2fs " +
-          f"sr=${s.shufReadMb}%7.1fMB sw=${s.shufWriteMb}%7.1fMB spill=${s.spillMb}%6.1fMB ${s.name.take(60)}%s")
+          f"sr=${s.shufReadMb}%7.1fMB sw=${s.shufWriteMb}%7.1fMB spill=${s.spillMb}%6.1fMB ${s.name.take(160)}%s")
       }
     }
     spark.stop()

@@ -256,9 +256,11 @@ object GraphMining {
       val docs = Tables.documents(s, d)
       // edges materialized once, pre-partitioned on src — every round's
       // rank join reuses the partitioning (the pageRankOn discipline)
+      val p = Graphs.iterParts(docs)
       val edges = Graphs.skewedEdges(docs)
-        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-      val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = docs.select(col("doc_id")).repartition(p, col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       def reset(base: Long) =
         when(pmod(col("doc_id"), lit(100)) === 0, lit(base)).otherwise(lit(0L))
       var ranks = nodes.select(col("doc_id"), reset(1000000L).as("r"))
@@ -342,8 +344,12 @@ object GraphMining {
            |ORDER BY round""".stripMargin
       }) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // persist (not checkpoint): localCheckpoint drops partitioning info,
+      // so every round's register join re-shuffled the edge list; the
+      // cached hash(dst) layout is reused by all 3 rounds instead
       val edges = Graphs.syntheticEdges(docs)
-        .repartition(col("dst")).localCheckpoint(true)
+        .repartition(Graphs.iterParts(docs), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (bCol, rhoCol) = Sketches.rhoOf(Sketches.hllMix(col("doc_id")))
       val r0 = docs.select(col("doc_id").as("v"), bCol.as("b"), rhoCol.as("rho"))
         .localCheckpoint(true)
@@ -409,9 +415,12 @@ object GraphMining {
     * Returns (v, l) with l = the component's minimum vertex id. */
   def ccLabels(ids: org.apache.spark.sql.DataFrame,
                edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    // persist pre-keyed on the join key (localCheckpoint would drop the
+    // partitioning and re-shuffle adj every round)
     val adj = edges.select(col("a").as("v"), col("b").as("u"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
-      .localCheckpoint(true)
+      .repartition(Graphs.iterParts(edges), col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lbl = ids.select(col("v"), col("v").as("l"))
     for (_ <- 1 to rounds) {
       val nbr = adj

@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Scale-adaptive partition count for the iterative family's per-round
+    * persisted relations (edge lists, adjacency, rank/label vectors).
+    *
+    * The r15 profiles showed every per-round stage of the graph queries
+    * running 32–64 near-empty tasks (the persisted relations inherit the
+    * session's full shuffle parallelism) across 25–55 AQE jobs per query
+    * — per-task and per-stage fixed overhead, not compute, dominated
+    * (q_shortest_path: 1300 tasks, 16.5 s of task time for ~100 KB of
+    * per-round data). AQE's coalescing cannot fix it: cached/checkpointed
+    * relations pin their partitioning (canChangeCachedPlanOutputPartitioning
+    * defaults false, and the global flip was measured a wash in r15).
+    *
+    * This derives the count from the SOURCE table's input bytes — the
+    * derived edge/adjacency relations are a small constant factor of the
+    * doc-id column — at a ~16 MB-of-source target, clamped to
+    * [1, spark.sql.shuffle.partitions]. At production scale the clamp
+    * binds (bytes/16 MB >> partitions) and the behavior is identical to
+    * the previous repartition(col(...)); only genuinely tiny inputs get
+    * fewer, denser partitions (guide §2.2: fewer, larger partitions).
+    * Deterministic (file sizes, no sampling), and partition count never
+    * affects results — every per-round aggregate here is an exact
+    * integer sum/min/max/count. */
+  def iterParts(src: DataFrame): Int = {
+    val spark = src.sparkSession
+    val max = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val bytes = graft.Tables.inputBytes(spark, src.inputFiles.toSeq)
+    val target = 16L * 1024 * 1024
+    math.max(1, math.min(max.toLong, bytes / target + 1)).toInt
+  }
+
   /** (src, dst) edge list: 3 out-edges per document id. */
   def syntheticEdges(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -89,10 +119,14 @@ object Graphs {
   def pageRankOn(nodesIn: DataFrame, edgesIn: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     import org.apache.spark.storage.StorageLevel
+    val p = iterParts(edgesIn)
     val edges = edgesIn
-      .repartition(col("src"))
+      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes re-keyed to the same adaptive count: every round's left join
+    // (and the final readout) probes it by doc_id
+    val nodes = nodesIn.repartition(p, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("doc_id"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
       val contribs = edges
@@ -202,7 +236,7 @@ object Graphs {
     import org.apache.spark.storage.StorageLevel
     require(maxHop >= 1)
     val edges = syntheticEdges(docs)
-      .repartition(col("src"))
+      .repartition(iterParts(docs), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var reached = docs.sparkSession.range(1)
       .select(lit(source).as("doc_id"), lit(0L).as("hop"))
@@ -248,7 +282,7 @@ object Graphs {
     require(rounds >= 1)
     val edges = syntheticEdges(docs)
       .select(col("src"), col("dst"), edgeWeight(col("src"), col("dst")).as("w"))
-      .repartition(col("src"))
+      .repartition(iterParts(docs), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = docs.sparkSession.range(1)
       .select(lit(source).as("v"), lit(0L).as("dist"))
@@ -289,10 +323,12 @@ object Graphs {
   def hits(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
     import org.apache.spark.storage.StorageLevel
+    val p = iterParts(docs)
     val edges = syntheticEdges(docs)
-      .repartition(col("src"))
+      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = docs.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = docs.select(col("doc_id")).repartition(p, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def half(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
       // persist the raw sums: they feed BOTH the normalizing max and the
       // score join — unpersisted, each half-round would recompute the
@@ -344,11 +380,13 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(rounds >= 1)
     import org.apache.spark.storage.StorageLevel
+    val p = iterParts(ue)
     val adj = ue.select(col("a").as("v"), col("b").as("u"))
       .unionAll(ue.select(col("b").as("v"), col("a").as("u")))
-      .repartition(col("u"))
+      .repartition(p, col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodesIn.repartition(p, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var lbl = nodes.select(col("v"), col("v").as("lbl"))
     for (i <- 1 to rounds) {
       val counted = adj
@@ -417,7 +455,10 @@ object Graphs {
   def kCoreCensusOn(ueIn: DataFrame, k: Int, rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1 && rounds >= 1)
-    val ue = ueIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-keyed on `a` at the adaptive count: every round's first semi
+    // join probes ue by a and reuses this partitioning
+    val ue = ueIn.repartition(iterParts(ueIn), col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // survivor sets are EAGERLY materialized per round (localCheckpoint):
     // the 5-branch census union would otherwise race every branch through
     // the full lazy peel chain — measured 30 s of recompute at ANY scale
